@@ -1,0 +1,25 @@
+"""lamindb_spark — a PySpark-native data-lakehouse engine.
+
+A from-scratch rebuild of the capabilities of the reference system
+laminlabs/lamindb (metadata registries + columnar payloads + lineage +
+curation + search) expressed Spark-first: every operator is a lazy
+DataFrame transformation optimized by Catalyst; registries are Parquet
+tables; payloads are whatever ``spark.read`` can scan.
+
+Layout
+------
+- ``session``     SparkSession factory with engine defaults
+- ``sources``     payload readers (suffix dispatch, testdata loader)
+- ``catalog``     registry schemas + Parquet-backed Lakehouse catalog
+- ``operators``   filter/Q compiler, joins, search, windows, pivot, graph
+- ``functions``   scalar helpers: ids (base62), text metrics, vectors
+- ``curation``    validate / inspect / standardize / schema checks
+- ``lineage``     track/finish runs, provenance traversal
+- ``pipeline``    training-data ops: dedup, similarity, text, multimodal
+- ``streaming``   Structured Streaming ingestion of event streams
+"""
+
+from .session import get_spark  # noqa: F401
+from .operators.filters import Q  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,117 @@
+"""Text-analysis Column builders for large-scale corpus pipelines.
+
+All pure Column expressions (JVM-side, codegen'd) — token counting,
+quality scoring, language id, fingerprinting run at full scan speed
+with zero Python in the loop. These extend the reference surface for
+training-data pipelines (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language id. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+_WORD_SPLIT = "\\s+"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WORD_SPLIT)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks,
+    the standard cheap proxy for BPE token counts at corpus scale."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (english) stopwords."""
+    words = stopwords or LANG_MARKERS["en"]
+    toks = F.split(F.lower(F.trim(col)), _WORD_SPLIT)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = F.split(F.trim(col), _WORD_SPLIT)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    sane mean word length. Deterministic, order-free."""
+    length_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_ok + punct_ok + mwl_ok) / 3.0, 6)
+
+
+def marker_hits(col: Column, lang: str) -> Column:
+    """How many of the language's marker stopwords occur as tokens."""
+    toks = F.split(F.lower(F.trim(col)), _WORD_SPLIT)
+    hits = [
+        F.array_contains(toks, w).cast("int") for w in LANG_MARKERS[lang]
+    ]
+    return reduce(add, hits)
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language with most marker hits; 'und' when no hits.
+
+    Ties break by fixed language order (deterministic).
+    """
+    scored = None
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:
+        s = marker_hits(col, lang)
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+        scored = True
+    assert scored
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text — the content-addressing trick the
+    reference uses for artifact dedup (``artifact.py:384-505``),
+    applied to document text."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (MinHash input)."""
+    toks = F.split(F.lower(F.trim(col)), _WORD_SPLIT)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

@@ -1,0 +1,79 @@
+"""Weighted-rank full-text search over string fields.
+
+Re-expresses the reference's flagship search operator (reference
+``query_manager.py:36-172``): over the given text columns compute
+
+    rank = 200*exact + 200*exact_synonym + 10*sub_phrase
+         + 8*startswith_token + 2*left_anchor + 2*right_anchor + 1*contains
+
+per column (summed), keep rows with any containment match, return
+top-k by rank. Everything is a pure Column expression: one scan,
+whole-stage codegen, TakeOrdered for the limit — no UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add, or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .filters import escape_regex
+
+DEFAULT_LIMIT = 20  # reference SEARCH_QUERY_DEFAULT_LIMIT (query_manager.py:33)
+
+
+def _rank_for_column(col: Column, query: str, synonyms_sep: str | None) -> Column:
+    """Rank contribution of one string column (case-insensitive)."""
+    q = query.lower().strip()
+    esc = escape_regex(q)
+    c = F.lower(F.coalesce(col, F.lit("")))
+    exact = (c == q).cast("int") * 200
+    # exact synonym: the full value is a "|"-delimited list containing q
+    if synonyms_sep:
+        sep = escape_regex(synonyms_sep)
+        syn = c.rlike(f"^(.*{sep})?{esc}({sep}.*)?$").cast("int") * 200
+    else:
+        syn = F.lit(0)
+    # sub-phrase: q appears delimited by word boundaries inside the value
+    sub_phrase = c.rlike(f"(^|[^a-z0-9]){esc}($|[^a-z0-9])").cast("int") * 10
+    startswith_token = c.rlike(f"(^|[^a-z0-9]){esc}").cast("int") * 8
+    left = c.startswith(q).cast("int") * 2
+    right = c.endswith(q).cast("int") * 2
+    contains = c.contains(q).cast("int") * 1
+    return exact + syn + sub_phrase + startswith_token + left + right + contains
+
+
+def search_rank(
+    query: str, fields: list[str], synonyms_field: str | None = None
+) -> tuple[Column, Column]:
+    """Return ``(rank, any_match)`` Column pair for the query string."""
+    ranks = [_rank_for_column(F.col(f), query, None) for f in fields]
+    if synonyms_field:
+        ranks.append(_rank_for_column(F.col(synonyms_field), query, "|"))
+    rank = reduce(add, ranks)
+    q = query.lower().strip()
+    matches = [F.lower(F.coalesce(F.col(f), F.lit(""))).contains(q) for f in fields]
+    if synonyms_field:
+        matches.append(
+            F.lower(F.coalesce(F.col(synonyms_field), F.lit(""))).contains(q)
+        )
+    return rank, reduce(or_, matches)
+
+
+def search(
+    df: DataFrame,
+    query: str,
+    fields: list[str],
+    synonyms_field: str | None = None,
+    limit: int | None = DEFAULT_LIMIT,
+) -> DataFrame:
+    """Top-k search: filter to containment matches, order by rank desc.
+
+    Spark executes the limit as TakeOrderedAndProject (true top-k, no
+    full sort) — the right physical plan at any scale.
+    """
+    rank, any_match = search_rank(query, fields, synonyms_field)
+    out = df.withColumn("rank", rank).filter(any_match).orderBy(F.desc("rank"))
+    return out.limit(limit) if limit else out

@@ -1,0 +1,66 @@
+"""SparkSession factory with engine defaults.
+
+The engine targets large multi-executor clusters; locally we run
+``local[N]``. Defaults chosen for scale:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switches replace hand-tuned partition counts.
+- Arrow on: any unavoidable Python stage moves batches, not rows.
+- Session timezone UTC: payload timestamps are naive/UTC; keeps results
+  engine-independent (matches DuckDB/pyarrow semantics).
+- ``nanosAsLong``: some producers write TIMESTAMP(NANOS) parquet, which
+  Spark's vectorized reader rejects; we read the raw int64 and rebuild
+  timestamps in the loader (see ``sources.readers``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs we need even on a session we did not build
+# (the verification driver passes us its own session).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # registries / dims are small; let Spark broadcast aggressively
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; builder path sets it instead
+    return spark
+
+
+def get_spark(app_name: str = "lamindb-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores. On a
+    real cluster the master/conf comes from spark-submit; everything here
+    is safe to leave in place.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_parts = max(2 * n, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

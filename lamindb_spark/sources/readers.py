@@ -1,0 +1,102 @@
+"""Payload readers.
+
+Mirrors the reference's suffix-dispatched loaders (reference
+``lamindb/core/loaders.py:56-213`` and lazy open
+``artifact.py:2920-3115``) as lazy ``spark.read`` scans: opening a
+payload never materializes it; Catalyst pushes filters/projections into
+the parquet scan.
+
+``load_table`` knows the driver's testdata layout
+(``<sf_dir>/<name>.parquet``) and papers over one producer quirk: the
+``events`` table is written with parquet TIMESTAMP(NANOS), which Spark's
+reader does not accept. With ``spark.sql.legacy.parquet.nanosAsLong``
+the column arrives as int64 nanoseconds and we rebuild a
+``timestamp_ntz`` column (UTC wall clock — identical values to what
+DuckDB/pyarrow decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as TIMESTAMP(NANOS) per table — read as int64 ns and rebuilt.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def _rebuild_nanos_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    for c in cols:
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # int64 ns → µs → timestamp (session tz = UTC) → naive ntz.
+            df = df.withColumn(
+                c,
+                F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one testdata table."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name in _NANOS_TS_COLS:
+        df = _rebuild_nanos_ts(df, _NANOS_TS_COLS[name])
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+# suffix → (format, options); the reference dispatches on suffix the same
+# way (core/loaders.py:185-213) but eagerly into pandas — here it stays lazy.
+_FORMATS: dict[str, tuple[str, dict[str, str]]] = {
+    ".parquet": ("parquet", {}),
+    ".csv": ("csv", {"header": "true", "inferSchema": "true"}),
+    ".tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    ".json": ("json", {}),
+    ".jsonl": ("json", {}),
+    ".orc": ("orc", {}),
+    ".arrow": ("arrow", {}),
+    ".feather": ("arrow", {}),
+    ".ipc": ("arrow", {}),
+    ".txt": ("text", {}),
+}
+
+
+def read_payload(spark: SparkSession, path: str, suffix: str | None = None) -> DataFrame:
+    """Open any supported payload lazily (reference: ``Artifact.open``).
+
+    Accepts a single file, a directory of homogeneous files, or a glob —
+    multi-file scans are an implicit UNION ALL (reference
+    ``artifact_set.py:64-82`` multi-file dataset open).
+    """
+    apply_runtime_confs(spark)
+    sfx = suffix
+    if sfx is None:
+        base = path.rstrip("/").rsplit("/", 1)[-1]
+        sfx = "." + base.rsplit(".", 1)[-1] if "." in base else ".parquet"
+    if sfx not in _FORMATS:
+        raise ValueError(f"unsupported payload suffix {sfx!r}; known: {sorted(_FORMATS)}")
+    fmt, opts = _FORMATS[sfx]
+    reader = spark.read.format(fmt)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
