@@ -38,6 +38,7 @@ from lamindb_spark.pipeline.dedup import (
     signature_jaccard,
     simhash64,
 )
+from lamindb_spark.sources.literals import literal_table
 from lamindb_spark.sources.readers import load_table
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -214,7 +215,7 @@ def _q_json_extract(spark, sf):
 def _q_validate(spark, sf):
     """V1: validate document langs against a label registry."""
     d = load_table(spark, sf, "documents")
-    registry = spark.createDataFrame([("en",), ("fr",), ("de",), ("es",)], "name string")
+    registry = literal_table(spark, [("en",), ("fr",), ("de",), ("es",)], ["name"])
     values = d.select(F.col("lang").alias("value")).distinct()
     return validate_values(values, registry, "value", "name")
 
@@ -222,14 +223,15 @@ def _q_validate(spark, sf):
 def _q_standardize(spark, sf):
     """V3: synonym → canonical mapping via exploded synonym table."""
     d = load_table(spark, sf, "documents")
-    registry = spark.createDataFrame(
+    registry = literal_table(
+        spark,
         [
             ("english", "en|eng"),
             ("spanish", "es"),
             ("french", "fr|fra"),
             ("german", "de|deu"),
         ],
-        "name string, synonyms string",
+        ["name", "synonyms"],
     )
     out = standardize_values(d.select("doc_id", "lang"), registry, "lang", "name", "synonyms")
     return out.select("doc_id", "lang", "standardized")
@@ -270,15 +272,19 @@ def _q_dedup_exact(spark, sf):
 def _q_minhash_pairs(spark, sf):
     """Pipeline: MinHash+LSH near-dup candidate pairs (no SQL oracle —
     xxhash64 signatures are Spark-specific; rows-only check)."""
-    d = load_table(spark, sf, "documents")
-    sigs = minhash_signatures(d, "text", "doc_id", k_shingle=2, n_hashes=32)
+    d = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures(d, "text", "doc_id", k_shingle=2, n_hashes=32).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=2)
     return signature_jaccard(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
 
 
 def _q_simhash(spark, sf):
     """Pipeline: 64-bit SimHash fingerprints (rows-only check)."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 

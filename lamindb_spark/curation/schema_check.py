@@ -46,8 +46,12 @@ def check_schema_columns(df: DataFrame, spec: SchemaSpec) -> dict[str, list[str]
 
 
 def _violation_cond(dtype: str, col: Column) -> Column:
-    """Non-null value that fails to parse/cast as the declared dtype."""
-    return col.isNotNull() & col.cast(dtype).isNull()
+    """Non-null value that fails to parse/cast as the declared dtype.
+
+    ``try_cast``, not ``cast``: under ANSI mode (Spark 4 default) a
+    plain cast *throws* on the very rows we are counting.
+    """
+    return col.isNotNull() & col.try_cast(dtype).isNull()
 
 
 def check_dtypes(df: DataFrame, spec: SchemaSpec) -> dict[str, int]:

@@ -48,20 +48,32 @@ def minhash_signatures(
     k_shingle: int = 3,
     n_hashes: int = 64,
 ) -> DataFrame:
-    """(id, signature array<long>) — min over xxhash64(shingle, seed_i).
+    """(id, signature array<long>) — n_hashes permutation minima.
 
-    Entirely JVM-side: shingling with array HOFs, n_hashes mins per row.
+    Shape chosen for scale: hash each *token* once, derive shingle
+    hashes by combining consecutive token hashes (no shingle strings
+    are ever materialized), then aggregate n_hashes cheap long-rehash
+    minima under whole-stage codegen with map-side partial aggregation
+    — the shuffle carries only n_docs × n_hashes longs.
     """
-    sh = shingles(F.col(text_col), k_shingle).alias("__sh")
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return (
-        df.select(F.col(id_col), sh)
-        .select(F.col(id_col), F.array(*sig_cols).alias("signature"))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    sh = th
+    for j in range(1, k_shingle):
+        # combine with the j-shifted hash array; zip_with pads the
+        # shorter side with null → trimmed to the valid window below
+        sh = F.zip_with(
+            sh,
+            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(0))),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    valid = F.greatest(F.size(th) - (k_shingle - 1), F.lit(1))
+    base = df.select(F.col(id_col), F.explode(F.slice(sh, 1, valid)).alias("__h"))
+    mins = base.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
     )
 
 
