@@ -1,0 +1,462 @@
+"""Parquet-backed registry catalog — the engine's metadata tier.
+
+The reference stores registries in SQLite/Postgres via an ORM; here
+every registry is a Parquet table under ``{root}/registries/{name}``,
+read as a DataFrame (broadcast-sized by construction) and rewritten
+atomically on mutation (write to ``.tmp`` dir → rename swap). Payload
+writes go under the storage root like the reference's artifact keys.
+
+Write concurrency: plain Parquet has no transactions — single-writer
+discipline per registry with atomic directory swap (documented
+limitation, SURVEY §7.4; the reference leans on DB transactions,
+``sqlrecord.py:670-680``). At cluster scale the same layout maps 1:1
+onto a table format with ACID commits; the engine API would not change.
+
+Capabilities mapped from the reference:
+- ingest + content-hash dedup  (``artifact.py:384-505``)
+- versioning: stem+suffix uids, per-(family, branch) ``is_latest``
+  head maintenance (``_is_versioned.py:215-373``)
+- soft delete / restore via branch_id (trash = −1)
+- bulk save upsert (``save.py:29-226``): anti-join inserts + overwrite
+- payload open returning a lazy DataFrame (``artifact.py:2920``) with
+  run-input lineage tracking (``artifact.py:3783``)
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ids import base62, generate_uid, increment_suffix
+from ..operators.windows import mark_latest
+from ..sources.readers import read_payload
+from .schemas import (
+    MAIN_BRANCH_ID,
+    REGISTRY_SCHEMAS,
+    TRASH_BRANCH_ID,
+    UID_LENGTHS,
+    VERSIONED_REGISTRIES,
+)
+
+
+def _now() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+
+def hash_file(path: str) -> str:
+    """Content hash of a local file (md5, streamed) — same role as the
+    reference's ingest hashing (``artifact.py:399-418``)."""
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def hash_dir(path: str) -> tuple[str, int, int]:
+    """(hash, total_size, n_files) for a directory: md5 of sorted
+    per-file hashes (order-independent, like the reference's dir hash)."""
+    hashes = []
+    total = 0
+    n = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fn in filenames:
+            if fn.startswith(("_", ".")):
+                continue  # spark _SUCCESS / checksums
+            fp = os.path.join(dirpath, fn)
+            hashes.append(hash_file(fp))
+            total += os.path.getsize(fp)
+            n += 1
+    agg = hashlib.md5("".join(sorted(hashes)).encode()).hexdigest()
+    return agg, total, n
+
+
+class Lakehouse:
+    """SparkSession-scoped engine catalog (SURVEY §7.0 design stance)."""
+
+    def __init__(self, spark: SparkSession, root: str, current_branch_id: int = MAIN_BRANCH_ID):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.current_branch_id = current_branch_id
+        self.current_run_id: int | None = None
+        os.makedirs(f"{self.root}/registries", exist_ok=True)
+        os.makedirs(f"{self.root}/storage", exist_ok=True)
+        self._init_core_rows()
+
+    # ---------------------------------------------------------- registry io
+
+    def _table_path(self, name: str) -> str:
+        return f"{self.root}/registries/{name}"
+
+    def _exists(self, name: str) -> bool:
+        return os.path.isdir(self._table_path(name))
+
+    def read_raw(self, name: str) -> DataFrame:
+        """Registry scan WITHOUT default filters (engine internal)."""
+        if name not in REGISTRY_SCHEMAS:
+            raise KeyError(f"unknown registry {name!r}; known: {sorted(REGISTRY_SCHEMAS)}")
+        if not self._exists(name):
+            return self.spark.createDataFrame([], REGISTRY_SCHEMAS[name])
+        return self.spark.read.schema(REGISTRY_SCHEMAS[name]).parquet(self._table_path(name))
+
+    def read(self, name: str) -> DataFrame:
+        """Registry scan with the default branch predicate injected
+        (reference F3: see {current branch, main}, never trash)."""
+        df = self.read_raw(name)
+        if "branch_id" not in df.columns:
+            return df
+        return df.filter(
+            F.col("branch_id").isin([self.current_branch_id, MAIN_BRANCH_ID])
+        )
+
+    def _overwrite(self, name: str, df: DataFrame) -> None:
+        """Atomic replace: write tmp dir, swap, drop old."""
+        path = self._table_path(name)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _append(self, name: str, rows: list[dict[str, Any]]) -> None:
+        if not rows:
+            return
+        schema = REGISTRY_SCHEMAS[name]
+        full = [{f.name: r.get(f.name) for f in schema.fields} for r in rows]
+        new = self.spark.createDataFrame([Row(**r) for r in full], schema)
+        if self._exists(name):
+            self._overwrite(name, self.read_raw(name).unionByName(new))
+        else:
+            self._overwrite(name, new)
+
+    def next_id(self, name: str) -> int:
+        if not self._exists(name):
+            return 1
+        row = self.read_raw(name).agg(F.max("id").alias("m")).collect()[0]
+        return int(row["m"] or 0) + 1
+
+    # ---------------------------------------------------------- bootstrap
+
+    def _init_core_rows(self) -> None:
+        now = _now()
+        if not self._exists("branch"):
+            self._append(
+                "branch",
+                [
+                    {"id": MAIN_BRANCH_ID, "uid": base62(12), "branch_id": MAIN_BRANCH_ID,
+                     "name": "main", "status_code": 0, "created_at": now},
+                    {"id": 0, "uid": base62(12), "branch_id": MAIN_BRANCH_ID,
+                     "name": "archive", "status_code": 0, "created_at": now},
+                    {"id": TRASH_BRANCH_ID, "uid": base62(12), "branch_id": MAIN_BRANCH_ID,
+                     "name": "trash", "status_code": 0, "created_at": now},
+                ],
+            )
+        if not self._exists("space"):
+            self._append(
+                "space",
+                [{"id": 1, "uid": base62(12), "branch_id": MAIN_BRANCH_ID,
+                  "name": "all", "created_at": now}],
+            )
+        if not self._exists("storage"):
+            self._append(
+                "storage",
+                [{"id": 1, "uid": base62(12), "branch_id": MAIN_BRANCH_ID,
+                  "root": f"{self.root}/storage", "type": "local", "created_at": now}],
+            )
+
+    # ---------------------------------------------------------- save/upsert
+
+    def save(self, name: str, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        """Bulk upsert (reference ``ln.save``/``save.py:29-126``): rows
+        with a uid matching an existing row update it; others insert
+        with fresh id/uid. Returns the saved rows (with ids)."""
+        now = _now()
+        existing = self.read_raw(name)
+        by_uid = {}
+        if self._exists(name):
+            for r in existing.select("id", "uid").collect():
+                by_uid[r["uid"]] = r["id"]
+        nid = self.next_id(name)
+        inserts, updates = [], []
+        for row in rows:
+            row = dict(row)
+            row.setdefault("branch_id", self.current_branch_id)
+            row.setdefault("created_at", now)
+            if name in VERSIONED_REGISTRIES:
+                row.setdefault("is_latest", True)
+            if row.get("uid") in by_uid:
+                row["id"] = by_uid[row["uid"]]
+                updates.append(row)
+            else:
+                row.setdefault("uid", generate_uid(UID_LENGTHS.get(name, 12)))
+                if row.get("id") is None:
+                    row["id"] = nid
+                    nid += 1
+                inserts.append(row)
+        if updates:
+            upd_ids = [r["id"] for r in updates]
+            kept = existing.filter(~F.col("id").isin(upd_ids))
+            schema = REGISTRY_SCHEMAS[name]
+            upd_df = self.spark.createDataFrame(
+                [Row(**{f.name: r.get(f.name) for f in schema.fields}) for r in updates],
+                schema,
+            )
+            self._overwrite(name, kept.unionByName(upd_df))
+        self._append(name, inserts)
+        return inserts + updates
+
+    # ---------------------------------------------------------- artifacts
+
+    def _resolve_storage_root(self) -> tuple[int, str]:
+        row = self.read_raw("storage").orderBy(F.length("root").desc()).first()
+        return int(row["id"]), row["root"]
+
+    def _storage_for_path(self, path: str) -> tuple[int, str] | None:
+        """Longest-prefix storage match (reference ``artifact.py:508-525``
+        orders by root length desc — X7)."""
+        apath = os.path.abspath(path)
+        rows = (
+            self.read_raw("storage")
+            .orderBy(F.length("root").desc())
+            .select("id", "root")
+            .collect()
+        )
+        for r in rows:
+            if apath.startswith(r["root"].rstrip("/") + "/"):
+                return int(r["id"]), r["root"]
+        return None
+
+    def register_artifact(
+        self,
+        path: str,
+        key: str | None = None,
+        description: str | None = None,
+        kind: str = "dataset",
+        otype: str | None = None,
+        run_id: int | None = None,
+        schema_id: int | None = None,
+        n_observations: int | None = None,
+    ) -> dict[str, Any]:
+        """Ingest a file/dir as an Artifact with content-hash dedup and
+        version-family maintenance.
+
+        Dedup (reference ``get_stat_or_artifact``): same hash on the
+        same branch → return the existing row, no new version.
+        Versioning: same ``key``, new hash → new version in the same
+        uid family (stem reuse + base62 suffix bump); the previous head
+        loses ``is_latest``.
+        """
+        if os.path.isdir(path):
+            content_hash, size, n_files = hash_dir(path)
+            suffix = os.path.splitext(path.rstrip("/"))[1]
+        else:
+            content_hash, size, n_files = hash_file(path), os.path.getsize(path), None
+            suffix = os.path.splitext(path)[1]
+        arts = self.read_raw("artifact")
+        dup = (
+            arts.filter((F.col("hash") == content_hash) & (F.col("branch_id") != TRASH_BRANCH_ID))
+            .orderBy(F.desc("created_at"))
+            .first()
+        )
+        if dup is not None:
+            return dup.asDict()
+
+        # storage resolution (reference semantics): a path already under
+        # a managed storage root is referenced in place (key = relative
+        # path); an external path is ingested — copied into the default
+        # storage under its key.
+        managed = self._storage_for_path(path)
+        if managed is not None:
+            storage_id, storage_root = managed
+            key = key or os.path.relpath(os.path.abspath(path), storage_root)
+        else:
+            storage_id, storage_root = self._resolve_storage_root()
+            key = key if key is not None else os.path.basename(path.rstrip("/"))
+            target = os.path.join(storage_root, key)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            if not os.path.exists(target):
+                if os.path.isdir(path):
+                    shutil.copytree(path, target)
+                else:
+                    shutil.copy2(path, target)
+        family = (
+            arts.filter(
+                (F.col("key") == key) & (F.col("branch_id") == self.current_branch_id)
+            )
+            .orderBy(F.desc("created_at"))
+            .first()
+            if key is not None
+            else None
+        )
+        if family is not None:
+            stem, old_suffix = family["uid"][:16], family["uid"][16:]
+            uid = stem + increment_suffix(old_suffix)
+        else:
+            uid = generate_uid(20)
+
+        row = {
+            "id": self.next_id("artifact"),
+            "uid": uid,
+            "key": key,
+            "description": description,
+            "storage_id": storage_id,
+            "suffix": suffix,
+            "kind": kind,
+            "otype": otype,
+            "size": size,
+            "hash": content_hash,
+            "n_files": n_files,
+            "n_observations": n_observations,
+            "run_id": run_id if run_id is not None else self.current_run_id,
+            "schema_id": schema_id,
+            "is_latest": True,
+            "branch_id": self.current_branch_id,
+            "space_id": 1,
+            "created_at": _now(),
+        }
+        self._append("artifact", [row])
+        if family is not None:
+            self._reconcile_is_latest("artifact")
+        return row
+
+    def save_dataframe(
+        self,
+        df: DataFrame,
+        key: str,
+        description: str | None = None,
+        schema_id: int | None = None,
+        mode: str = "overwrite",
+    ) -> dict[str, Any]:
+        """S5 DataFrame ingest sink (reference ``Artifact.from_dataframe``,
+        ``artifact.py:2245-2348``): write parquet under the storage
+        root, register with otype/n_observations."""
+        _sid, storage_root = self._resolve_storage_root()
+        target = f"{storage_root}/{key}"
+        n_obs = df.count()
+        df.write.mode(mode).parquet(target)
+        return self.register_artifact(
+            target,
+            key=key,
+            description=description,
+            otype="DataFrame",
+            schema_id=schema_id,
+            n_observations=n_obs,
+        )
+
+    def artifact_path(self, artifact: dict[str, Any] | Row) -> str:
+        """Resolve storage root + key → payload path (reference F9
+        path resolution, ``artifact_set.py:382-441``)."""
+        if isinstance(artifact, Row):
+            artifact = artifact.asDict()
+        storage = (
+            self.read_raw("storage").filter(F.col("id") == artifact["storage_id"]).first()
+        )
+        return f"{storage['root']}/{artifact['key']}"
+
+    def open_artifact(self, uid_or_key: str, is_run_input: bool = True) -> DataFrame:
+        """S2 lazy open: resolve the artifact, return ``spark.read``
+        scan; records run-input lineage when a run is active (L3,
+        reference ``track_run_input`` ``artifact.py:3783``)."""
+        arts = self.read("artifact").filter(F.col("is_latest"))
+        hit = arts.filter(
+            (F.col("uid") == uid_or_key)
+            | F.col("uid").startswith(uid_or_key)
+            | (F.col("key") == uid_or_key)
+        ).orderBy(F.desc("created_at")).first()
+        if hit is None:
+            raise KeyError(f"no artifact with uid/key {uid_or_key!r}")
+        path = self.artifact_path(hit)
+        suffix = hit["suffix"] or ".parquet"
+        if is_run_input and self.current_run_id is not None:
+            self._append(
+                "run_input_artifacts",
+                [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
+            )
+        return read_payload(self.spark, path, suffix if suffix.startswith(".") else ".parquet")
+
+    # ---------------------------------------------------------- versioning
+
+    def _reconcile_is_latest(self, name: str) -> None:
+        """Exactly one head per (stem uid, branch) — reference
+        ``reconcile_is_latest_within_branch`` (``_is_versioned.py:338-373``)
+        as one window pass."""
+        df = self.read_raw(name)
+        stem = F.substring(F.col("uid"), 1, 16)
+        marked = mark_latest(
+            df.withColumn("__stem", stem),
+            family_cols=["__stem", "branch_id"],
+            order_col="created_at",
+            tiebreak_col="id",
+        ).drop("__stem")
+        self._overwrite(name, marked)
+
+    def delete(self, name: str, ids: list[int], permanent: bool = False) -> None:
+        """Soft delete → trash branch; permanent removes rows. Version
+        heads are reconciled afterwards (reference
+        ``_adjust_is_latest_when_deleting_is_versioned``)."""
+        df = self.read_raw(name)
+        if permanent:
+            self._overwrite(name, df.filter(~F.col("id").isin(ids)))
+        else:
+            self._overwrite(
+                name,
+                df.withColumn(
+                    "branch_id",
+                    F.when(F.col("id").isin(ids), F.lit(TRASH_BRANCH_ID)).otherwise(
+                        F.col("branch_id")
+                    ),
+                ),
+            )
+        if name in VERSIONED_REGISTRIES:
+            self._reconcile_is_latest(name)
+
+    def restore(self, name: str, ids: list[int], branch_id: int | None = None) -> None:
+        df = self.read_raw(name)
+        target = branch_id if branch_id is not None else self.current_branch_id
+        self._overwrite(
+            name,
+            df.withColumn(
+                "branch_id",
+                F.when(F.col("id").isin(ids), F.lit(target)).otherwise(F.col("branch_id")),
+            ),
+        )
+        if name in VERSIONED_REGISTRIES:
+            self._reconcile_is_latest(name)
+
+    # ---------------------------------------------------------- annotations
+
+    def annotate(
+        self,
+        entity_kind: str,
+        entity_id: int,
+        values: dict[str, Any],
+        feature_ids: dict[str, int] | None = None,
+    ) -> None:
+        """Attach feature values to an entity as EAV rows (reference
+        V8 ``annotate_artifact``; JSON value tables §1.1 Tier C)."""
+        import json
+
+        rows = []
+        for fname, value in values.items():
+            rows.append(
+                {
+                    "entity_kind": entity_kind,
+                    "entity_id": entity_id,
+                    "feature_id": (feature_ids or {}).get(fname, -1),
+                    "feature_name": fname,
+                    "value_json": json.dumps(value, default=str),
+                    "branch_id": self.current_branch_id,
+                    "created_at": _now(),
+                }
+            )
+        self._append("annotation", rows)

@@ -1,0 +1,340 @@
+"""QuerySet — the reference's registry query surface on DataFrames.
+
+Mirrors ``BasicQuerySet``/``QuerySet`` (reference
+``query_set.py:1520-1584`` filter, ``:308-366`` get, ``:93-116``
+one/first, ``:1142-1298`` to_dataframe) and the related-path semantics
+of Django lookups:
+
+- ``filter(key__lookup=value, ...)`` / Q objects — compiled by
+  ``operators.filters`` to one Column predicate;
+- relation paths (``run__transform__key="x"``) — resolved BACKWARD as
+  chained semi-joins through the declared relation graph, so filtered
+  entities are never fanned out by 1:N joins (reference J6 fanout
+  avoidance, ``query_set.py:1226-1240``);
+- EAV feature filters (``features__temperature__gt=21``) — semi-joins
+  against the annotation long table (F5);
+- default branch injection unless id/uid/hash is queried (F3,
+  ``query_set.py:273-293``).
+
+Everything stays a lazy DataFrame plan until a terminal op.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.filters import LOOKUP_NAMES, Q, compile_lookup, split_lookup
+from ..operators.search import search as search_op
+from .schemas import MAIN_BRANCH_ID
+
+
+@dataclass(frozen=True)
+class Rel:
+    """FK edge: ``source.local_key == target.remote_key``."""
+
+    target: str
+    local_key: str
+    remote_key: str = "id"
+
+
+# relation graph (reference: FK fields on the Django models, SURVEY §2.3)
+RELATIONS: dict[str, dict[str, Rel]] = {
+    "artifact": {
+        "run": Rel("run", "run_id"),
+        "storage": Rel("storage", "storage_id"),
+        "schema": Rel("schema", "schema_id"),
+    },
+    "run": {"transform": Rel("transform", "transform_id")},
+    "record": {"type": Rel("record", "type_id"), "schema": Rel("schema", "schema_id")},
+    "ulabel": {"type": Rel("ulabel", "type_id")},
+    "feature": {"type": Rel("feature", "type_id")},
+    "collection": {},
+    "transform": {},
+    "storage": {},
+    "schema": {},
+    "branch": {},
+    "space": {},
+}
+
+# fields whose presence bypasses the default branch filter (reference
+# query_set.py:273-293: querying by exact identity sees all branches)
+_IDENTITY_FIELDS = {"id", "uid", "hash"}
+
+# field alias map (reference map_query_kwargs, query_set.py:119-213)
+_FIELD_ALIASES = {"version": "version_tag", "status": "status_code"}
+
+
+class DoesNotExist(LookupError):
+    pass
+
+
+class MultipleResultsFound(LookupError):
+    pass
+
+
+class QuerySet:
+    """Lazy, immutable query over one registry."""
+
+    def __init__(self, lakehouse, registry: str, df: DataFrame | None = None,
+                 branch_filtered: bool = False):
+        self.lh = lakehouse
+        self.registry = registry
+        self._df = df if df is not None else lakehouse.read_raw(registry)
+        self._branch_filtered = branch_filtered
+
+    # ------------------------------------------------------------ internals
+
+    def _clone(self, df: DataFrame, branch_filtered: bool | None = None) -> "QuerySet":
+        qs = QuerySet(
+            self.lh,
+            self.registry,
+            df,
+            self._branch_filtered if branch_filtered is None else branch_filtered,
+        )
+        return qs
+
+    def _branch_predicate(self) -> Column:
+        return F.col("branch_id").isin([self.lh.current_branch_id, MAIN_BRANCH_ID])
+
+    def _needs_branch_filter(self, keys: list[str]) -> bool:
+        if self._branch_filtered or "branch_id" not in self._df.columns:
+            return False
+        roots = {split_lookup(k)[0].split("__", 1)[0] for k in keys}
+        return not (roots & _IDENTITY_FIELDS)
+
+    def _relation_path(self, path: str) -> tuple[list[tuple[str, Rel]], str] | None:
+        """Split ``a__b__field`` into relation hops + terminal field, or
+        None if the first segment is a plain column."""
+        parts = path.split("__")
+        rels: list[tuple[str, Rel]] = []
+        current = self.registry
+        i = 0
+        while i < len(parts):
+            rel = RELATIONS.get(current, {}).get(parts[i])
+            if rel is None:
+                break
+            rels.append((current, rel))
+            current = rel.target
+            i += 1
+        if not rels:
+            return None
+        field = "__".join(parts[i:]) or "id"
+        return rels, field
+
+    def _compile_predicate(self, key: str, value: Any) -> tuple[Column | None, DataFrame | None, str | None]:
+        """Returns (column_predicate, semi_join_df, join_key): plain
+        fields compile to a Column; relation paths compile to an id-set
+        DataFrame to semi-join on the FK column."""
+        path, op = split_lookup(key)
+        path = _FIELD_ALIASES.get(path, path)
+        if path == "features" or path.startswith("features__"):
+            return self._feature_predicate(path, op, value)
+        rp = self._relation_path(path)
+        if rp is None:
+            if path not in self._df.columns:
+                raise ValueError(
+                    f"unknown field {path!r} on {self.registry}; "
+                    f"available: {sorted(self._df.columns)}"
+                )
+            return compile_lookup(f"{path}__{op}", value), None, None
+        rels, field = rp
+        # backward traversal: filter the innermost registry, then walk
+        # the FK chain back up as semi-joins — never a fanout join.
+        last = rels[-1][1]
+        target_df = self.lh.read_raw(last.target)
+        pred = compile_lookup(f"{field}__{op}", value)
+        ids = target_df.filter(pred).select(F.col(last.remote_key).alias("__k"))
+        for i in range(len(rels) - 2, -1, -1):
+            rel = rels[i][1]          # edge whose target holds the FK
+            inner = rels[i + 1][1]    # edge we just resolved ids for
+            t = self.lh.read_raw(rel.target)
+            t = t.join(ids, t[inner.local_key] == ids["__k"], "left_semi")
+            ids = t.select(F.col(rel.remote_key).alias("__k"))
+        return None, ids, rels[0][1].local_key
+
+    def _feature_predicate(self, path: str, op: str, value: Any) -> tuple[None, DataFrame, str]:
+        """EAV filter: ``features__<name>[__op]=value`` → entity-id set
+        from the annotation table (reference F5/F6/F7)."""
+        parts = path.split("__")
+        fname = parts[1] if len(parts) > 1 else None
+        if fname is None:
+            raise ValueError("features filter requires a feature name")
+        ann = self.lh.read_raw("annotation").filter(
+            (F.col("entity_kind") == self.registry) & (F.col("feature_name") == fname)
+        )
+        val_str = F.get_json_object(F.col("value_json"), "$")
+        if op == "isnull":
+            # presence/absence (reference _feature_manager.py:855-877)
+            ids = ann.select(F.col("entity_id").alias("__k")).distinct()
+            if value:
+                return None, ids, "__ANTI__id"
+            return None, ids, "id"
+        if isinstance(value, bool):
+            col = val_str.try_cast("boolean")
+        elif isinstance(value, (int, float)):
+            col = val_str.try_cast("double")
+            value = float(value)
+        else:
+            col = val_str
+        pred = compile_lookup(f"v__{op}", value, resolver=lambda _p: col)
+        ids = ann.filter(pred).select(F.col("entity_id").alias("__k")).distinct()
+        return None, ids, "id"
+
+    def _apply(self, qs_args: tuple, kwargs: dict, negate: bool = False) -> "QuerySet":
+        df = self._df
+        branch_filtered = self._branch_filtered
+        keys = list(kwargs)
+        if self._needs_branch_filter(keys):
+            df = df.filter(self._branch_predicate())
+        # branch handling is now resolved for this chain either way: an
+        # identity lookup (id/uid/hash) intentionally sees ALL branches
+        # (reference query_set.py:273-293) and later terminal ops must
+        # not re-inject the default predicate.
+        branch_filtered = True
+        conds: list[Column] = [q.to_column() for q in qs_args]
+        for key, value in kwargs.items():
+            col_pred, semi_df, join_key = self._compile_predicate(key, value)
+            if col_pred is not None:
+                conds.append(col_pred)
+            else:
+                anti = join_key.startswith("__ANTI__")
+                jk = join_key.removeprefix("__ANTI__")
+                how = "left_anti" if (anti != negate) else "left_semi"
+                df = df.join(semi_df, df[jk] == semi_df["__k"], how)
+                if negate and not anti:
+                    pass  # handled via how flip above
+        if conds:
+            combined = conds[0]
+            for c in conds[1:]:
+                combined = combined & c
+            df = df.filter(~combined if negate else combined)
+        return self._clone(df, branch_filtered)
+
+    # ------------------------------------------------------------ public api
+
+    def filter(self, *qs: Q, **kwargs: Any) -> "QuerySet":
+        return self._apply(qs, kwargs, negate=False)
+
+    def exclude(self, *qs: Q, **kwargs: Any) -> "QuerySet":
+        return self._apply(qs, kwargs, negate=True)
+
+    def all(self) -> "QuerySet":
+        if self._needs_branch_filter([]):
+            return self._clone(self._df.filter(self._branch_predicate()), True)
+        return self
+
+    def order_by(self, *fields: str) -> "QuerySet":
+        cols = [
+            F.col(f[1:]).desc() if f.startswith("-") else F.col(f).asc() for f in fields
+        ]
+        return self._clone(self._df.orderBy(*cols))
+
+    def limit(self, n: int) -> "QuerySet":
+        return self._clone(self._df.limit(n))
+
+    def values(self, *fields: str) -> "QuerySet":
+        return self._clone(self._df.select(*fields))
+
+    def values_list(self, field: str, flat: bool = True) -> list:
+        rows = self._df.select(field).collect()
+        return [r[0] for r in rows] if flat else [tuple(r) for r in rows]
+
+    def to_list(self, field: str) -> list:
+        return self.values_list(field, flat=True)
+
+    def distinct(self) -> "QuerySet":
+        return self._clone(self._df.distinct())
+
+    def df(self) -> DataFrame:
+        return self.all()._df
+
+    def to_dataframe(self, features: list[str] | None = None):
+        """Wide pandas export (reference ``to_dataframe``, §2.10):
+        entity rows LEFT-joined with pivoted feature annotations."""
+        base = self.all()._df
+        if features:
+            ann = self.lh.read_raw("annotation").filter(
+                (F.col("entity_kind") == self.registry)
+                & (F.col("feature_name").isin(features))
+            )
+            wide = (
+                ann.groupBy("entity_id")
+                .pivot("feature_name", features)
+                .agg(F.first(F.get_json_object(F.col("value_json"), "$"), ignorenulls=True))
+            )
+            base = base.join(wide, base["id"] == wide["entity_id"], "left").drop("entity_id")
+        return base.toPandas()
+
+    # terminal cardinality ops (reference query_set.py:93-116)
+
+    def count(self) -> int:
+        return self.all()._df.count()
+
+    def exists(self) -> bool:
+        return self.all()._df.limit(1).count() > 0
+
+    def first(self):
+        rows = self.all()._df.take(1)
+        return rows[0] if rows else None
+
+    def one(self):
+        rows = self.all()._df.take(2)
+        if len(rows) == 0:
+            raise DoesNotExist(f"no {self.registry} matches")
+        if len(rows) > 1:
+            raise MultipleResultsFound(f"multiple {self.registry} rows match")
+        return rows[0]
+
+    def one_or_none(self):
+        rows = self.all()._df.take(2)
+        if len(rows) > 1:
+            raise MultipleResultsFound(f"multiple {self.registry} rows match")
+        return rows[0] if rows else None
+
+    def get(self, idlike: int | str | None = None, **kwargs: Any):
+        """Reference get semantics (``query_set.py:308-366``): int id;
+        str uid (exact, then prefix + is_latest, then latest-created
+        fallback); or kwargs with an implicit is_latest=True for
+        versioned registries."""
+        if idlike is not None:
+            if isinstance(idlike, int):
+                return QuerySet(self.lh, self.registry).filter(id=idlike).one()
+            exact = QuerySet(self.lh, self.registry).filter(uid=idlike).one_or_none()
+            if exact is not None:
+                return exact
+            fam = QuerySet(self.lh, self.registry).filter(uid__startswith=idlike)
+            if "is_latest" in self._df.columns:
+                head = fam.filter(is_latest=True).one_or_none()
+                if head is not None:
+                    return head
+            out = fam.order_by("-created_at").first()
+            if out is None:
+                raise DoesNotExist(f"no {self.registry} with uid like {idlike!r}")
+            return out
+        qs = self.filter(**kwargs)
+        if "is_latest" in self._df.columns and "uid" not in kwargs and "id" not in kwargs:
+            with_latest = qs.filter(is_latest=True).one_or_none()
+            if with_latest is not None:
+                return with_latest
+            out = qs.order_by("-created_at").first()
+            if out is None:
+                raise DoesNotExist(f"no {self.registry} matches {kwargs}")
+            return out
+        return qs.one()
+
+    def search(self, query: str, fields: list[str] | None = None, limit: int = 20) -> "QuerySet":
+        """§2.9 weighted-rank search over the registry's text fields."""
+        base = self.all()._df
+        if fields is None:
+            preferred = [c for c in ("name", "key", "description") if c in base.columns]
+            fields = preferred or [
+                c for c, t in base.dtypes if t == "string" and c not in ("uid",)
+            ]
+        syn = "synonyms" if "synonyms" in base.columns else None
+        out = search_op(base, query, fields=fields, synonyms_field=syn, limit=limit)
+        return self._clone(out)

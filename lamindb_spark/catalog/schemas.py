@@ -1,0 +1,208 @@
+"""Registry StructTypes — the engine's fixed metadata schemas.
+
+Mirrors the reference's registry models (SURVEY §1.1 table; reference
+``lamindb/models/artifact.py:1492-1640``, ``transform.py:168-192``,
+``run.py:251-327``, ``feature.py:744``, ``schema.py:321``,
+``ulabel.py``, ``record.py:533``, ``collection.py:98``,
+``sqlrecord.py:1702/1803``) as explicit Spark StructTypes. The
+reference manages these with Django migrations; here they are declared
+constants — every registry is one Parquet table with this schema.
+
+Branch semantics (reference ``query_set.py:71-90``): branch_id 1=main,
+0=archive, −1=trash; default scans see {current branch, main} and
+never trash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+MAIN_BRANCH_ID = 1
+ARCHIVE_BRANCH_ID = 0
+TRASH_BRANCH_ID = -1
+
+
+def _f(name: str, dtype, nullable: bool = True) -> StructField:
+    return StructField(name, dtype, nullable)
+
+
+_COMMON = [
+    _f("id", LongType(), False),
+    _f("uid", StringType(), False),
+    _f("branch_id", LongType(), False),
+    _f("space_id", LongType()),
+    _f("created_at", TimestampType(), False),
+    _f("created_by_id", LongType()),
+]
+
+_VERSIONED = [
+    _f("is_latest", BooleanType(), False),
+    _f("version_tag", StringType()),
+]
+
+REGISTRY_SCHEMAS: dict[str, StructType] = {
+    "artifact": StructType(
+        _COMMON
+        + _VERSIONED
+        + [
+            _f("key", StringType()),
+            _f("description", StringType()),
+            _f("storage_id", LongType()),
+            _f("suffix", StringType()),
+            _f("kind", StringType()),
+            _f("otype", StringType()),
+            _f("size", LongType()),
+            _f("hash", StringType()),
+            _f("n_files", LongType()),
+            _f("n_observations", LongType()),
+            _f("run_id", LongType()),
+            _f("schema_id", LongType()),
+            _f("updated_at", TimestampType()),
+        ]
+    ),
+    "storage": StructType(
+        _COMMON + [_f("root", StringType(), False), _f("type", StringType())]
+    ),
+    "transform": StructType(
+        _COMMON
+        + _VERSIONED
+        + [
+            _f("key", StringType()),
+            _f("kind", StringType()),
+            _f("source_code", StringType()),
+            _f("hash", StringType()),
+        ]
+    ),
+    "run": StructType(
+        _COMMON
+        + [
+            _f("transform_id", LongType(), False),
+            _f("started_at", TimestampType()),
+            _f("finished_at", TimestampType()),
+            _f("status_code", LongType()),
+            _f("params", StringType()),  # JSON
+            _f("initiated_by_run_id", LongType()),
+        ]
+    ),
+    "feature": StructType(
+        _COMMON
+        + [
+            _f("name", StringType(), False),
+            _f("dtype_str", StringType()),
+            _f("nullable", BooleanType()),
+            _f("coerce", BooleanType()),
+            _f("default_value", StringType()),
+            _f("is_type", BooleanType()),
+            _f("type_id", LongType()),
+            _f("description", StringType()),
+        ]
+    ),
+    "schema": StructType(
+        _COMMON
+        + [
+            _f("name", StringType()),
+            _f("itype", StringType()),
+            _f("hash", StringType()),
+            _f("n_members", LongType()),
+            _f("flexible", BooleanType()),
+            _f("minimal_set", BooleanType()),
+            _f("maximal_set", BooleanType()),
+            _f("ordered_set", BooleanType()),
+            _f("coerce", BooleanType()),
+            _f("index_feature_uid", StringType()),
+        ]
+    ),
+    "ulabel": StructType(
+        _COMMON
+        + [
+            _f("name", StringType(), False),
+            _f("type_id", LongType()),
+            _f("is_type", BooleanType()),
+            _f("synonyms", StringType()),
+            _f("description", StringType()),
+        ]
+    ),
+    "record": StructType(
+        _COMMON
+        + [
+            _f("name", StringType()),
+            _f("type_id", LongType()),
+            _f("is_type", BooleanType()),
+            _f("schema_id", LongType()),
+            _f("description", StringType()),
+        ]
+    ),
+    "collection": StructType(
+        _COMMON
+        + _VERSIONED
+        + [
+            _f("key", StringType()),
+            _f("description", StringType()),
+            _f("hash", StringType()),
+        ]
+    ),
+    "branch": StructType(
+        _COMMON + [_f("name", StringType(), False), _f("status_code", LongType())]
+    ),
+    "space": StructType(_COMMON + [_f("name", StringType(), False)]),
+    # bridges
+    "run_input_artifacts": StructType(
+        [_f("run_id", LongType(), False), _f("artifact_id", LongType(), False)]
+    ),
+    "collection_artifacts": StructType(
+        [
+            _f("collection_id", LongType(), False),
+            _f("artifact_id", LongType(), False),
+            _f("position", LongType()),
+        ]
+    ),
+    "record_parents": StructType(
+        [_f("record_id", LongType(), False), _f("parent_id", LongType(), False)]
+    ),
+    "schema_features": StructType(
+        [
+            _f("schema_id", LongType(), False),
+            _f("feature_id", LongType(), False),
+            _f("optional", BooleanType()),
+        ]
+    ),
+    # EAV annotation long table (unifies the reference's JsonValue /
+    # ArtifactJsonValue / RecordJson / ArtifactULabel link tables)
+    "annotation": StructType(
+        [
+            _f("entity_kind", StringType(), False),  # artifact|run|record
+            _f("entity_id", LongType(), False),
+            _f("feature_id", LongType(), False),
+            _f("feature_name", StringType(), False),
+            _f("value_json", StringType()),  # scalar/list/dict JSON
+            _f("label_kind", StringType()),  # ulabel|record
+            _f("label_id", LongType()),
+            _f("branch_id", LongType(), False),
+            _f("created_at", TimestampType()),
+        ]
+    ),
+}
+
+# uid lengths per registry (reference base/uids.py + model defs)
+UID_LENGTHS: dict[str, int] = {
+    "artifact": 20,
+    "storage": 12,
+    "transform": 16,
+    "run": 20,
+    "feature": 12,
+    "schema": 20,
+    "ulabel": 8,
+    "record": 16,
+    "collection": 20,
+    "branch": 12,
+    "space": 12,
+}
+
+VERSIONED_REGISTRIES = frozenset({"artifact", "transform", "collection"})

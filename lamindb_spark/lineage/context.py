@@ -1,0 +1,137 @@
+"""Run lifecycle + provenance — the reference's ``ln.track()`` /
+``ln.finish()`` (reference ``core/_context.py:506-947`` and ``:949+``).
+
+``track`` hashes the transform's source, get-or-creates the Transform
+(same hash → same transform; same key + new hash → new version in the
+uid family), opens a Run row, and arms the lakehouse so every
+``open_artifact`` call records a run-input edge (L3) and every
+``register_artifact`` stamps ``run_id`` (outputs). ``finish`` closes
+the run. Lineage queries (ancestors/descendants of an artifact through
+runs) are iterative closures over the bridge tables (G3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog.lakehouse import Lakehouse, _now
+from ..functions.ids import generate_uid, increment_suffix
+from ..operators.graph import closure
+
+
+class Context:
+    """One tracked run over a Lakehouse."""
+
+    def __init__(self, lakehouse: Lakehouse):
+        self.lh = lakehouse
+        self.run: dict[str, Any] | None = None
+        self.transform: dict[str, Any] | None = None
+
+    def track(
+        self,
+        key: str,
+        source_code: str = "",
+        kind: str = "pipeline",
+        params: dict[str, Any] | None = None,
+    ) -> "Context":
+        src_hash = hashlib.md5(source_code.encode()).hexdigest()
+        existing = (
+            self.lh.read_raw("transform")
+            .filter(F.col("hash") == src_hash)
+            .orderBy(F.desc("created_at"))
+            .first()
+        )
+        if existing is not None:
+            self.transform = existing.asDict()
+        else:
+            family = (
+                self.lh.read_raw("transform")
+                .filter(F.col("key") == key)
+                .orderBy(F.desc("created_at"))
+                .first()
+            )
+            if family is not None:
+                uid = family["uid"][:12] + increment_suffix(family["uid"][12:])
+            else:
+                uid = generate_uid(16, stem=None)
+            row = {
+                "id": self.lh.next_id("transform"),
+                "uid": uid,
+                "key": key,
+                "kind": kind,
+                "source_code": source_code,
+                "hash": src_hash,
+                "is_latest": True,
+                "branch_id": self.lh.current_branch_id,
+                "created_at": _now(),
+            }
+            self.lh._append("transform", [row])
+            self.transform = row
+        run_row = {
+            "id": self.lh.next_id("run"),
+            "uid": generate_uid(20),
+            "transform_id": self.transform["id"],
+            "started_at": _now(),
+            "status_code": 1,  # started
+            "params": json.dumps(params or {}),
+            "branch_id": self.lh.current_branch_id,
+            "created_at": _now(),
+        }
+        self.lh._append("run", [run_row])
+        self.run = run_row
+        self.lh.current_run_id = run_row["id"]
+        return self
+
+    def finish(self, status_code: int = 0) -> None:
+        if self.run is None:
+            return
+        self.lh.save(
+            "run",
+            [{**self.run, "finished_at": _now(), "status_code": status_code}],
+        )
+        self.lh.current_run_id = None
+        self.run = None
+
+
+def track(lakehouse: Lakehouse, key: str, **kwargs: Any) -> Context:
+    return Context(lakehouse).track(key, **kwargs)
+
+
+def finish(ctx: Context, status_code: int = 0) -> None:
+    ctx.finish(status_code)
+
+
+def artifact_ancestors(lh: Lakehouse, artifact_id: int, max_hops: int = 20) -> DataFrame:
+    """G3 lineage walk: artifacts upstream of the given artifact through
+    run input/output edges, as an iterative closure."""
+    arts = lh.read_raw("artifact").select("id", "run_id")
+    inputs = lh.read_raw("run_input_artifacts")
+    # edge: child artifact -> parent artifact (parent is an input of the
+    # run that produced the child)
+    edges = (
+        arts.filter(F.col("run_id").isNotNull())
+        .join(inputs, arts["run_id"] == inputs["run_id"])
+        .select(F.col("id").alias("child_id"), F.col("artifact_id").alias("parent_id"))
+    )
+    seeds = lh.spark.range(1).select(F.lit(artifact_id).alias("id"))
+    return closure(edges, seeds, src="child_id", dst="parent_id", id_col="id",
+                   max_hops=max_hops, include_depth=True)
+
+
+def artifact_descendants(lh: Lakehouse, artifact_id: int, max_hops: int = 20) -> DataFrame:
+    arts = lh.read_raw("artifact").select("id", "run_id")
+    inputs = lh.read_raw("run_input_artifacts")
+    edges = (
+        arts.filter(F.col("run_id").isNotNull())
+        .join(inputs, arts["run_id"] == inputs["run_id"])
+        .select(F.col("artifact_id").alias("parent_id"), F.col("id").alias("child_id"))
+    )
+    seeds = lh.spark.range(1).select(F.lit(artifact_id).alias("id"))
+    return closure(edges, seeds, src="parent_id", dst="child_id", id_col="id",
+                   max_hops=max_hops, include_depth=True)

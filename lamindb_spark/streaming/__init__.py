@@ -1,0 +1,6 @@
+from .events import (  # noqa: F401
+    read_event_stream,
+    windowed_counts,
+    session_windows,
+    stream_dedup,
+)

@@ -1,0 +1,80 @@
+"""Curation: validate/inspect/standardize, schema flags, dtype checks
+(reference can_curate.py, curators/core.py, base/dtypes.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamindb_spark.curation.schema_check import SchemaSpec, check_dtypes, check_schema_columns
+from lamindb_spark.curation.validate import inspect_values, standardize_values, validate_values
+from lamindb_spark.sources.literals import literal_table
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    return literal_table(
+        spark,
+        [
+            ("T cell", "T-cell|T lymphocyte"),
+            ("B cell", "B-cell"),
+            ("monocyte", None),
+        ],
+        ["name", "synonyms"],
+    )
+
+
+def test_validate_flags(spark, registry):
+    values = literal_table(spark, [("T cell",), ("NK cell",)], ["value"])
+    got = {r["value"]: r["validated"] for r in
+           validate_values(values, registry, "value", "name").collect()}
+    assert got == {"T cell": True, "NK cell": False}
+
+
+def test_inspect_partition(spark, registry):
+    values = literal_table(spark, [("T cell",), ("B cell",), ("NK cell",)], ["value"])
+    ok, bad = inspect_values(values, registry, "value", "name")
+    assert sorted(r["value"] for r in ok.collect()) == ["B cell", "T cell"]
+    assert [r["value"] for r in bad.collect()] == ["NK cell"]
+
+
+def test_standardize_synonyms(spark, registry):
+    values = literal_table(
+        spark, [("T-cell",), ("T lymphocyte",), ("B cell",), ("unknown",)], ["value"]
+    )
+    got = {r["value"]: r["standardized"] for r in
+           standardize_values(values, registry, "value", "name", "synonyms").collect()}
+    assert got == {
+        "T-cell": "T cell",
+        "T lymphocyte": "T cell",
+        "B cell": "B cell",
+        "unknown": "unknown",  # pass-through (reference default)
+    }
+
+
+def test_schema_column_flags(spark):
+    df = literal_table(spark, [(1, "x", 0.5)], ["sample_id", "cell_type", "extra"])
+    spec = SchemaSpec(
+        features={"sample_id": "bigint", "cell_type": "string", "n_reads": "bigint"},
+        minimal_set=True,
+        maximal_set=True,
+    )
+    res = check_schema_columns(df, spec)
+    assert res["missing"] == ["n_reads"]
+    assert res["unexpected"] == ["extra"]
+
+
+def test_schema_ordered_set(spark):
+    df = literal_table(spark, [("x", 1)], ["cell_type", "sample_id"])
+    spec = SchemaSpec(
+        features={"sample_id": "bigint", "cell_type": "string"}, ordered_set=True
+    )
+    assert check_schema_columns(df, spec)["order_errors"] == ["cell_type", "sample_id"]
+
+
+def test_dtype_violation_counts(spark):
+    df = literal_table(
+        spark,
+        [("1", "0.5"), ("abc", "bad"), (None, "2.5"), ("7", None)],
+        ["n_reads", "gc"],
+    )
+    spec = SchemaSpec(features={"n_reads": "bigint", "gc": "double"})
+    assert check_dtypes(df, spec) == {"n_reads": 1, "gc": 1}

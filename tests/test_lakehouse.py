@@ -1,0 +1,84 @@
+"""Catalog: ingest, content-hash dedup, versioning, branches, upsert.
+
+Mirrors reference behaviors: dedup (``artifact.py:384-505``),
+is_latest heads (``_is_versioned.py:271-373``), soft delete / restore
+(branch semantics ``query_set.py:71-90``), bulk save (``save.py``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_bootstrap_rows(lakehouse):
+    assert lakehouse.read_raw("branch").count() == 3
+    assert lakehouse.read_raw("storage").count() == 1
+
+
+def test_register_and_dedup(lakehouse):
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="dims/nation.parquet")
+    assert a1["suffix"] == ".parquet"
+    assert a1["size"] > 0 and a1["hash"]
+    # same content → same row back, registry unchanged (S10)
+    a2 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="dims/nation2.parquet")
+    assert a2["uid"] == a1["uid"]
+    assert lakehouse.read_raw("artifact").count() == 1
+
+
+def test_versioning_same_key(lakehouse):
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="v/data.parquet")
+    a2 = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="v/data.parquet")
+    assert a2["uid"][:16] == a1["uid"][:16]          # same family stem
+    assert a2["uid"][16:] != a1["uid"][16:]          # bumped suffix
+    arts = lakehouse.read_raw("artifact").orderBy("id").collect()
+    assert [r["is_latest"] for r in arts] == [False, True]
+
+
+def test_save_dataframe_roundtrip(lakehouse, spark):
+    df = spark.range(5).withColumn("x", F.col("id") * 2)
+    row = lakehouse.save_dataframe(df, key="tables/t1.parquet")
+    assert row["n_observations"] == 5
+    assert row["otype"] == "DataFrame"
+    back = lakehouse.open_artifact(row["uid"])
+    assert back.count() == 5
+    assert sorted(back.columns) == ["id", "x"]
+
+
+def test_soft_delete_restore(lakehouse):
+    row = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="d/r.parquet")
+    lakehouse.delete("artifact", [row["id"]])
+    # default read hides trash
+    assert lakehouse.read("artifact").filter(F.col("id") == row["id"]).count() == 0
+    # raw read still sees it, on the trash branch
+    raw = lakehouse.read_raw("artifact").filter(F.col("id") == row["id"]).first()
+    assert raw["branch_id"] == -1
+    lakehouse.restore("artifact", [row["id"]])
+    assert lakehouse.read("artifact").filter(F.col("id") == row["id"]).count() == 1
+
+
+def test_delete_reassigns_latest_head(lakehouse):
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="w/d.parquet")
+    a2 = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="w/d.parquet")
+    lakehouse.delete("artifact", [a2["id"]])
+    heads = (
+        lakehouse.read("artifact")
+        .filter(F.col("is_latest") & (F.col("key") == "w/d.parquet"))
+        .collect()
+    )
+    assert [h["id"] for h in heads] == [a1["id"]]  # head fell back to v1 (W1)
+
+
+def test_bulk_save_upsert(lakehouse):
+    saved = lakehouse.save("ulabel", [{"name": "benchmark"}, {"name": "test-set"}])
+    assert len(saved) == 2 and all(r["id"] for r in saved)
+    uid = saved[0]["uid"]
+    lakehouse.save("ulabel", [{"uid": uid, "name": "benchmark-renamed"}])
+    rows = lakehouse.read_raw("ulabel").orderBy("id").collect()
+    assert len(rows) == 2
+    assert rows[0]["name"] == "benchmark-renamed"
+
+
+def test_unknown_registry_raises(lakehouse):
+    with pytest.raises(KeyError):
+        lakehouse.read_raw("nope")

@@ -1,0 +1,52 @@
+"""Lineage: track/finish, auto run-input edges, ancestor closure
+(reference core/_context.py, artifact.py:3783, has_parents.py:527)."""
+
+from pyspark.sql import functions as F
+
+from lamindb_spark.lineage.context import Context, artifact_ancestors
+from tests.conftest import SF_DIR
+
+
+def test_track_creates_transform_and_run(lakehouse):
+    ctx = Context(lakehouse).track("p/one.py", source_code="code-v1", params={"lr": 0.1})
+    assert ctx.transform["key"] == "p/one.py"
+    run = lakehouse.read_raw("run").first()
+    assert run["status_code"] == 1 and run["params"] == '{"lr": 0.1}'
+    ctx.finish()
+    run = lakehouse.read_raw("run").first()
+    assert run["status_code"] == 0 and run["finished_at"] is not None
+    assert lakehouse.current_run_id is None
+
+
+def test_same_source_reuses_transform(lakehouse):
+    c1 = Context(lakehouse).track("p/a.py", source_code="same")
+    c1.finish()
+    c2 = Context(lakehouse).track("p/a.py", source_code="same")
+    c2.finish()
+    assert lakehouse.read_raw("transform").count() == 1
+    # changed source on the same key → new version in the same family
+    c3 = Context(lakehouse).track("p/a.py", source_code="changed")
+    c3.finish()
+    tfs = lakehouse.read_raw("transform").orderBy("id").collect()
+    assert len(tfs) == 2
+    assert tfs[0]["uid"][:12] == tfs[1]["uid"][:12]
+
+
+def test_run_input_tracking_and_ancestors(lakehouse, spark):
+    # run 1: ingest raw → out1
+    ctx1 = Context(lakehouse).track("p/step1.py", source_code="s1")
+    raw = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="raw.parquet")
+    df = lakehouse.open_artifact(raw["uid"])  # records run input
+    out1 = lakehouse.save_dataframe(df.limit(5), key="out1.parquet")
+    ctx1.finish()
+    # run 2: out1 → out2
+    ctx2 = Context(lakehouse).track("p/step2.py", source_code="s2")
+    df2 = lakehouse.open_artifact(out1["uid"])
+    out2 = lakehouse.save_dataframe(df2.limit(2), key="out2.parquet")
+    ctx2.finish()
+
+    bridges = lakehouse.read_raw("run_input_artifacts").collect()
+    assert len(bridges) >= 2
+    anc = {r["id"]: r["depth"] for r in artifact_ancestors(lakehouse, out2["id"]).collect()}
+    assert anc.get(out1["id"]) == 1
+    assert anc.get(raw["id"]) == 2  # three-hop chain resolved by closure

@@ -1,0 +1,108 @@
+"""Core operators: windows, pivot, closure, eav, joins, search."""
+
+from pyspark.sql import functions as F
+
+from lamindb_spark.operators.eav import entities_with_feature
+from lamindb_spark.operators.graph import closure
+from lamindb_spark.operators.joins import anti_join, fk_join, semi_join
+from lamindb_spark.operators.pivot import to_wide
+from lamindb_spark.operators.search import search
+from lamindb_spark.operators.windows import latest_per_key, mark_latest, max_version_in_family
+from lamindb_spark.sources.literals import literal_table
+
+
+def test_mark_latest_per_branch(spark):
+    df = literal_table(
+        spark,
+        [("s1", 1, 1, 10), ("s1", 1, 2, 20), ("s1", 2, 3, 5), ("s2", 1, 4, 1)],
+        ["stem", "branch", "id", "created"],
+    )
+    got = mark_latest(df, ["stem", "branch"], "created", tiebreak_col="id")
+    heads = sorted(r["id"] for r in got.filter("is_latest").collect())
+    assert heads == [2, 3, 4]  # one head per (stem, branch)
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = literal_table(spark, [(1, 5, "a"), (1, 5, "b"), (2, 3, "c")], ["k", "t", "v"])
+    got = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "t", tiebreak_col="v").collect()}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_max_version_in_family(spark):
+    df = literal_table(spark, [("s1", "0001"), ("s1", "0003"), ("s2", "0002")], ["stem", "v"])
+    got = {r["stem"]: r["max_version"] for r in
+           max_version_in_family(df, ["stem"], "v").collect()}
+    assert got == {"s1": "0003", "s2": "0002"}
+
+
+def test_joins(spark):
+    left = literal_table(spark, [(1, 10), (2, 20), (3, None)], ["id", "dim_id"])
+    dim = literal_table(spark, [(10, "x"), (20, "y")], ["id", "name"])
+    j = fk_join(left, dim, "dim_id", "id", prefix="dim")
+    assert sorted(r["dim__name"] for r in j.collect()) == ["x", "y"]
+    keys = literal_table(spark, [(1,), (3,)], ["id"])
+    assert sorted(r["id"] for r in semi_join(left, keys, "id").collect()) == [1, 3]
+    assert [r["id"] for r in anti_join(left, keys, "id").collect()] == [2]
+
+
+def test_pivot_to_wide_with_casts(spark):
+    entities = literal_table(spark, [(1, "a1"), (2, "a2")], ["id", "name"])
+    ann = literal_table(
+        spark,
+        [(1, "temp", "21.5"), (1, "species", "human"), (2, "temp", "36.0")],
+        ["id", "feature", "value"],
+    )
+    wide = to_wide(
+        entities, ann, "id", "feature", "value",
+        features=["temp", "species"], dtype_casts={"temp": "double"},
+    )
+    rows = {r["id"]: r for r in wide.collect()}
+    assert rows[1]["temp"] == 21.5 and rows[1]["species"] == "human"
+    assert rows[2]["species"] is None
+    assert dict(wide.dtypes)["temp"] == "double"
+
+
+def test_closure_diamond(spark):
+    #    1
+    #   / \
+    #  2   3     (diamond: both reach 4)
+    #   \ /
+    #    4
+    edges = literal_table(
+        spark, [(4, 2), (4, 3), (2, 1), (3, 1)], ["child_id", "parent_id"]
+    )
+    seeds = literal_table(spark, [(4,)], ["id"])
+    got = {r["id"]: r["depth"] for r in
+           closure(edges, seeds, include_depth=True).collect()}
+    assert got == {2: 1, 3: 1, 1: 2}  # min depth, visited once
+
+
+def test_eav_entity_selection(spark):
+    entities = literal_table(spark, [(1,), (2,), (3,)], ["id"])
+    ann = literal_table(
+        spark, [(1, "color", "red"), (2, "color", "blue")], ["id", "feature", "value"]
+    )
+    pred = (F.col("feature") == "color") & (F.col("value") == "red")
+    assert [r["id"] for r in entities_with_feature(entities, ann, "id", pred).collect()] == [1]
+    assert sorted(
+        r["id"] for r in entities_with_feature(entities, ann, "id", pred, negate=True).collect()
+    ) == [2, 3]
+
+
+def test_search_rank_ordering(spark):
+    df = literal_table(
+        spark,
+        [
+            (1, "alpha"),                 # exact match
+            (2, "alpha particle"),        # left-anchored phrase
+            (3, "the alpha particle"),    # interior phrase
+            (4, "alphabet"),              # substring only
+            (5, "beta"),                  # no match
+        ],
+        ["id", "name"],
+    )
+    got = search(df, "alpha", ["name"]).select("id", "rank").collect()
+    ids = [r["id"] for r in got]
+    assert ids[0] == 1 and set(ids) == {1, 2, 3, 4}
+    ranks = {r["id"]: r["rank"] for r in got}
+    assert ranks[1] > ranks[2] > ranks[3] > ranks[4]

@@ -1,0 +1,99 @@
+"""Training-data pipeline ops: dedup, similarity, text metrics."""
+
+from pyspark.sql import functions as F
+
+from lamindb_spark.functions.text import fingerprint, lang_id, quality_score, token_count
+from lamindb_spark.functions.vectors import cosine, dot, l2_distance
+from lamindb_spark.pipeline.dedup import (
+    exact_dedup,
+    hamming64,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    signature_jaccard,
+    simhash64,
+)
+from lamindb_spark.pipeline.similarity import brute_force_topk, lsh_index, lsh_topk
+from lamindb_spark.sources.literals import literal_table
+
+
+def _docs(spark):
+    return literal_table(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "The  Quick Brown Fox jumps over the lazy dog"),  # exact dup of 1 modulo ws/case
+            (4, "completely different text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_normalizes(spark):
+    got = exact_dedup(_docs(spark))
+    groups = {r["keeper_id"]: r["n_dups"] for r in got.collect()}
+    assert groups[1] == 2       # docs 1+3 collapse
+    assert groups[2] == 1 and groups[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, k_shingle=2, n_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16, rows_per_band=2)
+    scored = signature_jaccard(pairs, sigs)
+    best = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in scored.collect()}
+    assert best.get((1, 3), 0) == 1.0          # identical after normalization
+    assert best.get((1, 2), 0) > 0.5           # near-dup detected
+    assert (1, 4) not in best and (2, 4) not in best
+
+
+def test_simhash_distance(spark):
+    docs = _docs(spark)
+    h = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    vals = {r["doc_id"]: r["sh"] for r in h.collect()}
+    assert vals[1] == vals[3]  # normalization-identical
+    d12 = spark.range(1).select(
+        hamming64(F.lit(vals[1]), F.lit(vals[2])).alias("d")
+    ).first()["d"]
+    d14 = spark.range(1).select(
+        hamming64(F.lit(vals[1]), F.lit(vals[4])).alias("d")
+    ).first()["d"]
+    assert d12 < d14  # near-dup closer than unrelated
+
+
+def test_vector_math(spark):
+    df = literal_table(spark, [(1,)], ["id"]).select(
+        dot(F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))).alias("d"),
+        cosine(F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(0.0))).alias("c"),
+        l2_distance(F.array(F.lit(0.0), F.lit(3.0)), F.array(F.lit(4.0), F.lit(0.0))).alias("l"),
+    )
+    row = df.first()
+    assert row["d"] == 11.0 and abs(row["c"] - 1.0) < 1e-12 and row["l"] == 5.0
+
+
+def test_brute_force_and_lsh_topk(spark):
+    vecs = literal_table(
+        spark,
+        [(1, 1.0, 0.0), (2, 0.9, 0.1), (3, 0.0, 1.0), (4, -1.0, 0.0)],
+        ["vec_id", "x", "y"],
+    ).select("vec_id", F.array("x", "y").alias("embedding"))
+    top = brute_force_topk(vecs, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    # LSH single-probe returns same-bucket neighbors only, query included
+    approx = lsh_topk(vecs, [1.0, 0.0], dim=2, k=4, n_bits=4).collect()
+    ids = [r["vec_id"] for r in approx]
+    assert 1 in ids and 4 not in ids  # opposite vector lands in another bucket
+
+
+def test_text_metrics(spark):
+    df = literal_table(spark, [(1, "the cat and the hat of a mat")], ["id", "text"])
+    row = df.select(
+        token_count(F.col("text")).alias("n"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row["n"] == 8 and row["lang"] == "en"
+    assert 0.0 <= row["q"] <= 1.0 and len(row["fp"]) == 32
+    assert token_count(F.lit("")).__class__  # builds without error
+    assert df.select(token_count(F.lit("   "))).first()[0] == 0

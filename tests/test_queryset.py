@@ -1,0 +1,115 @@
+"""QuerySet surface: lookups, relations, branch defaults, get/one,
+search, EAV feature filters (reference tests/pydata/test_queryset.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamindb_spark.catalog.query import (
+    DoesNotExist,
+    MultipleResultsFound,
+    QuerySet,
+)
+from lamindb_spark.operators.filters import Q
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def lake(lakehouse):
+    """Lakehouse with a small populated catalog + lineage chain."""
+    lakehouse.save(
+        "ulabel",
+        [
+            {"name": "T cell", "synonyms": "T-cell|T lymphocyte"},
+            {"name": "B cell", "synonyms": "B-cell"},
+            {"name": "monocyte", "synonyms": None},
+        ],
+    )
+    from lamindb_spark.lineage.context import Context
+
+    ctx = Context(lakehouse).track("pipelines/ingest.py", source_code="print('v1')")
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="tpch/nation.parquet")
+    a2 = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="tpch/region.parquet")
+    ctx.finish()
+    lakehouse.annotate("artifact", a1["id"], {"species": "human", "temperature": 21.5})
+    lakehouse.annotate("artifact", a2["id"], {"species": "mouse", "temperature": 36.0})
+    return lakehouse
+
+
+def qs(lake, name):
+    return QuerySet(lake, name)
+
+
+def test_filter_and_exclude(lake):
+    assert qs(lake, "artifact").filter(suffix=".parquet").count() == 2
+    assert qs(lake, "artifact").filter(key__startswith="tpch/").count() == 2
+    assert qs(lake, "artifact").exclude(key__contains="nation").count() == 1
+    assert qs(lake, "ulabel").filter(Q(name="T cell") | Q(name="B cell")).count() == 2
+
+
+def test_relation_path_traversal(lake):
+    # artifact → run → transform (J1 chain, compiled to semi-joins)
+    got = qs(lake, "artifact").filter(run__transform__key="pipelines/ingest.py")
+    assert got.count() == 2
+    none = qs(lake, "artifact").filter(run__transform__key="other.py")
+    assert none.count() == 0
+
+
+def test_branch_default_injection(lake):
+    row = qs(lake, "artifact").filter(key__contains="nation").one()
+    lake.delete("artifact", [row["id"]])
+    # normal filters hide trash (F3)
+    assert qs(lake, "artifact").filter(suffix=".parquet").count() == 1
+    # identity lookups bypass the branch filter (reference :273-293)
+    assert qs(lake, "artifact").filter(uid=row["uid"]).count() == 1
+    lake.restore("artifact", [row["id"]])
+
+
+def test_get_semantics(lake):
+    row = qs(lake, "artifact").filter(key__contains="region").one()
+    assert qs(lake, "artifact").get(row["uid"])["id"] == row["id"]
+    # uid prefix + is_latest fallback (W2)
+    assert qs(lake, "artifact").get(row["uid"][:8])["id"] == row["id"]
+    with pytest.raises(DoesNotExist):
+        qs(lake, "artifact").get("zzzzzzzz")
+
+
+def test_one_first_cardinality(lake):
+    with pytest.raises(MultipleResultsFound):
+        qs(lake, "artifact").filter(suffix=".parquet").one()
+    assert qs(lake, "artifact").filter(suffix=".csv").first() is None
+    with pytest.raises(DoesNotExist):
+        qs(lake, "artifact").filter(suffix=".csv").one()
+
+
+def test_order_values_distinct(lake):
+    names = qs(lake, "ulabel").order_by("-name").to_list("name")
+    assert names == sorted(names, reverse=True)
+    assert qs(lake, "artifact").values("suffix").distinct().count() == 1
+
+
+def test_search_ranks_exact_first(lake):
+    got = qs(lake, "ulabel").search("T cell").df().collect()
+    assert got[0]["name"] == "T cell"
+    # synonym match also found (Se1 synonym rank)
+    syn = qs(lake, "ulabel").search("T lymphocyte").df().collect()
+    assert syn and syn[0]["name"] == "T cell"
+
+
+def test_eav_feature_filters(lake):
+    # F5: feature kwargs route to annotation semi-joins
+    assert qs(lake, "artifact").filter(features__species="human").count() == 1
+    assert qs(lake, "artifact").filter(features__temperature__gt=30).count() == 1
+    assert qs(lake, "artifact").filter(features__temperature__isnull=True).count() == 0
+    assert qs(lake, "artifact").filter(features__missing_feature__isnull=True).count() == 2
+
+
+def test_unknown_field_lists_available(lake):
+    with pytest.raises(ValueError, match="available"):
+        qs(lake, "artifact").filter(nonexistent_field=1)
+
+
+def test_to_dataframe_pivot(lake):
+    pdf = qs(lake, "artifact").to_dataframe(features=["species", "temperature"])
+    assert "species" in pdf.columns
+    by_key = pdf.set_index("key")
+    assert by_key.loc["tpch/nation.parquet", "species"] == "human"
