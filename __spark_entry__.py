@@ -374,6 +374,162 @@ def _q_eav_filter(spark, sf):
     )
 
 
+def _q_path_filter(spark, sf):
+    """F9/X2: computed storage-path column + prefix filter (reference
+    ``artifacts_from_path``, artifact_set.py:382-441)."""
+    d = load_table(spark, sf, "documents")
+    db_path = F.concat_ws(
+        "/", F.col("source"), F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+    )
+    return (
+        d.withColumn("db_path", db_path)
+        .filter(F.col("db_path").startswith("src1/"))
+        .select("doc_id", "db_path")
+    )
+
+
+def _q_limit_preserved(spark, sf):
+    """O2/O3: limit with preserved selection order as an explicit
+    position column (reference query_set.py:1167-1189)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select("doc_id", "n_chars", "pos")
+    )
+
+
+def _q_topmost_dedup(spark, sf):
+    """A5 keep_topmost_matches: per group keep the min-depth row
+    (reference has_parents.py:74-132)."""
+    p = load_table(spark, sf, "part")
+    from lamindb_spark.operators.windows import latest_per_key
+
+    # reuse latest_per_key with inverted ordering via negative depth
+    best = (
+        p.withColumn("neg_size", -F.col("p_size"))
+        .transform(lambda df: latest_per_key(df, ["p_brand"], "neg_size", tiebreak_col="p_partkey"))
+    )
+    return best.select("p_brand", "p_partkey", "p_size")
+
+
+def _q_collect_list(spark, sf):
+    """A3 list-agg per group (GroupConcat/ArrayAgg analogue), emitted
+    as a deterministic sorted CSV string."""
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("suppliers"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+def _q_multi_set_agg(spark, sf):
+    """A4 set-agg per entity: distinct sorted event types per user."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("etypes"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def _q_case_coalesce(spark, sf):
+    """X3/X4 + conditional bucketing (Case/When/Coalesce rewrite)."""
+    c = load_table(spark, sf, "customer")
+    grp = (
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_mktsegment") == "BUILDING", F.lit("building"))
+        .otherwise(F.coalesce(F.col("c_mktsegment"), F.lit("unknown")))
+    )
+    return (
+        c.withColumn("grp", grp)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("c_acctbal"))).alias("bal_cents"))
+    )
+
+
+def _q_union_by_name(spark, sf):
+    """S4 heterogeneous concat: unionByName(allowMissingColumns=True)
+    — the reference's outer-join concat (artifact_set.py:47-61)."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_quantity").alias("q")
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), _cents(F.col("o_totalprice")).alias("p")
+    )
+    u = li.unionByName(o, allowMissingColumns=True)
+    return u.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("q").alias("n_q"),
+        F.count("p").alias("n_p"),
+        F.sum("q").alias("sum_q"),
+    )
+
+
+def _q_length_order(spark, sf):
+    """X7 length-ordered top-k (longest-prefix resolution shape)."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.select("p_partkey", "p_name", F.length("p_name").cast("long").alias("name_len"))
+        .orderBy(F.desc("name_len"), F.asc("p_name"), F.asc("p_partkey"))
+        .limit(15)
+    )
+
+
+def _q_json_object(spark, sf):
+    """X10 JSONObject export: row → JSON string."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("meta_json"),
+    ).filter(F.col("o_orderkey") % 100 == 0)
+
+
+def _q_rollup_revenue(spark, sf):
+    """Beyond-reference agg extension: ROLLUP over region/nation."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    fact = li.join(F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+    joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    return joined.rollup("r_name", "n_name").agg(F.sum(rev).alias("revenue_cents"))
+
+
+def _q_search_synonyms(spark, sf):
+    """Se1 full search semantics incl. "|"-delimited synonym rank over
+    a label registry (reference query_manager.py:113-164)."""
+    reg = literal_table(
+        spark,
+        [
+            (1, "T cell", "T-cell|T lymphocyte"),
+            (2, "B cell", "B-cell"),
+            (3, "T cell receptor", None),
+            (4, "cell", None),
+            (5, "neuron", None),
+        ],
+        ["id", "name", "synonyms"],
+    )
+    out = search(reg, "t cell", fields=["name"], synonyms_field="synonyms", limit=None)
+    return out.orderBy(F.desc("rank"), F.asc("id")).select("id", "name", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_lookups": _q_filter_lookups,
@@ -401,6 +557,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": _q_hourly_events,
         "union_sets": _q_union,
         "eav_filter": _q_eav_filter,
+        "path_filter": _q_path_filter,
+        "limit_preserved": _q_limit_preserved,
+        "topmost_dedup": _q_topmost_dedup,
+        "collect_list": _q_collect_list,
+        "multi_set_agg": _q_multi_set_agg,
+        "case_coalesce": _q_case_coalesce,
+        "union_by_name": _q_union_by_name,
+        "length_order": _q_length_order,
+        "json_object": _q_json_object,
+        "rollup_revenue": _q_rollup_revenue,
+        "search_synonyms": _q_search_synonyms,
     }
 
 
@@ -649,5 +816,106 @@ def oracle_sql() -> dict[str, str]:
                     WHERE event_type = 'error' AND CAST(round(value*100) AS BIGINT) > 25000
                 )
             GROUP BY user_id
+        """,
+        "path_filter": """
+            SELECT doc_id,
+                   source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS db_path
+            FROM documents
+            WHERE starts_with(source || '/' || CAST(doc_id AS VARCHAR) || '.txt', 'src1/')
+        """,
+        "limit_preserved": """
+            SELECT doc_id, n_chars, pos FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS pos
+                FROM documents
+            ) WHERE pos <= 20
+        """,
+        "topmost_dedup": """
+            SELECT p_brand, p_partkey, p_size FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_brand ORDER BY p_size ASC, p_partkey DESC
+                ) AS rn FROM part
+            ) WHERE rn = 1
+        """,
+        "collect_list": """
+            SELECT n_name,
+                   string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "multi_set_agg": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS etypes,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
+        """,
+        "case_coalesce": """
+            SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_mktsegment = 'BUILDING' THEN 'building'
+                        ELSE coalesce(c_mktsegment, 'unknown') END AS grp,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM customer GROUP BY 1
+        """,
+        "union_by_name": """
+            SELECT count(*) AS n_rows, count(q) AS n_q, count(p) AS n_p,
+                   sum(q) AS sum_q
+            FROM (
+                SELECT l_orderkey AS k, l_quantity AS q FROM lineitem
+                UNION ALL BY NAME
+                SELECT o_orderkey AS k,
+                       CAST(round(o_totalprice*100) AS BIGINT) AS p
+                FROM orders
+            )
+        """,
+        "length_order": """
+            SELECT p_partkey, p_name, CAST(length(p_name) AS BIGINT) AS name_len
+            FROM part
+            ORDER BY name_len DESC, p_name ASC, p_partkey ASC
+            LIMIT 15
+        """,
+        "json_object": """
+            SELECT o_orderkey,
+                   '{"status":"' || o_orderstatus || '","priority":"' || o_orderpriority || '"}' AS meta_json
+            FROM orders WHERE o_orderkey % 100 = 0
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "search_synonyms": """
+            WITH reg(id, name, synonyms) AS (
+                VALUES (1, 'T cell', 'T-cell|T lymphocyte'),
+                       (2, 'B cell', 'B-cell'),
+                       (3, 'T cell receptor', NULL),
+                       (4, 'cell', NULL),
+                       (5, 'neuron', NULL)
+            ), ranked AS (
+                SELECT id, name,
+                  (CASE WHEN lower(name) = 't cell' THEN 200 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(name), '(^|[^a-z0-9])t cell($|[^a-z0-9])') THEN 10 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(name), '(^|[^a-z0-9])t cell') THEN 8 ELSE 0 END
+                 + CASE WHEN starts_with(lower(name), 't cell') THEN 2 ELSE 0 END
+                 + CASE WHEN ends_with(lower(name), 't cell') THEN 2 ELSE 0 END
+                 + CASE WHEN contains(lower(name), 't cell') THEN 1 ELSE 0 END
+                 + CASE WHEN lower(coalesce(synonyms,'')) = 't cell' THEN 200 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(coalesce(synonyms,'')), '^(.*\|)?t cell(\|.*)?$') THEN 200 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(coalesce(synonyms,'')), '(^|[^a-z0-9])t cell($|[^a-z0-9])') THEN 10 ELSE 0 END
+                 + CASE WHEN regexp_matches(lower(coalesce(synonyms,'')), '(^|[^a-z0-9])t cell') THEN 8 ELSE 0 END
+                 + CASE WHEN starts_with(lower(coalesce(synonyms,'')), 't cell') THEN 2 ELSE 0 END
+                 + CASE WHEN ends_with(lower(coalesce(synonyms,'')), 't cell') THEN 2 ELSE 0 END
+                 + CASE WHEN contains(lower(coalesce(synonyms,'')), 't cell') THEN 1 ELSE 0 END) AS rank,
+                  (contains(lower(name), 't cell') OR contains(lower(coalesce(synonyms,'')), 't cell')) AS m
+                FROM reg
+            )
+            SELECT id, name, rank FROM ranked WHERE m
+            ORDER BY rank DESC, id ASC
         """,
     }
