@@ -31,13 +31,21 @@ from lamindb_spark.operators.graph import closure
 from lamindb_spark.operators.joins import anti_join, fk_join, semi_join
 from lamindb_spark.operators.search import search
 from lamindb_spark.operators.windows import latest_per_key
+from lamindb_spark.operators.temporal import (
+    asof_join_union,
+    sessionize,
+    trailing_window_agg,
+)
 from lamindb_spark.pipeline.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     signature_jaccard,
-    simhash64,
+    simhash_signatures,
+    winnow_fingerprint,
 )
+from lamindb_spark.pipeline.similarity import cosine_neardup_pairs, ivf_assign
 from lamindb_spark.sources.literals import literal_table
 from lamindb_spark.sources.readers import load_table
 
@@ -285,7 +293,118 @@ def _q_simhash(spark, sf):
     d = load_table(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash_signatures(d, "text", "doc_id")
+
+
+def _q_ngram_jaccard(spark, sf):
+    """Pipeline: EXACT n-gram Jaccard near-dup pairs via inverted-index
+    self-join (sparse — only docs sharing a shingle ever meet)."""
+    d = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", k_shingle=3, threshold=0.5, max_doc_freq=100)
+
+
+def _q_quality_score(spark, sf):
+    """Pipeline text analysis: composite quality heuristic (length,
+    punctuation density, mean word length) — all JVM-side expressions."""
+    from lamindb_spark.functions.text import quality_score
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    """Pipeline: rolling-hash (winnowing bottom-sketch) document
+    fingerprints — cross-engine-deterministic polynomial hashes."""
+    d = load_table(spark, sf, "documents")
+    return winnow_fingerprint(d, "text", "doc_id", window=4)
+
+
+def _q_embedding_neardup(spark, sf):
+    """Pipeline: embedding-cosine near-dup pairs, label-blocked (the
+    blocking key bounds the quadratic pair space)."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    return cosine_neardup_pairs(emb, "label", 0.4, id_col="vec_id", vec_col="vec")
+
+
+def _q_ann_ivf(spark, sf):
+    """Pipeline: IVF coarse quantization — nearest-centroid assignment
+    (broadcast centroids + argmin window); the cell id is the partition
+    key for pruned ANN at scale."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("centroid")
+    )
+    return ivf_assign(emb, centroids, id_col="vec_id", vec_col="vec")
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _q_asof_join(spark, sf):
+    """Beyond-reference as-of join: each purchase ← latest click at or
+    before it (same user), via the union+window linear-scale pattern —
+    no range-join fanout."""
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_union(clicks, purchases, on="user_id", ts_col="ts", left_value_cols=["ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format("asof_ts", _TS_FMT).alias("last_click_ts"),
+    )
+
+
+def _q_range_window(spark, sf):
+    """Beyond-reference trailing range window: per event, activity of
+    the same user in the preceding 5 minutes (RANGE frame on epoch-µs —
+    pure window, no self-join)."""
+    e = load_table(spark, sf, "events")
+    out = trailing_window_agg(
+        e,
+        key="user_id",
+        ts_col="ts",
+        trailing_micros=300_000_000,
+        aggs={
+            "n_5min": F.count(F.lit(1)),
+            "sum_cents_5min": F.sum(_cents(F.col("value"))),
+        },
+    )
+    return out.select("event_id", "n_5min", "sum_cents_5min")
+
+
+def _q_sessionize(spark, sf):
+    """Beyond-reference sessionization: 1h-gap sessions per user (lag +
+    running sum), aggregated to session stats — the batch twin of
+    Structured Streaming's session_window."""
+    e = load_table(spark, sf, "events")
+    s = sessionize(e, key="user_id", ts_col="ts", gap_micros=3_600_000_000, tiebreak_col="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+
+
+def _q_quantiles(spark, sf):
+    """Beyond-reference exact quantiles: interpolated percentiles of
+    account balance per market segment."""
+    c = load_table(spark, sf, "customer")
+    cents = _cents(F.col("c_acctbal"))
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile(cents, F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(cents, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(cents, F.lit(0.75)), 4).alias("p75"),
+    )
 
 
 def _q_knn(spark, sf):
@@ -568,6 +687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_object": _q_json_object,
         "rollup_revenue": _q_rollup_revenue,
         "search_synonyms": _q_search_synonyms,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_ivf": _q_ann_ivf,
+        "asof_join": _q_asof_join,
+        "range_window": _q_range_window,
+        "sessionize": _q_sessionize,
+        "quantiles": _q_quantiles,
     }
 
 
@@ -917,5 +1045,152 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, name, rank FROM ranked WHERE m
             ORDER BY rank DESC, id ASC
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(range(1, len(toks)-1),
+                                                i -> array_to_string(list_slice(toks, i, i+2), ' '))
+                       END AS shs
+                FROM t
+            ), e AS (
+                SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id
+            ), rare AS (
+                SELECT sh FROM e GROUP BY sh HAVING count(*) <= 100
+            ), ef AS (
+                SELECT e.* FROM e JOIN rare USING (sh)
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM ef a JOIN ef b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            ) WHERE jaccard >= 0.5
+        """,
+        "quality_score": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id,
+                   round((
+                     least(length(text) / 200.0, 1.0)
+                     + (1.0 - least(n_punct / greatest(length(text), 1) * 5.0, 1.0))
+                     + (CASE WHEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                              / greatest(len(toks), 1) BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END)
+                   ) / 3.0, 6) AS quality
+            FROM t
+        """,
+        "doc_fingerprint": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks, tk ->
+                         list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                                        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 1000000007)) AS th
+                FROM t
+            ), w AS (
+                SELECT doc_id, th, greatest(len(th) - 3, 1) AS n_windows FROM h
+            )
+            SELECT doc_id,
+                   list_min(list_transform(range(1, n_windows + 1), i ->
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list_slice(th, i, i + least(4, len(th)) - 1)),
+                       (a, b) -> (a * 37 + b) % 1000000007))) AS fingerprint,
+                   CAST(n_windows AS BIGINT) AS n_windows
+            FROM w
+        """,
+        "embedding_neardup": """
+            SELECT id_a, id_b, cos FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                       6) AS cos
+                FROM embeddings a
+                JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cos >= 0.4
+        """,
+        "ann_ivf": """
+            WITH c AS (
+                SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            )
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+                                  c.centroid_id ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN c
+            ) WHERE rn = 1
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "range_window": """
+            SELECT event_id,
+                   count(*) OVER w AS n_5min,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_5min
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "sessionize": """
+            WITH s AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), t AS (
+                SELECT user_id, event_id, ts,
+                       CAST(sum(is_new) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_id
+                FROM s
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+            FROM t GROUP BY user_id, session_id
+        """,
+        "quantiles": """
+            SELECT c_mktsegment,
+                   round(quantile_cont(cents, 0.25), 4) AS p25,
+                   round(quantile_cont(cents, 0.5), 4) AS p50,
+                   round(quantile_cont(cents, 0.75), 4) AS p75
+            FROM (SELECT c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer)
+            GROUP BY c_mktsegment
         """,
     }

@@ -149,17 +149,144 @@ def signature_jaccard(pairs: DataFrame, signatures: DataFrame, id_col: str = "do
     )
 
 
-def ngram_jaccard(
-    df_a: DataFrame,
-    df_b: DataFrame,
+def ngram_jaccard_pairs(
+    df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 3,
-) -> Column:
-    raise NotImplementedError(
-        "exact pairwise n-gram jaccard is O(n^2); use minhash_signatures + "
-        "lsh_candidate_pairs + signature_jaccard for the scale path"
+    threshold: float = 0.2,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for all pairs above a threshold —
+    via a sparse inverted-index join, never a cross join.
+
+    Shape: doc → distinct shingles (explode), self-join on shingle to
+    count intersections (only docs sharing a shingle ever meet), then
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. ``max_doc_freq`` drops
+    stop-shingles that appear in more than N docs — the standard guard
+    against quadratic blowup on ubiquitous n-grams at corpus scale.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh")
     )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    a = sh.select(F.col("sh"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("sh"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_FP_PRIME = 1_000_000_007
+
+
+def _token_polyhash(tok: Column) -> Column:
+    """Deterministic cross-engine token hash: Horner polynomial over
+    character codes mod a prime — expressible identically in ANSI SQL
+    (DuckDB ``list_reduce``), unlike xxhash64."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _FP_PRIME,
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing, bottom-sketch):
+    hash every token (polynomial rolling hash), combine each
+    ``window``-token run into one hash, keep the minimum — a compact,
+    shift-tolerant content fingerprint for near-dup grouping.
+
+    Pure Column expressions; output (id, fingerprint, n_windows).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    th = F.transform(toks, _token_polyhash)
+    n = F.size(th)
+    n_windows = F.greatest(n - (window - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_windows)
+    window_hashes = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(th, i, F.least(F.lit(window), n)),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 37 + h) % _FP_PRIME,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(window_hashes).alias("fingerprint"),
+        n_windows.cast("long").alias("n_windows"),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """64-bit SimHash per document — explode/groupBy shape for scale.
+
+    One pass: distinct token hashes explode to (id, hash) rows, then 64
+    SUM aggregates (one per bit position, map-side partial agg +
+    whole-stage codegen) and a single bit-assembly expression. Far
+    cheaper than 64 array traversals per row: the shuffle carries 64
+    longs per doc and every sum is a tight codegen loop.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    base = df.select(
+        F.col(id_col), F.explode(toks).alias("__t")
+    ).select(F.col(id_col), F.xxhash64(F.col("__t"), F.lit(seed)).alias("__h"))
+    sums = base.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = reduce(
+        add,
+        [
+            F.shiftleft(
+                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
+            )
+            for i in range(64)
+        ],
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash64(col: Column, seed: int = 0) -> Column:

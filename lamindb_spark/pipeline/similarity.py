@@ -71,6 +71,76 @@ def lsh_index(embeddings: DataFrame, dim: int, n_bits: int = 8, vec_col: str = "
     return embeddings.withColumn("bucket", _sign_bits(F.col(vec_col), dim, n_bits))
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (squared L2, deterministic centroid-id tiebreak).
+
+    Centroid table is tiny → broadcast nested-loop join (n_vec × n_cent
+    distance evals, all codegen'd), then a per-vector argmin window. At
+    100 TB this is the standard IVF build step: the assignment column
+    becomes the partition key, so ANN queries scan one (or a few) cells
+    instead of the full corpus.
+    """
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(centroid_vec_col), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    joined = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(centroid_id_col), d2.alias("__d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col(centroid_id_col).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__d2")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within a blocking key.
+
+    The block column (a cluster/IVF/LSH cell id) bounds the quadratic
+    pair space to within-block pairs — the embedding analogue of LSH
+    banding. Output: (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+    """
+    a = embeddings.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, ["__blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

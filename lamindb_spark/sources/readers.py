@@ -43,11 +43,12 @@ def _rebuild_nanos_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     for c in cols:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # int64 ns → µs → timestamp (session tz = UTC) → naive ntz.
+            # Integer division: `/` would round-trip through DOUBLE and
+            # lose µs precision above 2^53 ns (~1973) — off-by-1 vs the
+            # exact ns→µs truncation DuckDB/pyarrow perform.
             df = df.withColumn(
                 c,
-                F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
     return df
 
