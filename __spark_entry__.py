@@ -280,9 +280,7 @@ def _q_dedup_exact(spark, sf):
 def _q_minhash_pairs(spark, sf):
     """Pipeline: MinHash+LSH near-dup candidate pairs (no SQL oracle —
     xxhash64 signatures are Spark-specific; rows-only check)."""
-    d = load_table(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table(spark, sf, "documents")
     sigs = minhash_signatures(d, "text", "doc_id", k_shingle=2, n_hashes=32).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=2)
     return signature_jaccard(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
@@ -290,9 +288,7 @@ def _q_minhash_pairs(spark, sf):
 
 def _q_simhash(spark, sf):
     """Pipeline: 64-bit SimHash fingerprints (rows-only check)."""
-    d = load_table(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table(spark, sf, "documents")
     return simhash_signatures(d, "text", "doc_id")
 
 

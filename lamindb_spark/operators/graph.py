@@ -7,9 +7,18 @@ iterative DataFrame loop over an edge table:
 
     frontier ⋈ edges → next frontier;  visited ∪= frontier
 
-Each step is one broadcast/shuffle join; ``localCheckpoint`` every few
-iterations truncates the growing lineage so plans stay bounded on deep
-graphs (SURVEY §7.4).
+Scale design (SURVEY §7.4): two regimes, switched adaptively per hop.
+
+- **Broadcast-frontier mode** (frontier ≤ ``small_frontier_limit``):
+  the frontier lives on the driver and each hop is ONE job — a
+  predicate-pushed ``isin`` filter over the edge table, no shuffle, no
+  plan growth. This is the common case for ontology/lineage walks
+  (frontiers are tiny even when the edge table is 100 TB, and the
+  ``isin`` literal prunes at the parquet scan).
+- **Distributed mode** (frontier too large for the driver): classic
+  join-per-hop BFS with ``localCheckpoint`` per frontier so the plan
+  stays bounded at any depth and ``visited`` is a union of
+  already-materialized blocks.
 """
 
 from __future__ import annotations
@@ -26,22 +35,40 @@ def closure(
     id_col: str = "id",
     max_hops: int = 100,
     include_depth: bool = False,
+    small_frontier_limit: int = 10_000,
+    max_driver_ids: int = 2_000_000,
 ) -> DataFrame:
     """Transitive closure from seed ids along ``src → dst`` edges.
 
     Returns distinct reached ids (excluding seeds) as column ``id_col``,
-    plus ``depth`` (min hop count) when requested. BFS with a
-    deduplicated frontier; every frontier is ``localCheckpoint``-ed so
-    (a) the plan does not grow hop-over-hop (no exponential
-    re-execution) and (b) ``visited`` is a union of already-materialized
-    blocks — each hop costs exactly one join, at any graph depth.
+    plus ``depth`` (min hop count) when requested.
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
-        eager=True
-    )
-    frontier = (
-        seeds.select(F.col(id_col).alias("__s")).distinct().localCheckpoint(eager=True)
-    )
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+
+    # --- probe: can the seed frontier live on the driver?
+    seed_df = seeds.select(F.col(id_col).alias("__s")).distinct()
+    probe = seed_df.limit(small_frontier_limit + 1).collect()
+    if len(probe) <= small_frontier_limit:
+        out = _closure_broadcast(
+            e, [r[0] for r in probe], max_hops, small_frontier_limit, max_driver_ids
+        )
+        if out is not None:
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            spark = edges.sparkSession
+            rows = [(i, d) for i, d in out.items() if d > 0]
+            schema = StructType(
+                [
+                    StructField(id_col, e.schema["__d"].dataType),
+                    StructField("depth", IntegerType()),
+                ]
+            )
+            res = spark.createDataFrame(rows, schema=schema)
+            return res if include_depth else res.select(id_col)
+
+    # --- distributed BFS fallback
+    e = e.localCheckpoint(eager=True)
+    frontier = seed_df.localCheckpoint(eager=True)
     visited = frontier.withColumn("depth", F.lit(0))
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -59,3 +86,46 @@ def closure(
     if include_depth:
         return out.select(F.col("__s").alias(id_col), "depth")
     return out.select(F.col("__s").alias(id_col))
+
+
+def _closure_broadcast(
+    e: DataFrame,
+    seed_ids: list,
+    max_hops: int,
+    small_frontier_limit: int,
+    max_driver_ids: int,
+) -> dict | None:
+    """Driver-frontier BFS: one filter job per hop, frontier as an
+    ``isin`` literal (pushed into the scan). Returns {id: min_depth} or
+    None if the frontier/visited set outgrows the driver budget (caller
+    falls back to distributed mode from scratch — closures that deep and
+    wide are rare and the restart cost is one wasted probe)."""
+    visited: dict = {i: 0 for i in seed_ids if i is not None}
+    frontier = list(visited)
+    # cache() (not localCheckpoint) so repeated per-hop scans hit memory
+    # on small/medium edge tables while staying evictable/spillable when
+    # the edge table is huge — at that scale each hop is still just a
+    # map-only scan with the isin predicate pushed to parquet.
+    e = e.cache()
+    try:
+        for hop in range(1, max_hops + 1):
+            if not frontier:
+                return visited
+            # no .distinct(): dedup happens driver-side — each hop is a
+            # single map-only stage, no shuffle.
+            rows = e.filter(F.col("__s").isin(frontier)).select("__d").collect()
+            seen_hop = set()
+            nxt = []
+            for r in rows:
+                v = r[0]
+                if v is not None and v not in visited and v not in seen_hop:
+                    seen_hop.add(v)
+                    nxt.append(v)
+            if len(nxt) > small_frontier_limit or len(visited) + len(nxt) > max_driver_ids:
+                return None
+            for i in nxt:
+                visited[i] = hop
+            frontier = nxt
+        return visited
+    finally:
+        e.unpersist()

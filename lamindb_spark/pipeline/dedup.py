@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint, shingles
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least cluster-default parallelism before a CPU-heavy
+    per-row stage (tokenize/shingle/hash). A small parquet arrives as
+    1-2 partitions and would pin the whole stage to one core; at real
+    scale the input already has ≥ defaultParallelism partitions and
+    this is a no-op (no shuffle inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -68,7 +80,7 @@ def minhash_signatures(
             lambda a, b: F.xxhash64(a, b),
         )
     valid = F.greatest(F.size(th) - (k_shingle - 1), F.lit(1))
-    base = df.select(F.col(id_col), F.explode(F.slice(sh, 1, valid)).alias("__h"))
+    base = _spread(df).select(F.col(id_col), F.explode(F.slice(sh, 1, valid)).alias("__h"))
     mins = base.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -168,9 +180,12 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = df.select(
+    # Materialize the exploded (id, shingle) table once — it feeds four
+    # consumers (sizes, doc-freq, both self-join sides); without this the
+    # corpus would be re-tokenized and re-shingled per consumer.
+    sh = _spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         rare = (
@@ -229,22 +244,41 @@ def winnow_fingerprint(
     ``window``-token run into one hash, keep the minimum — a compact,
     shift-tolerant content fingerprint for near-dup grouping.
 
-    Pure Column expressions; output (id, fingerprint, n_windows).
+    Scale shape: the expensive per-character Horner hash runs once per
+    DISTINCT token (natural-language vocabularies are tiny relative to
+    corpus size — the classic dictionary-encoding trick), then a
+    broadcast join maps tokens back to positions and the per-document
+    window fold operates on plain longs. Avoids a depth-3 nested
+    higher-order expression per row, which defeats codegen and costs
+    ~10× more than this explode/join/groupBy pipeline.
+
+    Output (id, fingerprint, n_windows).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    th = F.transform(toks, _token_polyhash)
+    pos_tok = _spread(df).select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    vocab = (
+        pos_tok.select("__tok")
+        .distinct()
+        .withColumn("__h", _token_polyhash(F.col("__tok")))
+    )
+    hashed = pos_tok.join(F.broadcast(vocab), "__tok")
+    th_per_doc = hashed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__h"))), lambda s: s["__h"]
+        ).alias("__th")
+    )
+    th = F.col("__th")
     n = F.size(th)
     n_windows = F.greatest(n - (window - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_windows)
     window_hashes = F.transform(
-        idx,
+        F.sequence(F.lit(1), n_windows),
         lambda i: F.aggregate(
             F.slice(th, i, F.least(F.lit(window), n)),
             F.lit(0).cast("long"),
             lambda acc, h: (acc * 37 + h) % _FP_PRIME,
         ),
     )
-    return df.select(
+    return th_per_doc.select(
         F.col(id_col),
         F.array_min(window_hashes).alias("fingerprint"),
         n_windows.cast("long").alias("n_windows"),
@@ -266,7 +300,7 @@ def simhash_signatures(
     longs per doc and every sum is a tight codegen loop.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col), F.explode(toks).alias("__t")
     ).select(F.col(id_col), F.xxhash64(F.col("__t"), F.lit(seed)).alias("__h"))
     sums = base.groupBy(id_col).agg(
