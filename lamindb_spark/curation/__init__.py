@@ -1,2 +1,2 @@
-from .validate import validate_values, inspect_values, standardize_values  # noqa: F401
+from .validate import validate_values, inspect_values, standardize_values, from_values  # noqa: F401
 from .schema_check import check_schema_columns, check_dtypes  # noqa: F401

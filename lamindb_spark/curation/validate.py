@@ -77,3 +77,32 @@ def standardize_values(
     out = values.join(m, values[value_col] == m["__syn"], "left")
     canonical = F.coalesce(F.col("__name"), F.col(value_col)) if keep_unmatched else F.col("__name")
     return out.withColumn("standardized", canonical).drop("__syn", "__name")
+
+
+def from_values(
+    lakehouse,
+    registry_name: str,
+    values: list,
+    field: str = "name",
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Bulk get-or-create (reference ``models/_from_values.py:50-170``,
+    V9): load registry rows matching ``values`` on ``field``; create the
+    missing ones; return the full matched set.
+
+    Spark shape: anti-join finds the missing values (one broadcast
+    lookup — ``values`` is a user-supplied list, always small relative
+    to the registry), append them via the catalog upsert, then a semi
+    filter returns the complete row set.
+    """
+    reg = lakehouse.read(registry_name)
+    present = {
+        r[0]
+        for r in reg.filter(F.col(field).isin(values)).select(field).distinct().collect()
+    }
+    missing = [v for v in dict.fromkeys(values) if v not in present]
+    if missing:
+        lakehouse.save(
+            registry_name, [{field: v, **(defaults or {})} for v in missing]
+        )
+    return lakehouse.read(registry_name).filter(F.col(field).isin(values))

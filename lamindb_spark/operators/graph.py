@@ -129,3 +129,30 @@ def _closure_broadcast(
         return visited
     finally:
         e.unpersist()
+
+
+def creates_cycle(
+    edges: DataFrame,
+    new_child,
+    new_parent,
+    src: str = "child_id",
+    dst: str = "parent_id",
+    max_hops: int = 100,
+) -> bool:
+    """Would adding ``new_child → new_parent`` create a cycle?
+
+    True iff ``new_child`` is already reachable FROM ``new_parent``
+    along the ancestor direction (reference enforces this with a
+    recursive-CTE trigger, ``record.py:685-742``; G4). Runs the same
+    adaptive closure — for typical type-chains this is a handful of
+    map-only jobs at ingest time.
+    """
+    if new_child == new_parent:
+        return True
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame(
+        [(new_parent,)],
+        schema=edges.select(F.col(src).alias("id")).schema,
+    )
+    reached = closure(edges, seeds, src=src, dst=dst, id_col="id", max_hops=max_hops)
+    return reached.filter(F.col("id") == new_child).limit(1).count() > 0

@@ -78,3 +78,16 @@ def test_dtype_violation_counts(spark):
     )
     spec = SchemaSpec(features={"n_reads": "bigint", "gc": "double"})
     assert check_dtypes(df, spec) == {"n_reads": 1, "gc": 1}
+
+
+def test_from_values_get_or_create(lakehouse):
+    from lamindb_spark.curation.validate import from_values
+
+    lakehouse.save("ulabel", [{"name": "existing"}])
+    out = from_values(lakehouse, "ulabel", ["existing", "new1", "new1", "new2"])
+    names = {r["name"] for r in out.collect()}
+    assert names == {"existing", "new1", "new2"}
+    # idempotent: second call creates nothing new
+    n_before = lakehouse.read("ulabel").count()
+    from_values(lakehouse, "ulabel", ["new1", "new2"])
+    assert lakehouse.read("ulabel").count() == n_before

@@ -106,3 +106,15 @@ def test_search_rank_ordering(spark):
     assert ids[0] == 1 and set(ids) == {1, 2, 3, 4}
     ranks = {r["id"]: r["rank"] for r in got}
     assert ranks[1] > ranks[2] > ranks[3] > ranks[4]
+
+
+def test_creates_cycle(spark):
+    from lamindb_spark.operators.graph import creates_cycle
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2)], "child_id long, parent_id long"
+    )  # 3 → 2 → 1
+    assert creates_cycle(edges, 1, 3)   # 1 → 3 closes the loop
+    assert creates_cycle(edges, 5, 5)   # self-edge
+    assert not creates_cycle(edges, 4, 1)
+    assert not creates_cycle(edges, 1, 4)

@@ -97,3 +97,78 @@ def test_text_metrics(spark):
     assert 0.0 <= row["q"] <= 1.0 and len(row["fp"]) == 32
     assert token_count(F.lit("")).__class__  # builds without error
     assert df.select(token_count(F.lit("   "))).first()[0] == 0
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    from lamindb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.1).collect()
+    }
+    assert got[(1, 3)] == 1.0  # identical after normalization
+    # docs 1/2 share 6 of their 7+7 trigrams → 6/8
+    assert abs(got[(1, 2)] - 0.75) < 1e-6
+    assert (1, 4) not in got
+
+
+def test_winnow_fingerprint_shift_tolerant(spark):
+    from lamindb_spark.pipeline.dedup import winnow_fingerprint
+
+    docs = literal_table(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # same content with a prefix — min window hash often survives
+            (2, "PREFIX alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally unrelated words here nothing shared at all"),
+            (4, "x"),  # shorter than the window → single whole-text window
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["fingerprint"], r["n_windows"]) for r in winnow_fingerprint(docs).collect()}
+    assert got[1][1] == 5 and got[4][1] == 1
+    assert got[1][0] != got[3][0]
+    # determinism: same input → same fingerprint
+    again = {r["doc_id"]: r["fingerprint"] for r in winnow_fingerprint(docs).collect()}
+    assert again[1] == got[1][0]
+
+
+def test_simhash_signatures_matches_column_variant(spark):
+    from lamindb_spark.pipeline.dedup import simhash_signatures
+
+    docs = _docs(spark)
+    df_level = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    col_level = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert df_level == col_level
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    from lamindb_spark.pipeline.similarity import ivf_assign
+
+    vecs = literal_table(
+        spark,
+        [(10, 0.9, 0.1), (11, 0.1, 0.9), (12, 1.0, 0.05)],
+        ["vec_id", "x", "y"],
+    ).select("vec_id", F.array("x", "y").alias("embedding"))
+    cents = literal_table(
+        spark, [(0, 1.0, 0.0), (1, 0.0, 1.0)], ["centroid_id", "x", "y"]
+    ).select("centroid_id", F.array("x", "y").alias("centroid"))
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(vecs, cents).collect()}
+    assert got == {10: 0, 11: 1, 12: 0}
+
+
+def test_cosine_neardup_pairs_blocked(spark):
+    from lamindb_spark.pipeline.similarity import cosine_neardup_pairs
+
+    vecs = literal_table(
+        spark,
+        [(1, "a", 1.0, 0.0), (2, "a", 0.99, 0.01), (3, "a", -1.0, 0.0), (4, "b", 1.0, 0.0)],
+        ["vec_id", "blk", "x", "y"],
+    ).select("vec_id", "blk", F.array("x", "y").alias("embedding"))
+    got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vecs, "blk", 0.9).collect()}
+    assert got == {(1, 2)}  # 3 dissimilar; 4 in another block never compared
