@@ -114,23 +114,26 @@ def _q_tpch_q1(spark, sf):
 
 
 def _q_star_revenue(spark, sf):
-    """J1 FK-chain joins: fact lineitem joins broadcast dims; revenue
-    per nation in ASIA."""
+    """J1 FK-chain joins: revenue per nation in ASIA.
+
+    Scale notes: only the FIXED-cardinality dims (nation=25, region=5)
+    get explicit broadcast hints. orders/customer scale with the data —
+    hinting them broadcast would OOM executors at 100 TB; AQE promotes
+    those joins to broadcast at runtime whenever the (filtered) side is
+    actually small, and falls back to shuffle joins when it is not."""
     li = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region")
     dim = (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .select("c_custkey", "n_name")
     )
-    fact = li.join(
-        F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey")
-    )
-    joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+    fact = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+    joined = fact.join(dim, fact.o_custkey == dim.c_custkey)
     rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
     return joined.groupBy("n_name").agg(
         F.sum(rev).alias("revenue_cents"),
@@ -621,8 +624,10 @@ def _q_rollup_revenue(spark, sf):
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("c_custkey", "r_name", "n_name")
     )
-    fact = li.join(F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-    joined = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+    # orders/customer scale with data — no forced broadcast (see
+    # _q_star_revenue scale notes); AQE decides at runtime.
+    fact = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+    joined = fact.join(dim, fact.o_custkey == dim.c_custkey)
     rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
     return joined.rollup("r_name", "n_name").agg(F.sum(rev).alias("revenue_cents"))
 
