@@ -116,6 +116,21 @@ class Lakehouse:
             F.col("branch_id").isin([self.current_branch_id, MAIN_BRANCH_ID])
         )
 
+    def register_sql_views(self, prefix: str = "") -> list[str]:
+        """Expose every materialized registry as a temp view WITH the
+        default branch predicate baked in, so raw ``spark.sql()`` gets
+        the same soft-delete/branch semantics as the QuerySet API
+        (SURVEY §7.3 — the analyzer-rule alternative, done at the view
+        layer where it is testable and engine-version-proof). Raw
+        unfiltered access stays available via ``read_raw``."""
+        created = []
+        for name in REGISTRY_SCHEMAS:
+            if self._exists(name):
+                view = f"{prefix}{name}"
+                self.read(name).createOrReplaceTempView(view)
+                created.append(view)
+        return created
+
     def _overwrite(self, name: str, df: DataFrame) -> None:
         """Atomic replace: write tmp dir, swap, drop old."""
         path = self._table_path(name)

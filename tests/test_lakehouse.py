@@ -82,3 +82,16 @@ def test_bulk_save_upsert(lakehouse):
 def test_unknown_registry_raises(lakehouse):
     with pytest.raises(KeyError):
         lakehouse.read_raw("nope")
+
+
+def test_register_sql_views_branch_semantics(lakehouse):
+    lakehouse.save("ulabel", [{"name": "visible"}])
+    saved = lakehouse.save("ulabel", [{"name": "trashed"}])
+    lakehouse.delete("ulabel", [saved[0]["id"]])  # soft-delete → trash branch
+    views = lakehouse.register_sql_views(prefix="v_")
+    assert "v_ulabel" in views
+    names = {
+        r["name"]
+        for r in lakehouse.spark.sql("SELECT name FROM v_ulabel").collect()
+    }
+    assert "visible" in names and "trashed" not in names
