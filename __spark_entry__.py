@@ -141,6 +141,56 @@ def _q_star_revenue(spark, sf):
     )
 
 
+def _q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape: segment-filtered customer × date-bounded orders ×
+    lineitem, revenue per order, top-10. Filters reach all three scans;
+    the only forced broadcast is never used — AQE picks strategies."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    import datetime
+
+    cut = datetime.datetime(1995, 3, 15)
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut), li.l_orderkey == o.o_orderkey)
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape: small-quantity outliers vs per-part average —
+    the agg-then-rejoin pattern (compute avg per part once, join back,
+    filter qty < 0.2*avg). One shuffle for the agg; the rejoin reuses
+    the same key so AQE coalesces."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    brands = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(brands, li.l_partkey == F.col("p_partkey"))
+        .join(avg_q, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy()
+        .agg(
+            _cents(F.sum("l_extendedprice")).alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def _q_semi_join(spark, sf):
     """J3: customers having ≥1 urgent high-value order."""
     c = load_table(spark, sf, "customer")
@@ -655,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_lookups": _q_filter_lookups,
         "q_objects": _q_q_objects,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q17": _q_tpch_q17,
         "star_revenue": _q_star_revenue,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -737,6 +789,33 @@ def oracle_sql() -> dict[str, str]:
                    sum(l_quantity) / count(*) AS avg_qty
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_shipdate > TIMESTAMP '1995-03-15'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q17": """
+            WITH avg_q AS (
+                SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(round(sum(l_extendedprice)*100) AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN avg_q ON l_partkey = pk
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < 0.2 * avg_qty
         """,
         "star_revenue": """
             SELECT n_name,
