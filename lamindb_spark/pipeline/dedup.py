@@ -188,13 +188,17 @@ def ngram_jaccard_pairs(
     ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
+        # doc-freq cap via a window count instead of groupBy+semi-join:
+        # one shuffle on `sh` whose partitioning the self-join below
+        # then reuses, instead of two shuffles plus a join.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        sh = sh.join(rare, "sh", "left_semi")
     a = sh.select(F.col("sh"), F.col(id_col).alias("id_a"))
     b = sh.select(F.col("sh"), F.col(id_col).alias("id_b"))
     inter = (
