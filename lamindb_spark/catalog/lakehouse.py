@@ -399,6 +399,114 @@ class Lakehouse:
             )
         return read_payload(self.spark, path, suffix if suffix.startswith(".") else ".parquet")
 
+    # ---------------------------------------------------------- collections
+
+    def create_collection(
+        self,
+        key: str,
+        artifact_ids: list[int],
+        description: str | None = None,
+    ) -> dict[str, Any]:
+        """Versioned immutable artifact set (reference ``Collection``,
+        ``collection.py:98``): the collection hash is the md5 of the
+        ordered member hashes (content-derived, so identical member sets
+        dedup to the same hash — ``collection.py:162``). Same ``key``
+        with different members → next version in the uid family."""
+        import hashlib
+
+        arts = self.read_raw("artifact")
+        member_rows = {
+            r["id"]: r for r in arts.filter(F.col("id").isin(artifact_ids)).collect()
+        }
+        missing = [i for i in artifact_ids if i not in member_rows]
+        if missing:
+            raise KeyError(f"unknown artifact ids: {missing}")
+        chash = hashlib.md5(
+            "|".join(member_rows[i]["hash"] or "" for i in artifact_ids).encode()
+        ).hexdigest()
+        cols = self.read_raw("collection")
+        dup = cols.filter(
+            (F.col("hash") == chash) & (F.col("branch_id") != TRASH_BRANCH_ID)
+        ).first()
+        if dup is not None:
+            return dup.asDict()
+        family = (
+            cols.filter((F.col("key") == key) & (F.col("branch_id") == self.current_branch_id))
+            .orderBy(F.desc("created_at"))
+            .first()
+        )
+        if family is not None:
+            uid = family["uid"][:16] + increment_suffix(family["uid"][16:])
+        else:
+            uid = generate_uid(20)
+        row = {
+            "id": self.next_id("collection"),
+            "uid": uid,
+            "key": key,
+            "description": description,
+            "hash": chash,
+            "is_latest": True,
+            "branch_id": self.current_branch_id,
+            "space_id": 1,
+            "created_at": _now(),
+        }
+        self._append("collection", [row])
+        self._append(
+            "collection_artifacts",
+            [
+                {"collection_id": row["id"], "artifact_id": a, "position": i}
+                for i, a in enumerate(artifact_ids)
+            ],
+        )
+        if family is not None:
+            self._reconcile_is_latest("collection")
+        return row
+
+    def collection_members(self, collection_id: int) -> list[dict[str, Any]]:
+        """Member artifact rows in collection order."""
+        bridge = self.read_raw("collection_artifacts").filter(
+            F.col("collection_id") == collection_id
+        )
+        arts = self.read_raw("artifact")
+        rows = (
+            bridge.join(arts, bridge.artifact_id == arts.id)
+            .orderBy("position")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def open_collection(self, key_or_uid: str, is_run_input: bool = True) -> DataFrame:
+        """S3 multi-file union scan (reference ``Collection.open`` /
+        ``ArtifactSet.open``, ``artifact_set.py:64-82``): one lazy scan
+        over every member payload — Spark's multi-path ``read.parquet``
+        is the implicit UNION ALL, with pushdown/pruning per file."""
+        cols = self.read("collection").filter(F.col("is_latest"))
+        hit = (
+            cols.filter((F.col("uid") == key_or_uid) | (F.col("key") == key_or_uid))
+            .orderBy(F.desc("created_at"))
+            .first()
+        )
+        if hit is None:
+            raise KeyError(f"no collection with uid/key {key_or_uid!r}")
+        members = self.collection_members(hit["id"])
+        paths = [self.artifact_path(m) for m in members]
+        if is_run_input and self.current_run_id is not None:
+            self._append(
+                "run_input_artifacts",
+                [{"run_id": self.current_run_id, "artifact_id": m["id"]} for m in members],
+            )
+        return self.spark.read.parquet(*paths)
+
+    def append_to_collection(self, key: str, artifact_id: int) -> dict[str, Any]:
+        """Reference ``Collection.append`` (``collection.py:398``): a NEW
+        version whose members = old members + the artifact."""
+        cols = self.read("collection").filter(F.col("is_latest"))
+        hit = cols.filter(F.col("key") == key).orderBy(F.desc("created_at")).first()
+        if hit is None:
+            raise KeyError(f"no collection with key {key!r}")
+        members = [m["id"] for m in self.collection_members(hit["id"])]
+        return self.create_collection(key, members + [artifact_id], hit["description"])
+
     # ---------------------------------------------------------- versioning
 
     def _reconcile_is_latest(self, name: str) -> None:

@@ -95,3 +95,29 @@ def test_register_sql_views_branch_semantics(lakehouse):
         for r in lakehouse.spark.sql("SELECT name FROM v_ulabel").collect()
     }
     assert "visible" in names and "trashed" not in names
+
+
+def test_collections_lifecycle(lakehouse, spark, tmp_path):
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "x")
+    a1 = lakehouse.save_dataframe(df1, "shards/a.parquet")
+    a2 = lakehouse.save_dataframe(df2, "shards/b.parquet")
+    col = lakehouse.create_collection("all-shards", [a1["id"], a2["id"]])
+    # union scan sees every member row
+    assert lakehouse.open_collection("all-shards").count() == 8
+    # identical member set dedups to the same collection (hash)
+    again = lakehouse.create_collection("other-key", [a1["id"], a2["id"]])
+    assert again["id"] == col["id"]
+    # append → new version, same family, old head demoted
+    df3 = spark.range(100, 102).withColumnRenamed("id", "x")
+    a3 = lakehouse.save_dataframe(df3, "shards/c.parquet")
+    v2 = lakehouse.append_to_collection("all-shards", a3["id"])
+    assert v2["uid"][:16] == col["uid"][:16] and v2["uid"] != col["uid"]
+    assert lakehouse.open_collection("all-shards").count() == 10
+    from pyspark.sql import functions as F
+    heads = (
+        lakehouse.read("collection")
+        .filter((F.col("key") == "all-shards") & F.col("is_latest"))
+        .collect()
+    )
+    assert len(heads) == 1 and heads[0]["id"] == v2["id"]
