@@ -77,3 +77,29 @@ def fanout_safe_annotate(
     ``annotations`` to one row per key (e.g. via pivot/collect_list).
     """
     return base.join(annotations, key, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key into
+    ``n_salts`` sub-keys and replicate the right side once per salt, so
+    a hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    Complements AQE's skew-join splitting (which handles skewed
+    *partitions* after the fact): explicit salting is the tool when one
+    *key* dominates — e.g. a null-ish default FK or a mega-user — and
+    works for aggregations-after-join too. The right side must be the
+    smaller side (it is replicated ×n_salts).
+    """
+    salted_l = left.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    salted_r = right.withColumn("__salt", salts)
+    out = salted_l.join(salted_r, [key, "__salt"], how)
+    return out.drop("__salt")
