@@ -446,6 +446,15 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_corpus_curation(spark, sf):
+    """Flagship composed pipeline: every per-doc signal + exact-dup
+    grouping + keep/drop verdict in one plan (see pipeline.corpus)."""
+    from lamindb_spark.pipeline.corpus import curate_corpus
+
+    d = load_table(spark, sf, "documents")
+    return curate_corpus(d, "text", "doc_id", min_quality=0.5, min_tokens=5, keep_langs=("en",))
+
+
 def _q_quantiles(spark, sf):
     """Beyond-reference exact quantiles: interpolated percentiles of
     account balance per market segment."""
@@ -749,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
         "quantiles": _q_quantiles,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -1264,6 +1274,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
             FROM t GROUP BY user_id, session_id
+        """,
+        "corpus_curation": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ltoks,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(toks) AS BIGINT) END AS n_tokens,
+                       round((
+                         least(length(text) / 200.0, 1.0)
+                         + (1.0 - least(n_punct / greatest(length(text), 1) * 5.0, 1.0))
+                         + (CASE WHEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                                  / greatest(len(toks), 1) BETWEEN 3 AND 10
+                            THEN 1.0 ELSE 0.5 END)
+                       ) / 3.0, 6) AS quality,
+                       (CASE WHEN list_contains(ltoks,'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'a') THEN 1 ELSE 0 END) AS hits_en,
+                       (CASE WHEN list_contains(ltoks,'el') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'la') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'de') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'que') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'los') THEN 1 ELSE 0 END) AS hits_es,
+                       (CASE WHEN list_contains(ltoks,'le') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'la') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'les') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'des') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'est') THEN 1 ELSE 0 END) AS hits_fr,
+                       (CASE WHEN list_contains(ltoks,'der') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'die') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'das') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'und') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(ltoks,'ist') THEN 1 ELSE 0 END) AS hits_de,
+                       content_hash
+                FROM t
+            ), lang AS (
+                SELECT *,
+                       CASE WHEN greatest(hits_en,hits_es,hits_fr,hits_de) = 0 THEN 'und'
+                            WHEN hits_en = greatest(hits_en,hits_es,hits_fr,hits_de) THEN 'en'
+                            WHEN hits_es = greatest(hits_es,hits_fr,hits_de) THEN 'es'
+                            WHEN hits_fr = greatest(hits_fr,hits_de) THEN 'fr'
+                            ELSE 'de' END AS pred_lang
+                FROM sig
+            ), grouped AS (
+                SELECT doc_id, n_tokens, quality, pred_lang, content_hash,
+                       count(*) OVER (PARTITION BY content_hash) AS n_copies,
+                       min(doc_id) OVER (PARTITION BY content_hash) = doc_id AS is_keeper
+                FROM lang
+            )
+            SELECT doc_id, n_tokens, quality, pred_lang, content_hash,
+                   CAST(n_copies AS BIGINT) AS n_copies, is_keeper,
+                   (quality >= 0.5 AND n_tokens >= 5 AND pred_lang IN ('en') AND is_keeper) AS keep
+            FROM grouped
         """,
         "quantiles": """
             SELECT c_mktsegment,
