@@ -335,7 +335,13 @@ def _q_minhash_pairs(spark, sf):
     xxhash64 signatures are Spark-specific; rows-only check)."""
     d = load_table(spark, sf, "documents")
     sigs = minhash_signatures(d, "text", "doc_id", k_shingle=2, n_hashes=32).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=16, rows_per_band=2)
+    # banding tuned to the 0.5 output threshold: (1/b)^(1/r) =
+    # (1/10)^(1/3) ≈ 0.46 — the S-curve midpoint sits at the threshold,
+    # so high-sim pairs are near-certain candidates while random pairs
+    # (~0.05 jaccard here) almost never are. The previous 16×2 banding
+    # admitted ~37 candidates/doc (quadratic poison at corpus scale);
+    # this admits <1.
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_bands=10, rows_per_band=3)
     return signature_jaccard(pairs, sigs, "doc_id").filter(F.col("est_jaccard") >= 0.5)
 
 
