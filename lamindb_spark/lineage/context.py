@@ -135,3 +135,45 @@ def artifact_descendants(lh: Lakehouse, artifact_id: int, max_hops: int = 20) ->
     seeds = lh.spark.range(1).select(F.lit(artifact_id).alias("id"))
     return closure(edges, seeds, src="parent_id", dst="child_id", id_col="id",
                    max_hops=max_hops, include_depth=True)
+
+
+def tracked(lakehouse: Lakehouse, key: str | None = None, kind: str = "function"):
+    """Decorator form of track/finish (reference ``@ln.tracked`` /
+    ``@ln.flow``, ``core/_functions.py:137-230``; L4/L5): opens a run
+    around the call with the function's source hash as the transform
+    identity and the call's keyword arguments captured as run params
+    (JSON-serializable values only — the reference applies the same
+    dtype sniffing); closes with status 0, or −1 if the call raises.
+    """
+    import functools
+    import inspect
+
+    def deco(fn):
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = fn.__qualname__
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            params = {}
+            for k, v in kwargs.items():
+                try:
+                    json.dumps(v)
+                    params[k] = v
+                except (TypeError, ValueError):
+                    params[k] = repr(v)
+            ctx = Context(lakehouse).track(
+                key or fn.__qualname__, source_code=src, kind=kind, params=params
+            )
+            try:
+                out = fn(*args, **kwargs)
+            except BaseException:
+                ctx.finish(status_code=-1)
+                raise
+            ctx.finish(status_code=0)
+            return out
+
+        return wrapper
+
+    return deco

@@ -50,3 +50,37 @@ def test_run_input_tracking_and_ancestors(lakehouse, spark):
     anc = {r["id"]: r["depth"] for r in artifact_ancestors(lakehouse, out2["id"]).collect()}
     assert anc.get(out1["id"]) == 1
     assert anc.get(raw["id"]) == 2  # three-hop chain resolved by closure
+
+
+def test_tracked_decorator_records_run_and_params(lakehouse):
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.lineage.context import tracked
+
+    @tracked(lakehouse, key="pipeline/step1")
+    def step(x, threshold=0.5):
+        return x * 2
+
+    assert step(3, threshold=0.9) == 6
+    run = lakehouse.read("run").orderBy(F.desc("id")).first()
+    assert run["status_code"] == 0 and run["finished_at"] is not None
+    import json as _json
+
+    assert _json.loads(run["params"]) == {"threshold": 0.9}
+    tf = (
+        lakehouse.read("transform")
+        .filter(F.col("id") == run["transform_id"])
+        .first()
+    )
+    assert tf["key"] == "pipeline/step1"
+
+    @tracked(lakehouse, key="pipeline/fails")
+    def boom():
+        raise ValueError("x")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        boom()
+    run2 = lakehouse.read("run").orderBy(F.desc("id")).first()
+    assert run2["status_code"] == -1
