@@ -358,6 +358,15 @@ def _q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(d, "text", "doc_id", k_shingle=3, threshold=0.5, max_doc_freq=100)
 
 
+def _q_minhash_portable(spark, sf):
+    """Pipeline: MinHash with cross-engine polynomial hashes — the
+    value-checkable twin of minhash_pairs (exploded (doc, idx, sig))."""
+    from lamindb_spark.pipeline.dedup import minhash_signatures_portable
+
+    d = load_table(spark, sf, "documents")
+    return minhash_signatures_portable(d, "text", "doc_id", n_hashes=8)
+
+
 def _q_quality_score(spark, sf):
     """Pipeline text analysis: composite quality heuristic (length,
     punctuation density, mean word length) — all JVM-side expressions."""
@@ -765,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "quantiles": _q_quantiles,
         "corpus_curation": _q_corpus_curation,
+        "minhash_portable": _q_minhash_portable,
     }
 
 
@@ -1340,6 +1350,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_copies AS BIGINT) AS n_copies, is_keeper,
                    (quality >= 0.5 AND n_tokens >= 5 AND pred_lang IN ('en') AND is_keeper) AS keep
             FROM grouped
+        """,
+        "minhash_portable": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks, tk ->
+                         list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                                        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 1000000007)) AS th
+                FROM t
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(th) < 2
+                            THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                                              (a, b) -> (a * 37 + b) % 1000000007)]
+                            ELSE list_transform(range(1, len(th)),
+                                                i -> (th[i] * 37 + th[i+1]) % 1000000007)
+                       END AS sh
+                FROM h
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS hash_idx,
+                   list_min(list_transform(sh, x -> ((2*i+1)*x + 12345*i + 7) % 1000000007)) AS sig
+            FROM s, generate_series(0, 7) g(i)
         """,
         "quantiles": """
             SELECT c_mktsegment,

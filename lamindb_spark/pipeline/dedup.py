@@ -289,6 +289,43 @@ def winnow_fingerprint(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+) -> DataFrame:
+    """MinHash over 2-shingles with CROSS-ENGINE hashes: polynomial
+    token hashes (see ``_token_polyhash``) combined Horner-style into
+    shingle hashes, re-permuted by affine maps ``(2i+1)·x + 12345·i + 7
+    mod p``. Slower than the xxhash64 production path
+    (:func:`minhash_signatures`) but every value is reproducible in
+    ANSI SQL — used by the correctness harness to value-check the
+    MinHash pipeline itself, not just its row counts.
+
+    Output: (id, hash_idx, sig) exploded long-form.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    th = F.transform(toks, _token_polyhash)
+    n = F.size(th)
+    combine = lambda a, b: (a * 37 + b) % _FP_PRIME
+    sh = F.when(
+        n < 2,
+        F.array(F.aggregate(th, F.lit(0).cast("long"), combine)),
+    ).otherwise(F.zip_with(F.slice(th, 1, n - 1), F.slice(th, 2, n - 1), combine))
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda x: ((2 * i + 1) * x + 12345 * i + 7) % _FP_PRIME)
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return _spread(df).select(
+        F.col(id_col), F.posexplode(sigs).alias("hash_idx", "sig")
+    ).select(F.col(id_col), F.col("hash_idx").cast("long").alias("hash_idx"), "sig")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
