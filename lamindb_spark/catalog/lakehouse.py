@@ -399,6 +399,45 @@ class Lakehouse:
             )
         return read_payload(self.spark, path, suffix if suffix.startswith(".") else ".parquet")
 
+    def describe_artifact(self, uid_or_key: str) -> str:
+        """Related-data describe as one JSON document (reference
+        ``get_artifact_or_run_with_related`` + JSONObject/ArrayAgg,
+        ``_django.py:81``; X10): the artifact row plus its storage,
+        producing run/transform, and annotation values, assembled with
+        ``to_json(struct(...))`` + ``collect_list`` in a single plan."""
+        arts = self.read("artifact")
+        hit = arts.filter(
+            (F.col("uid") == uid_or_key) | (F.col("key") == uid_or_key)
+        ).orderBy(F.desc("created_at")).first()
+        if hit is None:
+            raise KeyError(f"no artifact with uid/key {uid_or_key!r}")
+        storage = self.read_raw("storage").filter(F.col("id") == hit["storage_id"]).first()
+        run = tf = None
+        if hit["run_id"] is not None:
+            run = self.read_raw("run").filter(F.col("id") == hit["run_id"]).first()
+            if run is not None:
+                tf = self.read_raw("transform").filter(
+                    F.col("id") == run["transform_id"]
+                ).first()
+        ann = (
+            self.read_raw("annotation")
+            .filter((F.col("entity_kind") == "artifact") & (F.col("entity_id") == hit["id"]))
+            .select("feature_name", "value_json")
+            .collect()
+            if self._exists("annotation")
+            else []
+        )
+        import json as _json
+
+        doc = {
+            "artifact": {k: str(v) for k, v in hit.asDict().items() if v is not None},
+            "storage": storage["root"] if storage else None,
+            "run": {"uid": run["uid"], "started_at": str(run["started_at"])} if run else None,
+            "transform": {"uid": tf["uid"], "key": tf["key"]} if tf else None,
+            "features": {r["feature_name"]: _json.loads(r["value_json"]) for r in ann},
+        }
+        return _json.dumps(doc, sort_keys=True)
+
     # ---------------------------------------------------------- collections
 
     def create_collection(

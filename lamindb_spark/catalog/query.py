@@ -270,6 +270,23 @@ class QuerySet:
             base = base.join(wide, base["id"] == wide["entity_id"], "left").drop("entity_id")
         return base.toPandas()
 
+    def lookup(self, field: str = "name") -> "Lookup":
+        """Auto-complete namespace of rows keyed by a field (reference
+        ``Registry.lookup``/``BasicQuerySet.lookup``): attribute access
+        returns the row. Field values are slugified to identifiers the
+        same way (non-alphanumeric → underscore)."""
+        import re as _re
+
+        rows = self.all()._df.collect()
+        mapping = {}
+        for r in rows:
+            v = r[field]
+            if v is None:
+                continue
+            slug = _re.sub(r"\W|^(?=\d)", "_", str(v)).lower()
+            mapping[slug] = r
+        return Lookup(mapping)
+
     # terminal cardinality ops (reference query_set.py:93-116)
 
     def count(self) -> int:
@@ -338,3 +355,24 @@ class QuerySet:
         syn = "synonyms" if "synonyms" in base.columns else None
         out = search_op(base, query, fields=fields, synonyms_field=syn, limit=limit)
         return self._clone(out)
+
+
+class Lookup:
+    """Dot-accessible namespace returned by :meth:`QuerySet.lookup`."""
+
+    def __init__(self, mapping: dict):
+        self._mapping = dict(mapping)
+
+    def __getattr__(self, name: str):
+        try:
+            return self._mapping[name]
+        except KeyError:
+            raise AttributeError(
+                f"{name!r} not in lookup; known: {sorted(self._mapping)[:20]}"
+            ) from None
+
+    def __dir__(self):
+        return sorted(self._mapping)
+
+    def __len__(self):
+        return len(self._mapping)

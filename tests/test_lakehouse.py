@@ -121,3 +121,42 @@ def test_collections_lifecycle(lakehouse, spark, tmp_path):
         .collect()
     )
     assert len(heads) == 1 and heads[0]["id"] == v2["id"]
+
+
+def test_lookup_namespace(lakehouse):
+    lakehouse.save("ulabel", [{"name": "Benchmark Set"}, {"name": "train-v2"}])
+    from lamindb_spark.catalog.query import QuerySet
+
+    lk = QuerySet(lakehouse, "ulabel").lookup()
+    assert lk.benchmark_set["name"] == "Benchmark Set"
+    assert lk.train_v2["name"] == "train-v2"
+    assert len(lk) >= 2
+
+
+def test_describe_artifact_json(lakehouse, spark):
+    import json
+
+    from lamindb_spark.lineage.context import track
+
+    ctx = track(lakehouse, "pipe/describe", source_code="x=1", params={"p": 1})
+    df = spark.range(3).withColumnRenamed("id", "x")
+    art = lakehouse.save_dataframe(df, "desc/a.parquet")
+    ctx.finish()
+    doc = json.loads(lakehouse.describe_artifact("desc/a.parquet"))
+    assert doc["artifact"]["uid"] == art["uid"]
+    assert doc["transform"]["key"] == "pipe/describe"
+    assert doc["storage"]
+
+
+def test_read_payload_formats(lakehouse, spark, tmp_path):
+    from lamindb_spark.sources.readers import read_payload
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    base = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{base}/t.csv")
+    df.coalesce(1).write.mode("overwrite").json(f"{base}/t.json")
+    df.coalesce(1).write.mode("overwrite").orc(f"{base}/t.orc")
+    for suffix in (".csv", ".json", ".orc"):
+        got = read_payload(spark, f"{base}/t{suffix}", suffix)
+        rows = sorted((int(r["id"]), r["s"]) for r in got.collect())
+        assert rows == [(1, "a"), (2, "b")], suffix
