@@ -438,6 +438,27 @@ class Lakehouse:
         }
         return _json.dumps(doc, sort_keys=True)
 
+    def transfer_from(
+        self, other: "Lakehouse", registry: str, uids: list[str]
+    ) -> list[dict[str, Any]]:
+        """Cross-instance record transfer matched on uid, not id
+        (reference J8 ``_map_databases``, ``query_set.py:217-242``):
+        rows pulled from ``other`` keep their uid (the stable global
+        identity) and are upserted here — an existing local row with
+        the same uid is updated in place, new uids insert with fresh
+        local ids. Idempotent by construction of the uid upsert."""
+        src = other.read(registry).filter(F.col("uid").isin(uids)).collect()
+        missing = set(uids) - {r["uid"] for r in src}
+        if missing:
+            raise KeyError(f"uids not found in source {registry}: {sorted(missing)}")
+        rows = []
+        for r in src:
+            d = r.asDict()
+            d.pop("id", None)           # local identity is assigned here
+            d["branch_id"] = self.current_branch_id
+            rows.append(d)
+        return self.save(registry, rows)
+
     # ---------------------------------------------------------- collections
 
     def create_collection(

@@ -160,3 +160,19 @@ def test_read_payload_formats(lakehouse, spark, tmp_path):
         got = read_payload(spark, f"{base}/t{suffix}", suffix)
         rows = sorted((int(r["id"]), r["s"]) for r in got.collect())
         assert rows == [(1, "a"), (2, "b")], suffix
+
+
+def test_transfer_from_by_uid(lakehouse, spark, tmp_path):
+    from lamindb_spark.catalog.lakehouse import Lakehouse
+
+    other = Lakehouse(spark, str(tmp_path / "other-lake"))
+    src = other.save("ulabel", [{"name": "celltype:T"}, {"name": "celltype:B"}])
+    uids = [r["uid"] for r in src]
+    got = lakehouse.transfer_from(other, "ulabel", uids)
+    assert {r["uid"] for r in got} == set(uids)
+    # idempotent: same uids update, not duplicate
+    n = lakehouse.read("ulabel").count()
+    lakehouse.transfer_from(other, "ulabel", uids)
+    assert lakehouse.read("ulabel").count() == n
+    names = {r["name"] for r in lakehouse.read("ulabel").collect()}
+    assert {"celltype:T", "celltype:B"} <= names
