@@ -237,6 +237,28 @@ def _token_polyhash(tok: Column) -> Column:
     )
 
 
+def _token_hash_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __th array<long>) — per-document token-hash arrays with the
+    per-CHARACTER Horner hash computed once per DISTINCT token (the
+    dictionary-encoding trick: natural-language vocabularies are tiny
+    relative to corpus size), broadcast-joined back to positions and
+    reassembled in order. Avoids a depth-3 nested higher-order
+    expression per row, which defeats codegen and costs ~10× more."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    pos_tok = _spread(df).select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
+    vocab = (
+        pos_tok.select("__tok")
+        .distinct()
+        .withColumn("__h", _token_polyhash(F.col("__tok")))
+    )
+    hashed = pos_tok.join(F.broadcast(vocab), "__tok")
+    return hashed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__h"))), lambda s: s["__h"]
+        ).alias("__th")
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame,
     text_col: str = "text",
@@ -248,29 +270,10 @@ def winnow_fingerprint(
     ``window``-token run into one hash, keep the minimum — a compact,
     shift-tolerant content fingerprint for near-dup grouping.
 
-    Scale shape: the expensive per-character Horner hash runs once per
-    DISTINCT token (natural-language vocabularies are tiny relative to
-    corpus size — the classic dictionary-encoding trick), then a
-    broadcast join maps tokens back to positions and the per-document
-    window fold operates on plain longs. Avoids a depth-3 nested
-    higher-order expression per row, which defeats codegen and costs
-    ~10× more than this explode/join/groupBy pipeline.
-
-    Output (id, fingerprint, n_windows).
+    Output (id, fingerprint, n_windows); token hashing via
+    :func:`_token_hash_arrays` (dictionary trick).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    pos_tok = _spread(df).select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
-    vocab = (
-        pos_tok.select("__tok")
-        .distinct()
-        .withColumn("__h", _token_polyhash(F.col("__tok")))
-    )
-    hashed = pos_tok.join(F.broadcast(vocab), "__tok")
-    th_per_doc = hashed.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__pos", "__h"))), lambda s: s["__h"]
-        ).alias("__th")
-    )
+    th_per_doc = _token_hash_arrays(df, text_col, id_col)
     th = F.col("__th")
     n = F.size(th)
     n_windows = F.greatest(n - (window - 1), F.lit(1))
@@ -303,10 +306,11 @@ def minhash_signatures_portable(
     ANSI SQL — used by the correctness harness to value-check the
     MinHash pipeline itself, not just its row counts.
 
-    Output: (id, hash_idx, sig) exploded long-form.
+    Output: (id, hash_idx, sig) exploded long-form; token hashing via
+    :func:`_token_hash_arrays` (dictionary trick).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    th = F.transform(toks, _token_polyhash)
+    th_per_doc = _token_hash_arrays(df, text_col, id_col)
+    th = F.col("__th")
     n = F.size(th)
     combine = lambda a, b: (a * 37 + b) % _FP_PRIME
     sh = F.when(
@@ -321,7 +325,7 @@ def minhash_signatures_portable(
             for i in range(n_hashes)
         ]
     )
-    return _spread(df).select(
+    return th_per_doc.select(
         F.col(id_col), F.posexplode(sigs).alias("hash_idx", "sig")
     ).select(F.col(id_col), F.col("hash_idx").cast("long").alias("hash_idx"), "sig")
 
