@@ -91,3 +91,58 @@ def test_from_values_get_or_create(lakehouse):
     n_before = lakehouse.read("ulabel").count()
     from_values(lakehouse, "ulabel", ["new1", "new2"])
     assert lakehouse.read("ulabel").count() == n_before
+
+
+def test_dataframe_curator_end_to_end(spark, registry, lakehouse):
+    import json
+
+    from lamindb_spark.curation.curator import (
+        CategoricalSpec,
+        CurationError,
+        DataFrameCurator,
+    )
+
+    df = literal_table(
+        spark,
+        [(1, "T-cell", "0.5"), (2, "NK cell", "0.6"), (3, "B cell", "bad")],
+        ["sample_id", "cell_type", "gc"],
+    )
+    spec = SchemaSpec(
+        features={"sample_id": "bigint", "cell_type": "string", "gc": "double",
+                  "batch": "string"},
+        minimal_set=True,
+        optional=set(),
+    )
+    cur = DataFrameCurator(
+        df, spec,
+        categoricals={"cell_type": CategoricalSpec(registry, "name", "synonyms")},
+        defaults={"batch": "b0"},
+    )
+    rep = cur.validate()
+    assert not rep["is_valid"]
+    assert rep["columns"]["missing"] == ["batch"]
+    assert rep["dtypes"] == {"gc": 1}
+    assert rep["categoricals"] == {"cell_type": ["NK cell"]}  # synonyms validate
+
+    # fix data, standardize (fills batch, maps T-cell -> T cell), then save
+    fixed = literal_table(
+        spark,
+        [(1, "T-cell", 0.5), (2, "monocyte", 0.6)],
+        ["sample_id", "cell_type", "gc"],
+    )
+    cur2 = DataFrameCurator(
+        fixed, spec,
+        categoricals={"cell_type": CategoricalSpec(registry, "name", "synonyms")},
+        defaults={"batch": "b0"},
+    ).standardize()
+    assert cur2.validate()["is_valid"]
+    vals = {r["cell_type"] for r in cur2.df.collect()}
+    assert vals == {"T cell", "monocyte"}
+    art = cur2.save_artifact(lakehouse, "curated/samples.parquet")
+    ann = json.loads(lakehouse.describe_artifact("curated/samples.parquet"))["features"]
+    assert sorted(ann["cell_type"]) == ["T cell", "monocyte"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(CurationError):
+        DataFrameCurator(df, spec).save_artifact(lakehouse, "nope.parquet")
