@@ -531,6 +531,24 @@ def _q_hourly_events(spark, sf):
     )
 
 
+def _q_sliding_events(spark, sf):
+    """§2.14 streaming-equivalent batch: 2h windows sliding by 1h via
+    native F.window (each event lands in exactly 2 epoch-aligned
+    windows) — the same plan Structured Streaming runs incrementally."""
+    e = load_table(spark, sf, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("value"))).alias("sum_cents"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
 def _q_union(spark, sf):
     """U1/U3: union of two filtered sets, deduped."""
     o = load_table(spark, sf, "orders")
@@ -775,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "corpus_curation": _q_corpus_curation,
         "minhash_portable": _q_minhash_portable,
+        "sliding_events": _q_sliding_events,
     }
 
 
@@ -1026,6 +1045,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events
+            GROUP BY 1, 2
+        """,
+        "sliding_events": """
+            SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM (
+                SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start,
+                       event_type, value
+                FROM events, unnest([0, 1]) AS t(k)
+            )
             GROUP BY 1, 2
         """,
         "union_sets": """
