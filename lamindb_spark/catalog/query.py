@@ -69,6 +69,47 @@ _IDENTITY_FIELDS = {"id", "uid", "hash"}
 _FIELD_ALIASES = {"version": "version_tag", "status": "status_code"}
 
 
+class FeaturePredicate:
+    """Comparison on an EAV feature, built by :class:`Feature` operator
+    overloads (reference ``feature.py:76-87, 1388-1429``; F6). Passed
+    positionally to ``QuerySet.filter``/``exclude``."""
+
+    def __init__(self, name: str, op: str, value):
+        self.name = name
+        self.op = op
+        self.value = value
+
+
+class Feature:
+    """Predicate builder: ``QuerySet(...).filter(Feature("gc") > 0.5)``."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __eq__(self, other):  # type: ignore[override]
+        return FeaturePredicate(self.name, "exact", other)
+
+    def __ne__(self, other):  # type: ignore[override]
+        return FeaturePredicate(self.name, "__NE__", other)
+
+    def __gt__(self, other):
+        return FeaturePredicate(self.name, "gt", other)
+
+    def __ge__(self, other):
+        return FeaturePredicate(self.name, "gte", other)
+
+    def __lt__(self, other):
+        return FeaturePredicate(self.name, "lt", other)
+
+    def __le__(self, other):
+        return FeaturePredicate(self.name, "lte", other)
+
+    def is_null(self, value: bool = True):
+        return FeaturePredicate(self.name, "isnull", value)
+
+    __hash__ = None  # predicate builder, not a value
+
+
 class DoesNotExist(LookupError):
     pass
 
@@ -196,7 +237,24 @@ class QuerySet:
         # (reference query_set.py:273-293) and later terminal ops must
         # not re-inject the default predicate.
         branch_filtered = True
-        conds: list[Column] = [q.to_column() for q in qs_args]
+        conds: list[Column] = []
+        feature_preds: list[FeaturePredicate] = []
+        for q in qs_args:
+            if isinstance(q, FeaturePredicate):
+                feature_preds.append(q)
+            else:
+                conds.append(q.to_column())
+        for fp in feature_preds:
+            # __NE__ = anti-join of the equality set (reference
+            # _feature_manager.py:985-989)
+            op = "exact" if fp.op == "__NE__" else fp.op
+            _pred, semi_df, join_key = self._feature_predicate(
+                f"features__{fp.name}", op, fp.value
+            )
+            anti = join_key.startswith("__ANTI__") or fp.op == "__NE__"
+            jk = join_key.removeprefix("__ANTI__")
+            how = "left_anti" if (anti != negate) else "left_semi"
+            df = df.join(semi_df, df[jk] == semi_df["__k"], how)
         for key, value in kwargs.items():
             col_pred, semi_df, join_key = self._compile_predicate(key, value)
             if col_pred is not None:

@@ -113,3 +113,22 @@ def test_to_dataframe_pivot(lake):
     assert "species" in pdf.columns
     by_key = pdf.set_index("key")
     assert by_key.loc["tpch/nation.parquet", "species"] == "human"
+
+
+def test_feature_predicate_objects(lakehouse, spark):
+    from lamindb_spark.catalog.query import Feature, QuerySet
+
+    df = spark.range(1).withColumnRenamed("id", "x")
+    a1 = lakehouse.save_dataframe(df, "fp/a1.parquet")
+    a2 = lakehouse.save_dataframe(df.withColumn("y", df.x + 1), "fp/a2.parquet")
+    lakehouse.annotate("artifact", a1["id"], {"gc_content": 0.3})
+    lakehouse.annotate("artifact", a2["id"], {"gc_content": 0.7})
+    qs = QuerySet(lakehouse, "artifact")
+    assert {r["id"] for r in qs.filter(Feature("gc_content") > 0.5).df().collect()} == {a2["id"]}
+    assert {r["id"] for r in qs.filter(Feature("gc_content") <= 0.5).df().collect()} == {a1["id"]}
+    # != keeps rows whose value differs OR that lack the annotation
+    ne = {r["id"] for r in qs.filter(Feature("gc_content") != 0.3).df().collect()}
+    assert a2["id"] in ne and a1["id"] not in ne
+    # presence filter
+    have = {r["id"] for r in qs.filter(Feature("gc_content").is_null(False)).df().collect()}
+    assert {a1["id"], a2["id"]} <= have
