@@ -21,5 +21,22 @@ Layout
 
 from .session import get_spark  # noqa: F401
 from .operators.filters import Q  # noqa: F401
+from .catalog.lakehouse import Lakehouse  # noqa: F401
+from .catalog.query import Feature, QuerySet  # noqa: F401
+from .curation import (  # noqa: F401
+    from_values,
+    inspect_values,
+    standardize_values,
+    validate_values,
+)
+from .curation.curator import CategoricalSpec, DataFrameCurator  # noqa: F401
+from .lineage.context import finish, track, tracked  # noqa: F401
+
+
+def connect(spark, root: str, branch_id: int = 1) -> Lakehouse:
+    """Open (or initialize) an engine instance at a root directory —
+    the reference's ``ln.connect`` analogue."""
+    return Lakehouse(spark, root, current_branch_id=branch_id)
+
 
 __version__ = "0.1.0"
