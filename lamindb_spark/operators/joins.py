@@ -103,3 +103,20 @@ def salted_join(
     salted_r = right.withColumn("__salt", salts)
     out = salted_l.join(salted_r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def filtered_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    extra_cond,
+) -> DataFrame:
+    """LEFT JOIN with an extra ON-condition (reference
+    ``FilteredRelation(path, condition=Q(...))``, ``query_set.py:679-691``;
+    J5): rows of ``left`` always survive; ``right`` columns attach only
+    where BOTH the key matches AND the extra condition holds — unlike a
+    post-join WHERE, which would drop left rows."""
+    return left.join(
+        right, (left[left_key] == right[right_key]) & extra_cond, "left"
+    )

@@ -118,3 +118,18 @@ def test_creates_cycle(spark):
     assert creates_cycle(edges, 5, 5)   # self-edge
     assert not creates_cycle(edges, 4, 1)
     assert not creates_cycle(edges, 1, 4)
+
+
+def test_filtered_left_join_keeps_left_rows(spark):
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.operators.joins import filtered_left_join
+
+    ents = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    ann = spark.createDataFrame(
+        [(1, 1, "x"), (2, -1, "trash")], "eid long, branch long, v string"
+    )
+    out = filtered_left_join(ents, ann, "id", "eid", F.col("branch") == 1)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    # entity 2's only annotation fails the condition → row kept, value null
+    assert got == {1: "x", 2: None, 3: None}
