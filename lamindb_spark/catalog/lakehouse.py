@@ -351,14 +351,26 @@ class Lakehouse:
         description: str | None = None,
         schema_id: int | None = None,
         mode: str = "overwrite",
+        partition_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """S5 DataFrame ingest sink (reference ``Artifact.from_dataframe``,
         ``artifact.py:2245-2348``): write parquet under the storage
-        root, register with otype/n_observations."""
+        root, register with otype/n_observations.
+
+        ``partition_by`` writes a Hive-partitioned layout so later
+        scans with predicates on those columns prune whole directories
+        (Catalyst PartitionFilters) — the payload-side organization the
+        reference never had and the cheapest scan optimization at
+        100 TB. Choose low-cardinality columns (date, category,
+        branch); never high-cardinality ids (small-file explosion).
+        """
         _sid, storage_root = self._resolve_storage_root()
         target = f"{storage_root}/{key}"
         n_obs = df.count()
-        df.write.mode(mode).parquet(target)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
         return self.register_artifact(
             target,
             key=key,

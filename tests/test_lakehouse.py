@@ -176,3 +176,20 @@ def test_transfer_from_by_uid(lakehouse, spark, tmp_path):
     assert lakehouse.read("ulabel").count() == n
     names = {r["name"] for r in lakehouse.read("ulabel").collect()}
     assert {"celltype:T", "celltype:B"} <= names
+
+
+def test_partitioned_payload_prunes(lakehouse, spark):
+    from lamindb_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    lakehouse.save_dataframe(e, "parts/events", partition_by=["event_type"])
+    opened = lakehouse.open_artifact("parts/events", is_run_input=False)
+    q = opened.filter(F.col("event_type") == "error")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must actually appear in PartitionFilters
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf
+    n_exact = e.filter(F.col("event_type") == "error").count()
+    assert q.count() == n_exact
