@@ -12,7 +12,17 @@ Determinism rules used throughout:
   order-insensitive, identical in both engines;
 - every top-k has a unique tiebreak column;
 - timestamps are compared as formatted strings (µs-truncated
-  identically by both readers).
+  identically by both readers; Spark ``yyyy-MM-dd HH:mm:ss.SSSSSS``
+  == DuckDB ``%Y-%m-%d %H:%M:%S.%f``); epoch math uses integer
+  microseconds (``unix_micros`` / ``epoch_us``), never doubles;
+- cross-engine hashes are Horner polynomial over ``ascii()`` char
+  codes mod 1e9+7 — identical as Spark ``F.aggregate`` and DuckDB
+  ``list_reduce(list_prepend(0, ...))`` (xxhash64-based queries are
+  declared rows-only instead);
+- window frames are RANGE on integer keys (tie-safe: peers always
+  enter together in both engines);
+- float outputs (cosine, quality) are rounded (4-6 dp) AFTER
+  identically-ordered arithmetic on both sides.
 """
 
 from __future__ import annotations
