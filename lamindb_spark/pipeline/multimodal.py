@@ -150,3 +150,47 @@ def media_from_binary_files(spark, path_glob: str, kind: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 64) -> DataFrame:
+    """Resize stage for image rows via ``mapInPandas`` — identical
+    batch shape to :func:`extract_features`.
+
+    STUB kernel: no image codec ships in this environment, so the
+    "resize" deterministically truncates/pads the byte stream to
+    ``width*height`` bytes (real implementation: PIL
+    ``Image.open(...).resize((w, h))`` re-encoded — one-function swap,
+    the Spark-side schema/batching/partitioning is what this module
+    pins down).
+    """
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                resized = bytes(content[:target]).ljust(target, b"\0")
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "content": resized,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.filter(F.col("kind") == "image").mapInPandas(_process, RESIZED_SCHEMA)

@@ -57,3 +57,18 @@ def test_label_encoding_and_weights(spark):
     assert m == {"a": 0, "b": 1, "c": 2}  # frequency-desc then lexical
     w = {r["label"]: r["weight"] for r in label_weights(df, "label").collect()}
     assert w["b"] == w["c"] > w["a"]  # inverse frequency
+
+
+def test_resize_images_stub_plumbing(spark):
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, resize_images
+
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04\x05", "image/png", 10, 10, None),
+        (2, "audio", b"\xff", "audio/wav", None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, width=2, height=2).collect()
+    assert len(out) == 1  # audio filtered out before the Python stage
+    r = out[0]
+    assert r["media_id"] == 1 and len(r["content"]) == 4
+    assert (r["width"], r["height"]) == (2, 2)
