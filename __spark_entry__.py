@@ -377,6 +377,15 @@ def _q_minhash_portable(spark, sf):
     return minhash_signatures_portable(d, "text", "doc_id", n_hashes=8)
 
 
+def _q_simhash_portable(spark, sf):
+    """Pipeline: SimHash bit-contribution sums with cross-engine
+    polynomial hashes — the value-checkable twin of simhash."""
+    from lamindb_spark.pipeline.dedup import simhash_bit_sums_portable
+
+    d = load_table(spark, sf, "documents")
+    return simhash_bit_sums_portable(d, "text", "doc_id", n_bits=30)
+
+
 def _q_quality_score(spark, sf):
     """Pipeline text analysis: composite quality heuristic (length,
     punctuation density, mean word length) — all JVM-side expressions."""
@@ -804,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "minhash_portable": _q_minhash_portable,
         "sliding_events": _q_sliding_events,
+        "simhash_portable": _q_simhash_portable,
     }
 
 
@@ -1391,6 +1401,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_copies AS BIGINT) AS n_copies, is_keeper,
                    (quality >= 0.5 AND n_tokens >= 5 AND pred_lang IN ('en') AND is_keeper) AS keep
             FROM grouped
+        """,
+        "simhash_portable": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks, tk ->
+                         list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                                        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 1000000007)) AS th
+                FROM t
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS bit_idx,
+                   CAST(list_sum(list_transform(th, x -> ((x >> i) & 1) * 2 - 1)) AS BIGINT) AS contrib
+            FROM h, generate_series(0, 29) g(i)
         """,
         "minhash_portable": """
             WITH t AS (

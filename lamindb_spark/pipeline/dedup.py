@@ -330,6 +330,41 @@ def minhash_signatures_portable(
     ).select(F.col(id_col), F.col("hash_idx").cast("long").alias("hash_idx"), "sig")
 
 
+def simhash_bit_sums_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 30,
+) -> DataFrame:
+    """SimHash bit-contribution sums with CROSS-ENGINE hashes: for each
+    of the polynomial token hash's ``n_bits`` low bits, the ±1 sum over
+    DISTINCT tokens (the quantity whose sign is the SimHash bit). The
+    polynomial hash spans <2^30, so 30 bits is the honest width; the
+    production :func:`simhash_signatures` (xxhash64, 64 bits) stays the
+    scale path — this twin exists so the correctness harness can
+    value-check the SimHash computation against ANSI SQL, not just row
+    counts.
+
+    Output: (id, bit_idx, contrib) exploded long-form.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    base = _spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), _token_polyhash(F.col("__t")).alias("__h")
+    )
+    sums = base.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    arr = F.array(*[F.col(f"b{i}") for i in range(n_bits)])
+    return sums.select(F.col(id_col), F.posexplode(arr).alias("bit_idx", "contrib")).select(
+        F.col(id_col), F.col("bit_idx").cast("long").alias("bit_idx"), "contrib"
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
