@@ -116,6 +116,20 @@ class Lakehouse:
             F.col("branch_id").isin([self.current_branch_id, MAIN_BRANCH_ID])
         )
 
+    def persist_registries(self, names: list[str] | None = None) -> list[str]:
+        """Pin hot registries in executor memory (S8 analogue — the
+        reference's local cache dir exists because its engines re-read
+        cloud files; Spark reads remote storage directly, so the cache
+        equivalent is ``persist()`` on the branch-filtered scans that
+        every query touches). Evictable MEMORY_AND_DISK; call again
+        after writes (the underlying files changed)."""
+        done = []
+        for name in names or sorted(REGISTRY_SCHEMAS):
+            if self._exists(name):
+                self.read(name).persist()
+                done.append(name)
+        return done
+
     def register_sql_views(self, prefix: str = "") -> list[str]:
         """Expose every materialized registry as a temp view WITH the
         default branch predicate baked in, so raw ``spark.sql()`` gets

@@ -193,3 +193,10 @@ def test_partitioned_payload_prunes(lakehouse, spark):
     assert "event_type" in pf
     n_exact = e.filter(F.col("event_type") == "error").count()
     assert q.count() == n_exact
+
+
+def test_persist_registries(lakehouse):
+    lakehouse.save("ulabel", [{"name": "hot"}])
+    done = lakehouse.persist_registries(["ulabel", "feature"])
+    assert "ulabel" in done and "feature" not in done  # feature not materialized yet
+    assert lakehouse.read("ulabel").count() == 1
