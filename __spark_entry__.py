@@ -142,12 +142,19 @@ def _q_star_revenue(spark, sf):
         .filter(F.col("r_name") == "ASIA")
         .select("c_custkey", "n_name")
     )
-    fact = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-    joined = fact.join(dim, fact.o_custkey == dim.c_custkey)
+    # Pre-aggregate revenue per order BEFORE the joins: shrinks the fact
+    # side ~4×, the join then reuses the same orderkey partitioning, and
+    # the per-nation countDistinct(order) collapses to a plain count
+    # (one row per order survives the pre-agg) — no expand/2-phase
+    # distinct aggregation.
     rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev"))
+    joined = per_order.join(
+        o.select("o_orderkey", "o_custkey"), per_order.l_orderkey == F.col("o_orderkey")
+    ).join(dim, F.col("o_custkey") == dim.c_custkey)
     return joined.groupBy("n_name").agg(
-        F.sum(rev).alias("revenue_cents"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum("rev").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
