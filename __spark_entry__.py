@@ -742,12 +742,15 @@ def _q_rollup_revenue(spark, sf):
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("c_custkey", "r_name", "n_name")
     )
-    # orders/customer scale with data — no forced broadcast (see
-    # _q_star_revenue scale notes); AQE decides at runtime.
-    fact = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-    joined = fact.join(dim, fact.o_custkey == dim.c_custkey)
+    # Same shape as _q_star_revenue: pre-aggregate per order (4× fewer
+    # join rows, the rollup's grouping-set expansion runs on the small
+    # side); orders/customer joins unhinted — AQE decides at runtime.
     rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
-    return joined.rollup("r_name", "n_name").agg(F.sum(rev).alias("revenue_cents"))
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev"))
+    joined = per_order.join(
+        o.select("o_orderkey", "o_custkey"), per_order.l_orderkey == F.col("o_orderkey")
+    ).join(dim, F.col("o_custkey") == dim.c_custkey)
+    return joined.rollup("r_name", "n_name").agg(F.sum("rev").alias("revenue_cents"))
 
 
 def _q_search_synonyms(spark, sf):
