@@ -394,6 +394,39 @@ class Lakehouse:
             n_observations=n_obs,
         )
 
+    def export_artifact(
+        self,
+        df: DataFrame,
+        key: str,
+        description: str | None = None,
+        mode: str = "overwrite",
+    ) -> dict[str, Any]:
+        """S11 export sink (reference ``Record.to_artifact`` /
+        ``RecordSet.to_artifact`` — CSV sheet export,
+        ``record.py:1206-1258``): write ``df`` in the format implied by
+        the key's suffix (.csv/.tsv/.json/.orc/.parquet) and register
+        it. The suffix dispatch mirrors ``sources.readers.read_payload``
+        so exports round-trip through ``open_artifact``."""
+        _sid, storage_root = self._resolve_storage_root()
+        target = f"{storage_root}/{key}"
+        suffix = "." + key.rsplit(".", 1)[-1] if "." in key else ".parquet"
+        n_obs = df.count()
+        w = df.write.mode(mode)
+        if suffix == ".csv":
+            w.option("header", True).csv(target)
+        elif suffix == ".tsv":
+            w.option("header", True).option("sep", "\t").csv(target)
+        elif suffix in (".json", ".jsonl"):
+            w.json(target)
+        elif suffix == ".orc":
+            w.orc(target)
+        else:
+            w.parquet(target)
+        return self.register_artifact(
+            target, key=key, description=description,
+            otype="DataFrame", n_observations=n_obs,
+        )
+
     def artifact_path(self, artifact: dict[str, Any] | Row) -> str:
         """Resolve storage root + key → payload path (reference F9
         path resolution, ``artifact_set.py:382-441``)."""

@@ -200,3 +200,13 @@ def test_persist_registries(lakehouse):
     done = lakehouse.persist_registries(["ulabel", "feature"])
     assert "ulabel" in done and "feature" not in done  # feature not materialized yet
     assert lakehouse.read("ulabel").count() == 1
+
+
+def test_export_artifact_suffix_round_trip(lakehouse, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    for key in ("exports/t.csv", "exports/t.json", "exports/t.orc"):
+        art = lakehouse.export_artifact(df, key)
+        assert art["n_observations"] == 2 and art["suffix"] == "." + key.rsplit(".", 1)[-1]
+        got = lakehouse.open_artifact(key, is_run_input=False)
+        rows = sorted((int(r["id"]), r["s"]) for r in got.collect())
+        assert rows == [(1, "a"), (2, "b")], key
