@@ -80,3 +80,38 @@ def test_stream_to_artifact_registers_catalog_row(spark, event_dir, lakehouse, t
     opened = lakehouse.open_artifact("streams/events.parquet", is_run_input=False)
     n_src = spark.read.parquet(event_dir).count()
     assert opened.count() == n_src
+
+
+def test_stateful_running_profiles(spark, event_dir):
+    from lamindb_spark.streaming.stateful import running_user_profiles
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("profiles")
+    # update mode emits one row per (user, micro-batch); the LAST row
+    # per user carries the final accumulated state
+    final = {
+        r["user_id"]: r
+        for r in out.collect()  # memory sink appends in batch order
+    }
+    batch = spark.read.parquet(event_dir)
+    exact = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert set(final) == set(exact)
+    for uid, (n, _cents) in exact.items():
+        assert final[uid]["n_events"] == n  # state accumulated across batches
