@@ -518,6 +518,28 @@ class Lakehouse:
             rows.append(d)
         return self.save(registry, rows)
 
+    def load_artifact(self, uid_or_key: str, is_run_input: bool = True):
+        """Eager load to pandas (reference ``Artifact.load()``,
+        ``core/loaders.py:56-77``) — the lazy ``open_artifact`` scan
+        materialized via Arrow. For datasets that fit the driver;
+        everything else should stay on the lazy path."""
+        return self.open_artifact(uid_or_key, is_run_input=is_run_input).toPandas()
+
+    def view(self, n: int = 7) -> dict[str, list[dict[str, Any]]]:
+        """Latest rows of every materialized registry (reference
+        ``ln.view()``): registry name → up to ``n`` newest rows."""
+        out: dict[str, list[dict[str, Any]]] = {}
+        for name in sorted(REGISTRY_SCHEMAS):
+            if not self._exists(name):
+                continue
+            df = self.read(name)
+            if "created_at" not in df.columns:
+                continue
+            rows = df.orderBy(F.desc("created_at"), F.desc("id")).limit(n).collect()
+            if rows:
+                out[name] = [r.asDict() for r in rows]
+        return out
+
     # ---------------------------------------------------------- collections
 
     def create_collection(

@@ -210,3 +210,13 @@ def test_export_artifact_suffix_round_trip(lakehouse, spark):
         got = lakehouse.open_artifact(key, is_run_input=False)
         rows = sorted((int(r["id"]), r["s"]) for r in got.collect())
         assert rows == [(1, "a"), (2, "b")], key
+
+
+def test_load_artifact_and_view(lakehouse, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    lakehouse.save_dataframe(df, "eager/t.parquet")
+    pdf = lakehouse.load_artifact("eager/t.parquet", is_run_input=False)
+    assert sorted(pdf["s"]) == ["a", "b"] and len(pdf) == 2
+    v = lakehouse.view(n=3)
+    assert "artifact" in v and "storage" in v
+    assert v["artifact"][0]["key"] == "eager/t.parquet"  # newest first
