@@ -75,11 +75,25 @@ _FORMATS: dict[str, tuple[str, dict[str, str]]] = {
     ".json": ("json", {}),
     ".jsonl": ("json", {}),
     ".orc": ("orc", {}),
-    ".arrow": ("arrow", {}),
-    ".feather": ("arrow", {}),
-    ".ipc": ("arrow", {}),
+    # Arrow IPC/feather: no native Spark source — bridged via pyarrow
+    # (see _read_arrow_ipc). Fine for driver-sized files; at scale,
+    # convert IPC payloads to parquet on ingest.
+    ".arrow": ("__arrow__", {}),
+    ".feather": ("__arrow__", {}),
+    ".ipc": ("__arrow__", {}),
     ".txt": ("text", {}),
 }
+
+
+def _read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC/feather → DataFrame via a driver-side pyarrow read and
+    Arrow-native createDataFrame. Driver-memory-bounded by design —
+    the reference's IPC support is likewise an eager local read
+    (``core/loaders.py`` suffix table)."""
+    import pyarrow.feather as feather
+
+    table = feather.read_table(path)
+    return spark.createDataFrame(table.to_pandas())
 
 
 def read_payload(spark: SparkSession, path: str, suffix: str | None = None) -> DataFrame:
@@ -97,6 +111,8 @@ def read_payload(spark: SparkSession, path: str, suffix: str | None = None) -> D
     if sfx not in _FORMATS:
         raise ValueError(f"unsupported payload suffix {sfx!r}; known: {sorted(_FORMATS)}")
     fmt, opts = _FORMATS[sfx]
+    if fmt == "__arrow__":
+        return _read_arrow_ipc(spark, path)
     reader = spark.read.format(fmt)
     for k, v in opts.items():
         reader = reader.option(k, v)

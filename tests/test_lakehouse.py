@@ -220,3 +220,16 @@ def test_load_artifact_and_view(lakehouse, spark):
     v = lakehouse.view(n=3)
     assert "artifact" in v and "storage" in v
     assert v["artifact"][0]["key"] == "eager/t.parquet"  # newest first
+
+
+def test_read_payload_arrow_ipc(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from lamindb_spark.sources.readers import read_payload
+
+    t = pa.table({"id": [1, 2], "s": ["a", "b"]})
+    p = str(tmp_path / "t.feather")
+    feather.write_feather(t, p)
+    got = sorted((int(r["id"]), r["s"]) for r in read_payload(spark, p, ".feather").collect())
+    assert got == [(1, "a"), (2, "b")]
