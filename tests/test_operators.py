@@ -133,3 +133,19 @@ def test_filtered_left_join_keeps_left_rows(spark):
     got = {r["id"]: r["v"] for r in out.collect()}
     # entity 2's only annotation fails the condition → row kept, value null
     assert got == {1: "x", 2: None, 3: None}
+
+
+def test_feature_isnull_presence_absence(spark):
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.operators.eav import feature_isnull
+
+    ents = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    ann = spark.createDataFrame(
+        [(1, "species", "human"), (2, "tissue", "lung")],
+        "id long, feature string, value string",
+    )
+    pred = F.col("feature") == "species"
+    absent = {r["id"] for r in feature_isnull(ents, ann, "id", pred, isnull=True).collect()}
+    present = {r["id"] for r in feature_isnull(ents, ann, "id", pred, isnull=False).collect()}
+    assert absent == {2, 3} and present == {1}
