@@ -557,6 +557,31 @@ def _q_hourly_events(spark, sf):
     )
 
 
+def _q_order_gaps(spark, sf):
+    """Window lead/lag surface: per customer, days since the previous
+    order (lag over the order-date ordering)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+def _q_cube_priority(spark, sf):
+    """CUBE grouping sets (complement of rollup_revenue): order counts
+    and value by (priority, status) with all subtotal combinations."""
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
 def _q_sliding_events(spark, sf):
     """§2.14 streaming-equivalent batch: 2h windows sliding by 1h via
     native F.window (each event lands in exactly 2 epoch-aligned
@@ -824,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable": _q_minhash_portable,
         "sliding_events": _q_sliding_events,
         "simhash_portable": _q_simhash_portable,
+        "order_gaps": _q_order_gaps,
+        "cube_priority": _q_cube_priority,
     }
 
 
@@ -1076,6 +1103,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events
             GROUP BY 1, 2
+        """,
+        "order_gaps": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS BIGINT) AS days_since_prev
+            FROM orders
+        """,
+        "cube_priority": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
         """,
         "sliding_events": """
             SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
