@@ -796,6 +796,82 @@ def _q_search_synonyms(spark, sf):
     return out.orderBy(F.desc("rank"), F.asc("id")).select("id", "name", "rank")
 
 
+def _q_label_filter(spark, sf):
+    """J2 M2M bridge filter — the ``filter(ulabels__name=...)`` shape
+    (reference ``query_manager.py:304-349``; link model
+    ``ulabel.py:286``): entities keeping rows that link, through a
+    bridge table, to a label matching a predicate. Compiled BACKWARD as
+    semi-joins (label ids → bridge → entity ids) so the entity set is
+    never fanned out by the 1:N bridge (J6). Modeled on testdata as
+    orders←lineitem(bridge)→part with a brand predicate."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    label_ids = p.filter(F.col("p_brand") == "Brand#23").select(
+        F.col("p_partkey").alias("__k")
+    )
+    entity_ids = (
+        li.join(label_ids, li["l_partkey"] == label_ids["__k"], "left_semi")
+        .select(F.col("l_orderkey").alias("__k"))
+        .distinct()
+    )
+    return (
+        o.join(entity_ids, o["o_orderkey"] == entity_ids["__k"], "left_semi")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+def _q_wide_include(spark, sf):
+    """§2.10 ``to_dataframe(include=...)`` wide export (reference
+    ``query_set.py:1059-1141`` process_cols_from_include + ``:719``
+    cardinality analysis): entity rows + a 2-hop to-one FK chain column
+    (nation→region), a to-many sorted-list column (order priorities),
+    and a pivoted feature (order-status counts) — one row per entity,
+    no fanout: to-many paths aggregate BEFORE the join."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    o = load_table(spark, sf, "orders")
+    fk = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left").select(
+        F.col("n_nationkey").alias("__nk"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+    many = o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities")
+    )
+    feat = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_custkey",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_status_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_status_p"),
+        )
+    )
+    return (
+        c.join(F.broadcast(fk), c["c_nationkey"] == fk["__nk"], "left")
+        .join(many, c["c_custkey"] == many["o_custkey"], "left")
+        .drop("o_custkey")
+        .join(feat, c["c_custkey"] == feat["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "nation_name",
+            "region_name",
+            F.coalesce(F.col("priorities"), F.lit("")).alias("priorities"),
+            F.coalesce(F.col("n_status_f"), F.lit(0)).alias("n_status_f"),
+            F.coalesce(F.col("n_status_o"), F.lit(0)).alias("n_status_o"),
+            F.coalesce(F.col("n_status_p"), F.lit(0)).alias("n_status_p"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_lookups": _q_filter_lookups,
@@ -851,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": _q_simhash_portable,
         "order_gaps": _q_order_gaps,
         "cube_priority": _q_cube_priority,
+        "label_filter": _q_label_filter,
+        "wide_include": _q_wide_include,
     }
 
 
@@ -1227,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
         """,
-        "search_synonyms": """
+        "search_synonyms": r"""
             WITH reg(id, name, synonyms) AS (
                 VALUES (1, 'T cell', 'T-cell|T lymphocyte'),
                        (2, 'B cell', 'B-cell'),

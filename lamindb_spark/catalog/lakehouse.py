@@ -2,9 +2,12 @@
 
 The reference stores registries in SQLite/Postgres via an ORM; here
 every registry is a Parquet table under ``{root}/registries/{name}``,
-read as a DataFrame (broadcast-sized by construction) and rewritten
-atomically on mutation (write to ``.tmp`` dir → rename swap). Payload
-writes go under the storage root like the reference's artifact keys.
+read as a DataFrame. Inserts are O(batch) parquet appends (new part
+file, opportunistic compaction); updates/deletes rewrite via an
+anti-join MERGE shape (write to ``.tmp`` dir → rename swap); ids come
+from a persisted per-registry counter — the existing registry is never
+collected to the driver on the write path. Payload writes go under the
+storage root like the reference's artifact keys.
 
 Write concurrency: plain Parquet has no transactions — single-writer
 discipline per registry with atomic directory swap (documented
@@ -146,10 +149,16 @@ class Lakehouse:
         return created
 
     def _overwrite(self, name: str, df: DataFrame) -> None:
-        """Atomic replace: write tmp dir, swap, drop old."""
+        """Atomic replace: write tmp dir, swap, drop old. Used only by
+        operations that must rewrite rows in place (update/delete/
+        reconcile); inserts go through ``_append`` which never rewrites.
+        No ``coalesce(1)`` — the write keeps the plan's parallelism
+        (Spark's scan-side file packing keeps small tables at one
+        partition anyway; at cluster scale this op maps onto a table
+        format's MERGE commit)."""
         path = self._table_path(name)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         old = f"{path}.old-{uuid.uuid4().hex[:8]}"
         if os.path.isdir(path):
             os.rename(path, old)
@@ -158,21 +167,88 @@ class Lakehouse:
             shutil.rmtree(old, ignore_errors=True)
 
     def _append(self, name: str, rows: list[dict[str, Any]]) -> None:
+        """Insert-only write: a NEW parquet part-file appended to the
+        registry directory — O(batch), never a table rewrite (the
+        reference batches 10k-row DB inserts, ``save.py:129``; the
+        Spark-native equivalent is an append commit). The batch is
+        coalesced to one file; small files are compacted opportunistically."""
         if not rows:
             return
         schema = REGISTRY_SCHEMAS[name]
         full = [{f.name: r.get(f.name) for f in schema.fields} for r in rows]
         new = self.spark.createDataFrame([Row(**r) for r in full], schema)
-        if self._exists(name):
-            self._overwrite(name, self.read_raw(name).unionByName(new))
-        else:
-            self._overwrite(name, new)
+        new.coalesce(1).write.mode("append").parquet(self._table_path(name))
+        self._note_ids(name, full)
+        self._maybe_compact(name)
+
+    def _maybe_compact(self, name: str, max_files: int = 64) -> None:
+        """Rewrite the registry once append-files accumulate — keeps the
+        scan fast without paying a rewrite per insert."""
+        path = self._table_path(name)
+        try:
+            n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        except OSError:
+            return
+        if n > max_files:
+            self._overwrite(name, self.read_raw(name))
+
+    # ------------------------------------------------------------- id alloc
+    # Monotonic per-registry id counters persisted in a sidecar file —
+    # no max(id) full-table scan per save (single-writer discipline, as
+    # documented above; a cluster deployment would use the table
+    # format's commit log or an external sequence).
+
+    def _counters_path(self) -> str:
+        return f"{self.root}/registries/_counters.json"
+
+    def _load_counters(self) -> dict[str, int]:
+        if getattr(self, "_id_counters", None) is None:
+            import json as _json
+
+            try:
+                with open(self._counters_path()) as fh:
+                    self._id_counters = {k: int(v) for k, v in _json.load(fh).items()}
+            except (OSError, ValueError):
+                self._id_counters = {}
+        return self._id_counters
+
+    def _persist_counters(self) -> None:
+        import json as _json
+
+        tmp = self._counters_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(self._id_counters, fh)
+        os.replace(tmp, self._counters_path())
+
+    def _note_ids(self, name: str, rows: list[dict[str, Any]]) -> None:
+        """Advance the counter past explicitly-assigned ids (bootstrap
+        rows, cross-instance transfers)."""
+        ids = [r["id"] for r in rows if r.get("id") is not None]
+        if not ids:
+            return
+        counters = self._load_counters()
+        top = max(ids)
+        if counters.get(name, 0) < top:
+            counters[name] = top
+            self._persist_counters()
+
+    def take_ids(self, name: str, n: int) -> int:
+        """Reserve ``n`` consecutive ids; returns the first. Falls back
+        to one max(id) scan only when adopting a pre-counter lake."""
+        counters = self._load_counters()
+        if name not in counters:
+            base = 0
+            if self._exists(name):
+                row = self.read_raw(name).agg(F.max("id").alias("m")).collect()[0]
+                base = int(row["m"] or 0)
+            counters[name] = base
+        start = counters[name] + 1
+        counters[name] = start + n - 1
+        self._persist_counters()
+        return start
 
     def next_id(self, name: str) -> int:
-        if not self._exists(name):
-            return 1
-        row = self.read_raw(name).agg(F.max("id").alias("m")).collect()[0]
-        return int(row["m"] or 0) + 1
+        return self.take_ids(name, 1)
 
     # ---------------------------------------------------------- bootstrap
 
@@ -208,14 +284,27 @@ class Lakehouse:
     def save(self, name: str, rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
         """Bulk upsert (reference ``ln.save``/``save.py:29-126``): rows
         with a uid matching an existing row update it; others insert
-        with fresh id/uid. Returns the saved rows (with ids)."""
+        with fresh id/uid. Returns the saved rows (with ids).
+
+        Scale shape (anti-join MERGE): the existing registry is NEVER
+        collected to the driver — uid classification is a semi-join of
+        ``existing`` against the batch's uids, collecting at most
+        ``len(rows)`` (id, uid) pairs; inserts are an O(batch) parquet
+        append; only matched updates pay a join-based rewrite."""
         now = _now()
         existing = self.read_raw(name)
-        by_uid = {}
-        if self._exists(name):
-            for r in existing.select("id", "uid").collect():
-                by_uid[r["uid"]] = r["id"]
-        nid = self.next_id(name)
+        batch_uids = sorted({r["uid"] for r in rows if r.get("uid")})
+        by_uid: dict[str, int] = {}
+        if batch_uids and self._exists(name):
+            uid_df = self.spark.createDataFrame(
+                [(u,) for u in batch_uids], "uid: string"
+            )
+            hits = (
+                existing.select("id", "uid")
+                .join(F.broadcast(uid_df), "uid", "left_semi")
+                .collect()  # bounded by the batch, not the registry
+            )
+            by_uid = {r["uid"]: r["id"] for r in hits}
         inserts, updates = [], []
         for row in rows:
             row = dict(row)
@@ -228,10 +317,13 @@ class Lakehouse:
                 updates.append(row)
             else:
                 row.setdefault("uid", generate_uid(UID_LENGTHS.get(name, 12)))
-                if row.get("id") is None:
-                    row["id"] = nid
-                    nid += 1
                 inserts.append(row)
+        fresh = [r for r in inserts if r.get("id") is None]
+        if fresh:
+            nid = self.take_ids(name, len(fresh))
+            for r in fresh:
+                r["id"] = nid
+                nid += 1
         if updates:
             upd_ids = [r["id"] for r in updates]
             kept = existing.filter(~F.col("id").isin(upd_ids))
@@ -328,8 +420,7 @@ class Lakehouse:
             else None
         )
         if family is not None:
-            stem, old_suffix = family["uid"][:16], family["uid"][16:]
-            uid = stem + increment_suffix(old_suffix)
+            uid = self.next_version_uid("artifact", family["uid"][:16])
         else:
             uid = generate_uid(20)
 
@@ -577,7 +668,7 @@ class Lakehouse:
             .first()
         )
         if family is not None:
-            uid = family["uid"][:16] + increment_suffix(family["uid"][16:])
+            uid = self.next_version_uid("collection", family["uid"][:16])
         else:
             uid = generate_uid(20)
         row = {
@@ -650,12 +741,37 @@ class Lakehouse:
 
     # ---------------------------------------------------------- versioning
 
+    def _stem_len(self, name: str) -> int:
+        """Per-registry uid stem length: full uid minus the 4-char
+        version suffix (reference per-registry ``_len_stem_uid`` —
+        transform uids are 16 chars with a 12-char stem)."""
+        return UID_LENGTHS.get(name, 20) - 4
+
+    def next_version_uid(self, name: str, stem: str) -> str:
+        """Next uid in a version family: stem + base62-increment of the
+        MAX existing suffix across the family (reference
+        ``_is_versioned.py:195-232``) — NOT the newest row's suffix, so
+        restore/out-of-order creation cannot collide."""
+        from ..functions.ids import decode_base62
+
+        suffixes = [
+            r["uid"][len(stem):]
+            for r in self.read_raw(name)
+            .filter(F.col("uid").startswith(stem))
+            .select("uid")
+            .collect()
+            if len(r["uid"]) > len(stem)
+        ]
+        if not suffixes:
+            return stem + "0000"
+        return stem + increment_suffix(max(suffixes, key=decode_base62))
+
     def _reconcile_is_latest(self, name: str) -> None:
         """Exactly one head per (stem uid, branch) — reference
         ``reconcile_is_latest_within_branch`` (``_is_versioned.py:338-373``)
         as one window pass."""
         df = self.read_raw(name)
-        stem = F.substring(F.col("uid"), 1, 16)
+        stem = F.substring(F.col("uid"), 1, self._stem_len(name))
         marked = mark_latest(
             df.withColumn("__stem", stem),
             family_cols=["__stem", "branch_id"],
@@ -696,6 +812,49 @@ class Lakehouse:
         )
         if name in VERSIONED_REGISTRIES:
             self._reconcile_is_latest(name)
+
+    # ---------------------------------------------------------- labels (M2M)
+
+    def link_labels(
+        self,
+        artifact_id: int,
+        ulabel_ids: list[int],
+        feature_id: int | None = None,
+    ) -> int:
+        """Attach ulabels to an artifact through the link table
+        (reference ``Artifact.ulabels.add`` / LabelManager;
+        ``ulabel.py:286`` ArtifactULabel). Idempotent on
+        (artifact, ulabel, feature) — the reference's unique
+        constraint. Returns the number of new links."""
+        existing = {
+            (r["ulabel_id"], r["feature_id"])
+            for r in self.read_raw("artifact_ulabels")
+            .filter(F.col("artifact_id") == artifact_id)
+            .select("ulabel_id", "feature_id")
+            .collect()  # bounded: one artifact's links
+        }
+        rows = [
+            {
+                "artifact_id": artifact_id,
+                "ulabel_id": u,
+                "feature_id": feature_id,
+                "run_id": self.current_run_id,
+                "created_at": _now(),
+            }
+            for u in ulabel_ids
+            if (u, feature_id) not in existing
+        ]
+        self._append("artifact_ulabels", rows)
+        return len(rows)
+
+    def labels_for(self, artifact_id: int) -> DataFrame:
+        """ULabel rows linked to an artifact (reference
+        ``artifact.ulabels.all()``)."""
+        br = self.read_raw("artifact_ulabels").filter(
+            F.col("artifact_id") == artifact_id
+        )
+        ul = self.read("ulabel")
+        return ul.join(br, ul["id"] == br["ulabel_id"], "left_semi")
 
     # ---------------------------------------------------------- annotations
 

@@ -35,11 +35,22 @@ from .schemas import MAIN_BRANCH_ID
 
 @dataclass(frozen=True)
 class Rel:
-    """FK edge: ``source.local_key == target.remote_key``."""
+    """Relation edge. FK (to-one): ``source.local_key ==
+    target.remote_key``. M2M (``bridge`` set): ``source.local_key ==
+    bridge.bridge_local`` and ``bridge.bridge_remote ==
+    target.remote_key`` (reference ManyToManyField through-tables,
+    e.g. ``ulabel.py:286`` ArtifactULabel)."""
 
     target: str
     local_key: str
     remote_key: str = "id"
+    bridge: str | None = None
+    bridge_local: str | None = None   # bridge column referencing source
+    bridge_remote: str | None = None  # bridge column referencing target
+
+    @property
+    def to_many(self) -> bool:
+        return self.bridge is not None
 
 
 # relation graph (reference: FK fields on the Django models, SURVEY §2.3)
@@ -48,17 +59,37 @@ RELATIONS: dict[str, dict[str, Rel]] = {
         "run": Rel("run", "run_id"),
         "storage": Rel("storage", "storage_id"),
         "schema": Rel("schema", "schema_id"),
+        # M2M label path — filter(ulabels__name=...) (reference
+        # query_manager.py:304-349)
+        "ulabels": Rel("ulabel", "id", bridge="artifact_ulabels",
+                       bridge_local="artifact_id", bridge_remote="ulabel_id"),
+        "projects": Rel("project", "id", bridge="artifact_projects",
+                        bridge_local="artifact_id", bridge_remote="project_id"),
     },
     "run": {"transform": Rel("transform", "transform_id")},
     "record": {"type": Rel("record", "type_id"), "schema": Rel("schema", "schema_id")},
-    "ulabel": {"type": Rel("ulabel", "type_id")},
+    "ulabel": {
+        "type": Rel("ulabel", "type_id"),
+        "artifacts": Rel("artifact", "id", bridge="artifact_ulabels",
+                         bridge_local="ulabel_id", bridge_remote="artifact_id"),
+    },
     "feature": {"type": Rel("feature", "type_id")},
-    "collection": {},
+    "collection": {
+        "artifacts": Rel("artifact", "id", bridge="collection_artifacts",
+                         bridge_local="collection_id", bridge_remote="artifact_id"),
+    },
+    "project": {
+        "type": Rel("project", "type_id"),
+        "artifacts": Rel("artifact", "id", bridge="artifact_projects",
+                         bridge_local="project_id", bridge_remote="artifact_id"),
+    },
+    "reference": {"type": Rel("reference", "type_id")},
     "transform": {},
     "storage": {},
     "schema": {},
     "branch": {},
     "space": {},
+    "user": {},
 }
 
 # fields whose presence bypasses the default branch filter (reference
@@ -185,18 +216,35 @@ class QuerySet:
             return compile_lookup(f"{path}__{op}", value), None, None
         rels, field = rp
         # backward traversal: filter the innermost registry, then walk
-        # the FK chain back up as semi-joins — never a fanout join.
+        # the relation chain back up as semi-joins — never a fanout
+        # join. M2M hops route the id-set through the bridge table.
         last = rels[-1][1]
         target_df = self.lh.read_raw(last.target)
         pred = compile_lookup(f"{field}__{op}", value)
         ids = target_df.filter(pred).select(F.col(last.remote_key).alias("__k"))
+        ids = self._back_through_bridge(last, ids)
         for i in range(len(rels) - 2, -1, -1):
             rel = rels[i][1]          # edge whose target holds the FK
             inner = rels[i + 1][1]    # edge we just resolved ids for
             t = self.lh.read_raw(rel.target)
             t = t.join(ids, t[inner.local_key] == ids["__k"], "left_semi")
             ids = t.select(F.col(rel.remote_key).alias("__k"))
+            ids = self._back_through_bridge(rel, ids)
         return None, ids, rels[0][1].local_key
+
+    def _back_through_bridge(self, rel: Rel, ids: DataFrame) -> DataFrame:
+        """For an M2M edge, convert target-id set → source-side id set
+        via the bridge (distinct — the bridge may link one source to
+        many matching targets; the semi-join consumer must stay
+        fanout-free, reference J6)."""
+        if rel.bridge is None:
+            return ids
+        br = self.lh.read_raw(rel.bridge)
+        return (
+            br.join(ids, br[rel.bridge_remote] == ids["__k"], "left_semi")
+            .select(F.col(rel.bridge_local).alias("__k"))
+            .distinct()
+        )
 
     def _feature_predicate(self, path: str, op: str, value: Any) -> tuple[None, DataFrame, str]:
         """EAV filter: ``features__<name>[__op]=value`` → entity-id set
@@ -226,9 +274,55 @@ class QuerySet:
         ids = ann.filter(pred).select(F.col("entity_id").alias("__k")).distinct()
         return None, ids, "id"
 
+    def _is_join_lookup(self, key: str) -> bool:
+        """True if the lookup resolves through a join (relation path or
+        EAV feature) rather than a plain column predicate."""
+        path, _op = split_lookup(key)
+        path = _FIELD_ALIASES.get(path, path)
+        if path == "features" or path.startswith("features__"):
+            return True
+        return self._relation_path(path) is not None
+
+    def _apply_positive(self, df: DataFrame, qs_args: tuple, kwargs: dict) -> DataFrame:
+        """Conjunction of all conditions: plain columns as one filter,
+        relation/feature paths as semi-joins (never fanout joins)."""
+        conds: list[Column] = []
+        for q in qs_args:
+            if isinstance(q, FeaturePredicate):
+                # __NE__ = anti-join of the equality set (reference
+                # _feature_manager.py:985-989)
+                op = "exact" if q.op == "__NE__" else q.op
+                _pred, semi_df, join_key = self._feature_predicate(
+                    f"features__{q.name}", op, q.value
+                )
+                anti = join_key.startswith("__ANTI__") or q.op == "__NE__"
+                jk = join_key.removeprefix("__ANTI__")
+                df = df.join(
+                    semi_df, df[jk] == semi_df["__k"],
+                    "left_anti" if anti else "left_semi",
+                )
+            else:
+                conds.append(q.to_column())
+        for key, value in kwargs.items():
+            col_pred, semi_df, join_key = self._compile_predicate(key, value)
+            if col_pred is not None:
+                conds.append(col_pred)
+            else:
+                anti = join_key.startswith("__ANTI__")
+                jk = join_key.removeprefix("__ANTI__")
+                df = df.join(
+                    semi_df, df[jk] == semi_df["__k"],
+                    "left_anti" if anti else "left_semi",
+                )
+        if conds:
+            combined = conds[0]
+            for c in conds[1:]:
+                combined = combined & c
+            df = df.filter(combined)
+        return df
+
     def _apply(self, qs_args: tuple, kwargs: dict, negate: bool = False) -> "QuerySet":
         df = self._df
-        branch_filtered = self._branch_filtered
         keys = list(kwargs)
         if self._needs_branch_filter(keys):
             df = df.filter(self._branch_predicate())
@@ -237,40 +331,29 @@ class QuerySet:
         # (reference query_set.py:273-293) and later terminal ops must
         # not re-inject the default predicate.
         branch_filtered = True
-        conds: list[Column] = []
-        feature_preds: list[FeaturePredicate] = []
-        for q in qs_args:
-            if isinstance(q, FeaturePredicate):
-                feature_preds.append(q)
-            else:
-                conds.append(q.to_column())
-        for fp in feature_preds:
-            # __NE__ = anti-join of the equality set (reference
-            # _feature_manager.py:985-989)
-            op = "exact" if fp.op == "__NE__" else fp.op
-            _pred, semi_df, join_key = self._feature_predicate(
-                f"features__{fp.name}", op, fp.value
-            )
-            anti = join_key.startswith("__ANTI__") or fp.op == "__NE__"
-            jk = join_key.removeprefix("__ANTI__")
-            how = "left_anti" if (anti != negate) else "left_semi"
-            df = df.join(semi_df, df[jk] == semi_df["__k"], how)
-        for key, value in kwargs.items():
-            col_pred, semi_df, join_key = self._compile_predicate(key, value)
-            if col_pred is not None:
-                conds.append(col_pred)
-            else:
-                anti = join_key.startswith("__ANTI__")
-                jk = join_key.removeprefix("__ANTI__")
-                how = "left_anti" if (anti != negate) else "left_semi"
-                df = df.join(semi_df, df[jk] == semi_df["__k"], how)
-                if negate and not anti:
-                    pass  # handled via how flip above
+        if not negate:
+            return self._clone(self._apply_positive(df, qs_args, kwargs), branch_filtered)
+        # exclude(): Django semantics are NOT(A AND B AND ...) — one
+        # negation of the whole conjunction, not a conjunction of
+        # negations (reference Django QuerySet.exclude()).
+        join_based = any(isinstance(q, FeaturePredicate) for q in qs_args) or any(
+            self._is_join_lookup(k) for k in keys
+        )
+        if join_based and "id" in df.columns:
+            # materialize the id-set matching the conjunction once,
+            # then anti-join — flipping each join independently would
+            # compute NOT(A) AND NOT(B) instead.
+            matching = self._apply_positive(df, qs_args, kwargs)
+            ids = matching.select(F.col("id").alias("__k"))
+            out = df.join(ids, df["id"] == ids["__k"], "left_anti")
+            return self._clone(out, branch_filtered)
+        conds: list[Column] = [q.to_column() for q in qs_args]
+        conds += [self._compile_predicate(k, v)[0] for k, v in kwargs.items()]
         if conds:
             combined = conds[0]
             for c in conds[1:]:
                 combined = combined & c
-            df = df.filter(~combined if negate else combined)
+            df = df.filter(~combined)
         return self._clone(df, branch_filtered)
 
     # ------------------------------------------------------------ public api
@@ -296,10 +379,15 @@ class QuerySet:
         return self._clone(self._df.limit(n))
 
     def values(self, *fields: str) -> "QuerySet":
-        return self._clone(self._df.select(*fields))
+        # branch predicate must land BEFORE the projection: the select
+        # may drop branch_id, after which it could never be applied.
+        base = self.all()
+        return base._clone(base._df.select(*fields))
 
     def values_list(self, field: str, flat: bool = True) -> list:
-        rows = self._df.select(field).collect()
+        """Driver-side projection collect. Bounded by registry size
+        (like the reference's ORM terminal) — not for payload tables."""
+        rows = self.all()._df.select(field).collect()
         return [r[0] for r in rows] if flat else [tuple(r) for r in rows]
 
     def to_list(self, field: str) -> list:
@@ -311,10 +399,62 @@ class QuerySet:
     def df(self) -> DataFrame:
         return self.all()._df
 
-    def to_dataframe(self, features: list[str] | None = None):
-        """Wide pandas export (reference ``to_dataframe``, §2.10):
-        entity rows LEFT-joined with pivoted feature annotations."""
+    def _include_column(self, base: DataFrame, path: str) -> tuple[DataFrame, str]:
+        """One related-path column for ``to_dataframe(include=...)``
+        (reference ``process_cols_from_include`` ``query_set.py:1059``
+        + ``analyze_lookup_cardinality`` ``:719``): a *-to-one FK chain
+        yields a scalar column via chained LEFT joins; any to-many hop
+        (M2M bridge) yields a sorted list column aggregated per entity
+        — entity rows are NEVER fanned out (J6)."""
+        rp = self._relation_path(path)
+        if rp is None:
+            raise ValueError(f"include path {path!r} is not a relation path on {self.registry}")
+        rels, field = rp
+        to_many = any(rel.to_many for _src, rel in rels)
+        cur = base.select(
+            F.col("id").alias("__eid"), F.col(rels[0][1].local_key).alias("__j")
+        )
+        for i, (_src, rel) in enumerate(rels):
+            if rel.bridge is not None:
+                br = self.lh.read_raw(rel.bridge).select(
+                    F.col(rel.bridge_local).alias("__t"),
+                    F.col(rel.bridge_remote).alias("__j2"),
+                )
+                cur = cur.join(br, cur["__j"] == br["__t"], "left").select(
+                    "__eid", F.col("__j2").alias("__j")
+                )
+            nxt = rels[i + 1][1].local_key if i + 1 < len(rels) else field
+            t = self.lh.read_raw(rel.target).select(
+                F.col(rel.remote_key).alias("__t"), F.col(nxt).alias("__j2")
+            )
+            cur = cur.join(t, cur["__j"] == t["__t"], "left").select(
+                "__eid", F.col("__j2").alias("__j")
+            )
+        if to_many:
+            out = cur.filter(F.col("__j").isNotNull()).groupBy("__eid").agg(
+                F.array_sort(F.collect_set("__j")).alias(path)
+            )
+        else:
+            out = cur.select("__eid", F.col("__j").alias(path))
+        return out, path
+
+    def to_dataframe(
+        self,
+        features: list[str] | None = None,
+        include: list[str] | None = None,
+    ):
+        """Wide pandas export (reference ``to_dataframe``, §2.10 +
+        ``include=`` related-field columns ``query_set.py:1059-1141``):
+        entity rows LEFT-joined with pivoted feature annotations and
+        related-path columns (scalar for to-one chains, sorted lists
+        for to-many — no row fanout)."""
         base = self.all()._df
+        for path in include or []:
+            col_df, name = self._include_column(base, path)
+            col_df = col_df.withColumnRenamed("__eid", "__inc_id")
+            base = base.join(
+                col_df, base["id"] == col_df["__inc_id"], "left"
+            ).drop("__inc_id")
         if features:
             ann = self.lh.read_raw("annotation").filter(
                 (F.col("entity_kind") == self.registry)
@@ -332,7 +472,11 @@ class QuerySet:
         """Auto-complete namespace of rows keyed by a field (reference
         ``Registry.lookup``/``BasicQuerySet.lookup``): attribute access
         returns the row. Field values are slugified to identifiers the
-        same way (non-alphanumeric → underscore)."""
+        same way (non-alphanumeric → underscore).
+
+        Collects the registry to the driver — an interactive
+        convenience bounded by registry size (same bound as the
+        reference's ORM lookup); filter first on huge registries."""
         import re as _re
 
         rows = self.all()._df.collect()

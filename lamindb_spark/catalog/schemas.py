@@ -152,6 +152,43 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
         _COMMON + [_f("name", StringType(), False), _f("status_code", LongType())]
     ),
     "space": StructType(_COMMON + [_f("name", StringType(), False)]),
+    # org entities (reference models/project.py:45/251, models/run.py:107)
+    "project": StructType(
+        _COMMON
+        + [
+            _f("name", StringType(), False),
+            _f("type_id", LongType()),
+            _f("is_type", BooleanType()),
+            _f("abbr", StringType()),
+            _f("url", StringType()),
+            _f("start_date", StringType()),   # ISO date
+            _f("end_date", StringType()),
+            _f("description", StringType()),
+        ]
+    ),
+    "reference": StructType(
+        _COMMON
+        + [
+            _f("name", StringType(), False),
+            _f("type_id", LongType()),
+            _f("is_type", BooleanType()),
+            _f("abbr", StringType()),
+            _f("url", StringType()),
+            _f("doi", StringType()),
+            _f("text", StringType()),
+            _f("date", StringType()),          # ISO date
+            _f("description", StringType()),
+        ]
+    ),
+    "user": StructType(
+        [
+            _f("id", LongType(), False),
+            _f("uid", StringType(), False),
+            _f("handle", StringType(), False),
+            _f("name", StringType()),
+            _f("created_at", TimestampType(), False),
+        ]
+    ),
     # bridges
     "run_input_artifacts": StructType(
         [_f("run_id", LongType(), False), _f("artifact_id", LongType(), False)]
@@ -165,6 +202,26 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
     ),
     "record_parents": StructType(
         [_f("record_id", LongType(), False), _f("parent_id", LongType(), False)]
+    ),
+    # artifact↔ulabel link table WITH an optional feature dimension —
+    # the reference's most-used annotation idiom (``ulabel.py:286``
+    # ArtifactULabel: unique on (artifact, ulabel, feature))
+    "artifact_ulabels": StructType(
+        [
+            _f("artifact_id", LongType(), False),
+            _f("ulabel_id", LongType(), False),
+            _f("feature_id", LongType()),
+            _f("run_id", LongType()),
+            _f("created_at", TimestampType()),
+        ]
+    ),
+    "artifact_projects": StructType(
+        [
+            _f("artifact_id", LongType(), False),
+            _f("project_id", LongType(), False),
+            _f("feature_id", LongType()),
+            _f("created_at", TimestampType()),
+        ]
     ),
     "schema_features": StructType(
         [
@@ -203,6 +260,9 @@ UID_LENGTHS: dict[str, int] = {
     "collection": 20,
     "branch": 12,
     "space": 12,
+    "project": 12,
+    "reference": 12,
+    "user": 8,
 }
 
 VERSIONED_REGISTRIES = frozenset({"artifact", "transform", "collection"})

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog.lakehouse import Lakehouse, _now
-from ..functions.ids import generate_uid, increment_suffix
+from ..functions.ids import base62, generate_uid
 from ..operators.graph import closure
 
 
@@ -41,9 +41,13 @@ class Context:
         params: dict[str, Any] | None = None,
     ) -> "Context":
         src_hash = hashlib.md5(source_code.encode()).hexdigest()
+        # reuse is scoped to the key's uid family (reference
+        # core/_context.py:700-760): same key AND same source hash →
+        # same transform; a hash match under a different key is a
+        # different pipeline and must not collapse onto it.
         existing = (
             self.lh.read_raw("transform")
-            .filter(F.col("hash") == src_hash)
+            .filter((F.col("hash") == src_hash) & (F.col("key") == key))
             .orderBy(F.desc("created_at"))
             .first()
         )
@@ -57,9 +61,10 @@ class Context:
                 .first()
             )
             if family is not None:
-                uid = family["uid"][:12] + increment_suffix(family["uid"][12:])
+                # 16-char transform uid = 12-char stem + 4-char version
+                uid = self.lh.next_version_uid("transform", family["uid"][:12])
             else:
-                uid = generate_uid(16, stem=None)
+                uid = base62(12) + "0000"
             row = {
                 "id": self.lh.next_id("transform"),
                 "uid": uid,
@@ -73,6 +78,10 @@ class Context:
             }
             self.lh._append("transform", [row])
             self.transform = row
+            if family is not None:
+                # demote the previous head so QuerySet.get(key=...)
+                # keeps seeing exactly one is_latest row per family
+                self.lh._reconcile_is_latest("transform")
         run_row = {
             "id": self.lh.next_id("run"),
             "uid": generate_uid(20),

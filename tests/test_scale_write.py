@@ -1,0 +1,81 @@
+"""Scale-safety of the catalog write path (VERDICT r01 #1):
+
+- ``save()`` never collects the existing registry to the driver — the
+  uid classification is a semi-join bounded by the batch;
+- inserts append a part file instead of rewriting the table;
+- id allocation uses the persisted counter, not a max(id) scan per save;
+- appended small files compact once past the threshold.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _registry_files(lakehouse, name):
+    path = f"{lakehouse.root}/registries/{name}"
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_save_never_collects_registry(lakehouse, monkeypatch):
+    seeded = lakehouse.save("ulabel", [{"name": f"seed{i}"} for i in range(300)])
+    assert len(seeded) == 300
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is an
+    # abstract base; classic.dataframe.DataFrame overrides collect)
+    cls = type(lakehouse.read_raw("ulabel"))
+    orig = cls.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(cls, "collect", spy)
+    # mixed batch: 5 updates (uids of existing rows) + 5 inserts
+    batch = [{"uid": seeded[i]["uid"], "name": f"upd{i}"} for i in range(5)]
+    batch += [{"name": f"new{i}"} for i in range(5)]
+    out = lakehouse.save("ulabel", batch)
+    assert len(out) == 10
+    assert sizes, "expected the bounded uid-classification collect"
+    assert max(sizes) <= len(batch), (
+        f"save() collected {max(sizes)} rows — registry leaked to driver"
+    )
+    monkeypatch.setattr(cls, "collect", orig)
+    df = lakehouse.read_raw("ulabel")
+    assert df.count() == 305
+    assert df.filter(F.col("name") == "upd0").count() == 1
+    assert df.filter(F.col("name") == "seed0").count() == 0  # updated away
+    # update reused the original id
+    upd = df.filter(F.col("name") == "upd1").first()
+    assert upd["id"] == seeded[1]["id"]
+
+
+def test_insert_appends_not_rewrites(lakehouse):
+    lakehouse.save("ulabel", [{"name": "a"}])
+    n1 = len(_registry_files(lakehouse, "ulabel"))
+    lakehouse.save("ulabel", [{"name": "b"}])
+    n2 = len(_registry_files(lakehouse, "ulabel"))
+    assert n2 == n1 + 1, "insert should append one part file, not rewrite"
+    # ids are consecutive from the counter without a table scan
+    rows = {r["name"]: r["id"] for r in lakehouse.read_raw("ulabel").collect()}
+    assert rows["b"] == rows["a"] + 1
+
+
+def test_counter_survives_reopen(lakehouse, spark):
+    from lamindb_spark.catalog.lakehouse import Lakehouse
+
+    lakehouse.save("ulabel", [{"name": "x"}])
+    top = max(r["id"] for r in lakehouse.read_raw("ulabel").collect())
+    reopened = Lakehouse(spark, lakehouse.root)
+    assert reopened.next_id("ulabel") == top + 1
+
+
+def test_compaction_bounds_file_count(lakehouse):
+    for i in range(70):
+        lakehouse._append("space", [{"id": 100 + i, "uid": f"u{i:04d}xxxxxxxx",
+                                     "branch_id": 1, "name": f"s{i}",
+                                     "created_at": __import__("datetime").datetime.now()}])
+    n = len(_registry_files(lakehouse, "space"))
+    assert n <= 65, f"compaction did not bound file count (got {n})"
+    assert lakehouse.read_raw("space").filter(F.col("id") >= 100).count() == 70
