@@ -1584,4 +1584,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer)
             GROUP BY c_mktsegment
         """,
+        "label_filter": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+                )
+            )
+        """,
+        "wide_include": """
+            WITH many AS (
+                SELECT o_custkey,
+                       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+                FROM orders GROUP BY o_custkey
+            ), feat AS (
+                SELECT o_custkey,
+                       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_f,
+                       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_o,
+                       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_p
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey,
+                   n_name AS nation_name,
+                   r_name AS region_name,
+                   coalesce(priorities, '') AS priorities,
+                   coalesce(n_status_f, 0) AS n_status_f,
+                   coalesce(n_status_o, 0) AS n_status_o,
+                   coalesce(n_status_p, 0) AS n_status_p
+            FROM customer
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+            LEFT JOIN many ON c_custkey = many.o_custkey
+            LEFT JOIN feat ON c_custkey = feat.o_custkey
+        """,
     }
