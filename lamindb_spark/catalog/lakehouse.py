@@ -201,15 +201,26 @@ class Lakehouse:
     def _counters_path(self) -> str:
         return f"{self.root}/registries/_counters.json"
 
-    def _load_counters(self) -> dict[str, int]:
-        if getattr(self, "_id_counters", None) is None:
-            import json as _json
+    def _read_counters_file(self) -> dict[str, int]:
+        import json as _json
 
-            try:
-                with open(self._counters_path()) as fh:
-                    self._id_counters = {k: int(v) for k, v in _json.load(fh).items()}
-            except (OSError, ValueError):
-                self._id_counters = {}
+        try:
+            with open(self._counters_path()) as fh:
+                return {k: int(v) for k, v in _json.load(fh).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _load_counters(self, refresh: bool = False) -> dict[str, int]:
+        if getattr(self, "_id_counters", None) is None:
+            self._id_counters = self._read_counters_file()
+        elif refresh:
+            # merge-max with the sidecar so two live instances on the
+            # same root interleaving sequential saves never re-allocate
+            # ids the other already handed out (concurrent writers are
+            # still out of scope — single-writer discipline above).
+            for k, v in self._read_counters_file().items():
+                if self._id_counters.get(k, 0) < v:
+                    self._id_counters[k] = v
         return self._id_counters
 
     def _persist_counters(self) -> None:
@@ -235,7 +246,7 @@ class Lakehouse:
     def take_ids(self, name: str, n: int) -> int:
         """Reserve ``n`` consecutive ids; returns the first. Falls back
         to one max(id) scan only when adopting a pre-counter lake."""
-        counters = self._load_counters()
+        counters = self._load_counters(refresh=True)
         if name not in counters:
             base = 0
             if self._exists(name):

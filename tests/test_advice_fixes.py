@@ -1,11 +1,20 @@
-"""Regression tests for round-1 advisor findings (ADVICE.md r01):
+"""Regression tests for advisor findings.
 
+Round 1 (ADVICE.md r01):
 1. per-registry uid stem length in is_latest reconciliation + reconcile
    after transform version bumps;
 2. values()/values_list() apply the default branch predicate;
 3. track() scopes transform reuse to (key, hash), not hash alone;
 4. exclude() over join paths is NOT(A AND B), not NOT(A) AND NOT(B);
 5. version bump uses the MAX base62 suffix in the family.
+
+Round 2 (ADVICE.md r02):
+6. exclude() with a join lookup on a projected QuerySet (no id column)
+   raises instead of silently dropping rows;
+7. take_ids re-reads the counters sidecar so two live Lakehouse
+   instances on one root never double-allocate ids;
+8. to_dataframe(include=<to-many path>) yields EMPTY lists, not NULL,
+   for entities with no links.
 """
 
 import pytest
@@ -117,3 +126,41 @@ def test_version_bump_uses_max_suffix(lakehouse, tmp_path):
     all_uids = [r["uid"] for r in lakehouse.read_raw("artifact")
                 .filter(F.col("uid").startswith(stem)).collect()]
     assert len(all_uids) == len(set(all_uids)), "uid collision after restore"
+
+
+def test_exclude_join_lookup_after_projection_raises(lakehouse):
+    """r02 #2: exclude(relation path) on values(...) output has no id to
+    anti-join on — must raise clearly, never emit a None condition."""
+    lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="e/nation.parquet")
+    qs = QuerySet(lakehouse, "artifact").values("key")
+    with pytest.raises(ValueError, match="id"):
+        qs.exclude(run__transform__key="pipe/whatever.py")
+    # plain column exclude on a projection still works
+    assert qs.exclude(key__contains="region").count() == 1
+
+
+def test_take_ids_two_instances_disjoint(lakehouse, spark):
+    """r02 #3: a second live Lakehouse on the same root must see the
+    first instance's allocations (merge-max re-read in take_ids)."""
+    from lamindb_spark.catalog.lakehouse import Lakehouse
+
+    lh2 = Lakehouse(spark, lakehouse.root)
+    ranges = []
+    for lh in (lakehouse, lh2, lakehouse, lh2):
+        start = lh.take_ids("ulabel", 5)
+        ranges.append(set(range(start, start + 5)))
+    allocated = set().union(*ranges)
+    assert len(allocated) == 20, f"overlapping id ranges: {ranges}"
+
+
+def test_include_to_many_empty_list_not_null(lakehouse):
+    """r02 #4: include= to-many columns are always iterable lists."""
+    labels = lakehouse.save("ulabel", [{"name": "tagged"}])
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="i/nation.parquet")
+    a2 = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="i/region.parquet")
+    lakehouse.link_labels(a1["id"], [labels[0]["id"]])
+    pdf = QuerySet(lakehouse, "artifact").to_dataframe(include=["ulabels__name"])
+    by_id = {r["id"]: r for _, r in pdf.iterrows()}
+    assert list(by_id[a1["id"]]["ulabels__name"]) == ["tagged"]
+    unlinked = by_id[a2["id"]]["ulabels__name"]
+    assert unlinked is not None and list(unlinked) == []

@@ -77,6 +77,34 @@ def test_closure_diamond(spark):
     assert got == {2: 1, 3: 1, 1: 2}  # min depth, visited once
 
 
+def test_closure_wide_frontier_broadcast_join(spark):
+    """VERDICT r02 #4: above ISIN_LITERAL_LIMIT a hop must not embed
+    the frontier as literals — it broadcast-joins a frontier DF — and
+    the closure result must be identical either way."""
+    from lamindb_spark.operators import graph as G
+
+    # star-out: 1 → 2..2501 (wide hop), then 2..2501 → 9999 (converge)
+    n = 2_500
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, n + 2)] + [(i, 9_999) for i in range(2, n + 2)],
+        "child_id long, parent_id long",
+    )
+    seeds = literal_table(spark, [(1,)], ["id"])
+    got = {r["id"]: r["depth"] for r in
+           closure(edges, seeds, src="child_id", dst="parent_id",
+                   include_depth=True).collect()}
+    assert got[9_999] == 2 and len(got) == n + 1
+
+    # plan shape: wide frontier → BroadcastHashJoin, zero isin literals;
+    # narrow frontier → pushed isin filter, no join.
+    e = edges.select(F.col("child_id").alias("__s"), F.col("parent_id").alias("__d"))
+    wide_plan = G._hop_scan(e, list(range(2, n + 2)))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in wide_plan
+    assert "2501" not in wide_plan, "frontier ids leaked into the plan as literals"
+    narrow_plan = G._hop_scan(e, [1, 2, 3])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in narrow_plan
+
+
 def test_eav_entity_selection(spark):
     entities = literal_table(spark, [(1,), (2,), (3,)], ["id"])
     ann = literal_table(
