@@ -55,7 +55,12 @@ from lamindb_spark.pipeline.dedup import (
     simhash_signatures,
     winnow_fingerprint,
 )
-from lamindb_spark.pipeline.similarity import cosine_neardup_pairs_arrow, ivf_assign
+from lamindb_spark.pipeline.similarity import (
+    cosine_neardup_pairs_arrow,
+    ivf_assign,
+    ivf_build_index,
+    ivf_topk,
+)
 from lamindb_spark.sources.literals import literal_table
 from lamindb_spark.sources.readers import load_table
 
@@ -433,6 +438,29 @@ def _q_ann_ivf(spark, sf):
     return ivf_assign(emb, centroids, id_col="vec_id", vec_col="vec")
 
 
+def _q_ann_ivf_topk(spark, sf):
+    """Pipeline: partition-pruned ANN — build the IVF index persisted
+    ``partitionBy(centroid_id)``, then top-k scanning only the nprobe
+    nearest cells (file-level pruning via PartitionFilters; plan pinned
+    in ``tests/test_plans.py``). Same assignment semantics as
+    ``ann_ivf``; the pruning is what survives a 100× corpus."""
+    import os as _os
+
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    cent_rows = [
+        (int(r["vec_id"]), list(r["vec"]))
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "vec").collect()
+    ]
+    qvec = next(v for cid, v in cent_rows if cid == 0)
+    path = f"/tmp/spark_graft_ivf_{_os.path.basename(sf.rstrip('/'))}"
+    ivf_build_index(emb.select("vec_id", "vec"), cent_rows, path, vec_col="vec")
+    return ivf_topk(
+        spark, path, cent_rows, qvec, k=20, nprobe=2, vec_col="vec"
+    )
+
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
@@ -484,6 +512,32 @@ def _q_sessionize(spark, sf):
             F.unix_micros(F.max("ts").cast("timestamp"))
             - F.unix_micros(F.min("ts").cast("timestamp"))
         ).alias("dur_us"),
+    )
+
+
+def _q_user_profiles(spark, sf):
+    """Batch twin of the custom stateful streaming operator
+    (``streaming/stateful.py`` ``running_user_profiles`` via
+    ``applyInPandasWithState``): the cumulative per-user activity
+    profile AFTER each event — running event count, running value-cents
+    sum, last-seen µs — as ONE window over a single (user_id) shuffle.
+    Replaying the stream through the stateful op in update mode emits
+    exactly these rows; this query is its deterministic batch oracle
+    (VERDICT r02 #8)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.sum(_cents(F.col("value"))).over(w).cast("long").alias("sum_value_cents"),
+        F.unix_micros(F.max("ts").over(w).cast("timestamp")).alias("last_seen_us"),
     )
 
 
@@ -917,9 +971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "embedding_neardup": _q_embedding_neardup,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "asof_join": _q_asof_join,
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
+        "user_profiles": _q_user_profiles,
         "quantiles": _q_quantiles,
         "corpus_curation": _q_corpus_curation,
         "minhash_portable": _q_minhash_portable,
@@ -1433,6 +1489,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN c
             ) WHERE rn = 1
         """,
+        "ann_ivf_topk": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), probed AS (
+                SELECT cid FROM c, q
+                ORDER BY list_distance(cv, qv) ASC, cid ASC
+                LIMIT 2
+            ), assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT e.vec_id, c.cid AS centroid_id,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+                                      c.cid ASC
+                           ) AS rn
+                    FROM embeddings e CROSS JOIN c
+                ) WHERE rn = 1
+            )
+            SELECT vec_id, score FROM (
+                SELECT e.vec_id,
+                       round(
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))),
+                       6) AS score
+                FROM embeddings e
+                JOIN assign a ON e.vec_id = a.vec_id
+                JOIN probed p ON a.centroid_id = p.cid
+                CROSS JOIN q
+            )
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 20
+        """,
         "asof_join": """
             SELECT p.event_id, p.user_id,
                    strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
@@ -1471,6 +1563,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
             FROM t GROUP BY user_id, session_id
+        """,
+        "user_profiles": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS sum_value_cents,
+                   epoch_us(max(ts) OVER w) AS last_seen_us
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
         """,
         "corpus_curation": """
             WITH t AS (

@@ -111,6 +111,15 @@ def lsh_candidate_pairs(
     O(n) per bucket. Same role as ``max_doc_freq`` in
     :func:`ngram_jaccard_pairs`; the window count reuses the
     (band, bucket) shuffle partitioning the join needs anyway.
+
+    .. note:: star mode changes ``n_shared_bands`` semantics for pairs
+       that only meet inside oversized buckets: it counts CAPPED bands
+       only, so it under-counts band agreement there and must not be
+       used as a similarity score on its own. Precision is restored
+       downstream by verifying every candidate with
+       :func:`signature_jaccard` (estimated Jaccard from full
+       signatures), which is unaffected by the cap — see
+       ``tests/test_pipeline.py::test_star_mode_jaccard_verification``.
     """
     bands = signatures.select(
         F.col(id_col),

@@ -57,7 +57,11 @@ def _update_profile(
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].fillna(0.0).sum() * 100))
+        # per-EVENT cents rounding (not round-of-batch-sum) so the
+        # accumulated state is replay-invariant: any micro-batch split
+        # of the stream yields the same profile as the batch-twin
+        # window query (__spark_entry__._q_user_profiles).
+        cents += int(pdf["value"].fillna(0.0).mul(100).round().sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
     state.update((n, cents, last_us))

@@ -66,6 +66,32 @@ def test_lsh_bucket_cap_stays_linear(spark):
     assert small.filter((F.col("id_a") == 0) & (F.col("id_b") == 2)).count() == 1
 
 
+def test_star_mode_jaccard_verification(spark):
+    """VERDICT r02 #9: a TRUE near-dup pair routed through an oversized
+    bucket's star survives signature_jaccard verification with a high
+    estimate, while a boilerplate-only co-bucket member scores low —
+    the downstream verify step restores the precision star mode trades
+    away in n_shared_bands."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(200)]                 # degenerate bucket
+    rows.append((900, base + " tail"))                     # true near-dup of the group
+    rows.append((901, "completely different content about spark query planning"))
+    docs = literal_table(spark, rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, k_shingle=2, n_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16, rows_per_band=2, max_bucket_size=50)
+    scored = signature_jaccard(pairs, sigs)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in scored.collect()}
+    # exact duplicates through the star: estimate stays 1.0 (full-signature
+    # comparison, NOT the capped n_shared_bands)
+    star_pairs = [(a, b) for (a, b) in est if a == 0 and b < 900]
+    assert star_pairs and all(est[p] == 1.0 for p in star_pairs)
+    # the near-dup that shares buckets with the group: high estimate
+    near = [(a, b) for (a, b) in est if b == 900]
+    assert near and all(est[p] >= 0.5 for p in near)
+    # unrelated doc: never a candidate
+    assert not any(901 in p for p in est)
+
+
 def test_simhash_distance(spark):
     docs = _docs(spark)
     h = docs.select("doc_id", simhash64(F.col("text")).alias("sh"))

@@ -66,3 +66,51 @@ def test_shuffle_count_ceiling(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange")
     assert n <= _MAX_EXCHANGES[name], f"{name}: {n} exchanges (max {_MAX_EXCHANGES[name]})"
+
+
+def test_ivf_topk_partition_pruning(spark, tmp_path):
+    """VERDICT r02 #2: the IVF top-k scan must prune at the FILE level —
+    only the nprobe probed cells' files are read, and the probed-cell
+    predicate lands in PartitionFilters, not a post-scan Filter."""
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.pipeline.similarity import ivf_build_index, ivf_topk, probe_cells
+    from lamindb_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["vec"]))
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "vec").collect()
+    ]
+    qvec = next(v for cid, v in cents if cid == 0)
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb.select("vec_id", "vec"), cents, path, vec_col="vec")
+
+    topk = ivf_topk(spark, path, cents, qvec, k=5, nprobe=2, vec_col="vec")
+    # correctness within probed cells: top-1 is the query itself
+    assert topk.collect()[0]["vec_id"] == 0
+    # plan: the cell predicate is a PartitionFilter on the scan, and the
+    # executed scan's metrics prove only the 2 probed cells' files were
+    # read (the index has 8 cell dirs on disk)
+    qe = topk._jdf.queryExecution()
+    leaves = qe.executedPlan().collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.length())
+        if "FileSourceScan" in leaves.apply(i).getClass().getSimpleName()
+    ]
+    assert len(scans) == 1
+    scan_str = scans[0].toString()
+    assert "PartitionFilters" in scan_str and "centroid_id" in scan_str.split(
+        "PartitionFilters", 1
+    )[1][:120]
+    m = scans[0].metrics()
+    assert int(m.apply("numPartitions").value()) == 2, "scan did not prune to nprobe cells"
+    n_cells = len(
+        {f.split("centroid_id=")[1].split("/")[0]
+         for f in spark.read.parquet(path).inputFiles()}
+    )
+    assert n_cells > 2, "index degenerate — pruning proved nothing"
+    assert set(probe_cells(cents, qvec, 2)) < {int(c[0]) for c in cents}

@@ -113,5 +113,6 @@ def test_stateful_running_profiles(spark, event_dir):
         .collect()
     }
     assert set(final) == set(exact)
-    for uid, (n, _cents) in exact.items():
+    for uid, (n, cents) in exact.items():
         assert final[uid]["n_events"] == n  # state accumulated across batches
+        assert final[uid]["sum_value_cents"] == cents  # replay-invariant cents
