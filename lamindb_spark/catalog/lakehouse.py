@@ -558,6 +558,14 @@ class Lakehouse:
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
             )
+        if suffix in (".h5ad", ".zarr"):
+            # array payload → long-form AnnData tables (S6 ingest
+            # bridge, reference artifact.py:2920-3115 suffix dispatch
+            # to the AnnData accessors)
+            from ..sources.anndata_io import read_anndata_zarr, read_h5ad
+
+            opener = read_h5ad if suffix == ".h5ad" else read_anndata_zarr
+            return opener(self.spark, path)
         return read_payload(self.spark, path, suffix if suffix.startswith(".") else ".parquet")
 
     def describe_artifact(self, uid_or_key: str) -> str:

@@ -47,3 +47,147 @@ def test_normalize_per_obs(spark):
     vals = {(r["obs_id"], r["var_id"]): r["value"] for r in ad.x.collect()}
     assert vals[("c2", "g1")] == 4.0 and vals[("c2", "g2")] == 6.0  # 2/5*10, 3/5*10
     assert vals[("c1", "g1")] == 10.0
+
+
+# ---------------------------------------------------------- zarr/h5ad io
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lamindb_spark.sources.anndata_io import (
+    read_anndata_zarr,
+    read_h5ad,
+    write_anndata_zarr,
+)
+
+
+def _synthetic():
+    rng = np.random.default_rng(7)
+    n_obs, n_var = 9, 5
+    x = rng.random((n_obs, n_var))
+    x[x < 0.5] = 0.0  # sparse-ish
+    obs = pd.DataFrame(
+        {
+            "obs_id": [f"cell{i}" for i in range(n_obs)],
+            "cond": ["a", "b", "a", None, "b", "a", "b", None, "a"],  # → categorical
+            "n_counts": np.arange(n_obs, dtype=np.int64) * 10,
+        }
+    )
+    var = pd.DataFrame(
+        {
+            "var_id": [f"gene{j}" for j in range(n_var)],
+            "highly_variable": np.array([1, 0, 1, 0, 1], dtype=np.int64),
+        }
+    )
+    return obs, var, x
+
+
+@pytest.mark.parametrize("fmt", ["csr", "dense"])
+def test_zarr_round_trip(spark, tmp_path, fmt):
+    """VERDICT r02 #3: .zarr AnnData store → long form, values exact."""
+    obs, var, x = _synthetic()
+    path = str(tmp_path / f"ad_{fmt}.zarr")
+    write_anndata_zarr(path, obs, var, x, x_format=fmt)
+    ad = read_anndata_zarr(spark, path)
+    got_obs = {r["obs_id"]: (r["cond"], r["n_counts"]) for r in ad.obs.collect()}
+    assert got_obs["cell0"] == ("a", 0) and got_obs["cell3"] == (None, 30)
+    assert len(got_obs) == len(obs)
+    got_var = {r["var_id"]: r["highly_variable"] for r in ad.var.collect()}
+    assert got_var == dict(zip(var["var_id"], var["highly_variable"]))
+    entries = {(r["obs_id"], r["var_id"]): r["value"] for r in ad.x.collect()}
+    rows, cols = np.nonzero(x)
+    expect = {
+        (f"cell{i}", f"gene{j}"): x[i, j] for i, j in zip(rows, cols)
+    }
+    assert entries == expect  # exact float64 round-trip, zeros dropped
+
+
+def test_zarr_ingested_ops_compose(spark, tmp_path):
+    """The ingested store supports the full AnnDataLong surface."""
+    obs, var, x = _synthetic()
+    path = str(tmp_path / "ad.zarr")
+    write_anndata_zarr(path, obs, var, x, x_format="csr")
+    ad = read_anndata_zarr(spark, path)
+    pb = ad.pseudobulk("cond")
+    got = {(r["cond"], r["var_id"]): r["sum_value"] for r in pb.collect()}
+    # oracle in numpy
+    for cond in ("a", "b"):
+        mask = (obs["cond"] == cond).to_numpy()
+        for j in range(x.shape[1]):
+            expect = float(x[mask, j].sum())
+            if expect:
+                assert abs(got[(cond, f"gene{j}")] - expect) < 1e-12
+    sub = ad.slice(obs_filter=F.col("cond") == "a")
+    assert sub.obs.count() == 4 and sub.x.count() > 0
+
+
+def test_zarr_blosc_raises_with_guidance(tmp_path, spark):
+    import json
+    import os
+
+    path = str(tmp_path / "b.zarr")
+    obs, var, x = _synthetic()
+    write_anndata_zarr(path, obs, var, x)
+    zpath = os.path.join(path, "X", "data", ".zarray")
+    meta = json.load(open(zpath))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(meta, open(zpath, "w"))
+    with pytest.raises(NotImplementedError, match="numcodecs"):
+        read_anndata_zarr(spark, path)
+
+
+def test_h5ad_round_trip(spark, tmp_path):
+    """Real .h5ad round-trip — runs wherever h5py is installed (this
+    container ships without it; the decode pipeline itself is covered
+    by the zarr tests, which share every line below the adapter)."""
+    h5py = pytest.importorskip("h5py")
+    obs, var, x = _synthetic()
+    path = str(tmp_path / "ad.h5ad")
+    with h5py.File(path, "w") as f:
+        f.attrs["encoding-type"] = "anndata"
+        for name, pdf, idx in (("obs", obs, "obs_id"), ("var", var, "var_id")):
+            g = f.create_group(name)
+            g.attrs["encoding-type"] = "dataframe"
+            g.attrs["_index"] = idx
+            g.attrs["column-order"] = [c for c in pdf.columns if c != idx]
+            for c in pdf.columns:
+                vals = pdf[c].to_numpy()
+                if vals.dtype.kind == "O":
+                    g.create_dataset(
+                        c, data=[("" if v is None else v) for v in vals],
+                        dtype=h5py.string_dtype(),
+                    )
+                else:
+                    g.create_dataset(c, data=vals)
+        f.create_dataset("X", data=x)
+    ad = read_h5ad(spark, path)
+    entries = {(r["obs_id"], r["var_id"]): r["value"] for r in ad.x.collect()}
+    rows, cols = np.nonzero(x)
+    assert entries == {(f"cell{i}", f"gene{j}"): x[i, j] for i, j in zip(rows, cols)}
+
+
+def test_zarr_artifact_register_and_open(spark, tmp_path, lakehouse):
+    """End-to-end: register a .zarr dir artifact (dir hash dedup) and
+    open it back through the catalog as long-form tables."""
+    obs, var, x = _synthetic()
+    path = str(tmp_path / "expr.zarr")
+    write_anndata_zarr(path, obs, var, x)
+    row = lakehouse.register_artifact(path, key="arrays/expr.zarr", otype="AnnData")
+    assert row["suffix"] == ".zarr" and row["n_files"] is not None
+    ad = lakehouse.open_artifact("arrays/expr.zarr", is_run_input=False)
+    from lamindb_spark.sources.anndata_long import AnnDataLong
+
+    assert isinstance(ad, AnnDataLong)
+    assert ad.obs.count() == len(obs) and ad.x.count() == int((x != 0).sum())
+
+
+def test_h5ad_missing_h5py_message(spark, tmp_path):
+    try:
+        import h5py  # noqa: F401
+
+        pytest.skip("h5py installed — gate not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="h5py"):
+        read_h5ad(spark, str(tmp_path / "x.h5ad"))
