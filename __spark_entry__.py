@@ -515,6 +515,83 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_chunk_docs(spark, sf):
+    """Pipeline: context-window packing — overlapping token chunks
+    (size 40, overlap 10) via one JVM-side explode
+    (``pipeline/corpus.py`` ``chunk_documents``); chunk ids derived as
+    ``start // step`` so both engines compute them without ordinality."""
+    from lamindb_spark.pipeline.corpus import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_size=40, overlap=10)
+
+
+def _q_redact_pii(spark, sf):
+    """Pipeline: PII scrubbing (``functions/text.py`` ``redact_pii``) —
+    emails/phones/IPs replaced by typed markers. The corpus text is
+    deterministically salted with synthetic PII derived from doc_id so
+    the pass is exercised on real matches, not a no-op."""
+    from lamindb_spark.functions.text import redact_pii
+
+    d = load_table(spark, sf, "documents")
+    salted = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    return d.select("doc_id", redact_pii(salted).alias("redacted"))
+
+
+def _q_token_freq(spark, sf):
+    """Pipeline: corpus-wide top-50 token frequencies (exact heavy
+    hitters, ``pipeline/corpus.py`` ``token_frequencies``): explode →
+    map-side partial agg → one shuffle → TakeOrdered."""
+    from lamindb_spark.pipeline.corpus import token_frequencies
+
+    d = load_table(spark, sf, "documents")
+    return token_frequencies(d, "text", k=50)
+
+
+def _q_contamination(spark, sf):
+    """Pipeline: benchmark decontamination (``pipeline/dedup.py``
+    ``contamination_overlap``) — per training doc (doc_id >= 20), the
+    distinct 3-shingle overlap with the benchmark set (doc_id < 20);
+    benchmark side collapses to a distinct shingle set before the
+    join."""
+    from lamindb_spark.pipeline.dedup import contamination_overlap
+
+    d = load_table(spark, sf, "documents")
+    return contamination_overlap(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        "text",
+        "doc_id",
+        k_shingle=3,
+    )
+
+
+def _q_dup_groups(spark, sf):
+    """Graph: candidate pairs → duplicate GROUPS via distributed
+    min-label propagation (``operators/graph.py``
+    ``connected_components``) — the step between LSH pair mining and
+    keeper election. Edge set: residue-class stars over part ids
+    (deterministic, 97 components), verified against a recursive-CTE
+    reachability oracle."""
+    from lamindb_spark.operators.graph import connected_components
+
+    p = load_table(spark, sf, "part")
+    edges = p.filter(F.col("p_partkey") >= 97).select(
+        F.col("p_partkey").alias("id_a"),
+        (F.col("p_partkey") % 97).alias("id_b"),
+    )
+    return connected_components(edges)
+
+
 def _q_user_profiles(spark, sf):
     """Batch twin of the custom stateful streaming operator
     (``streaming/stateful.py`` ``running_user_profiles`` via
@@ -976,6 +1053,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
         "user_profiles": _q_user_profiles,
+        "chunk_docs": _q_chunk_docs,
+        "redact_pii": _q_redact_pii,
+        "token_freq": _q_token_freq,
+        "contamination": _q_contamination,
+        "dup_groups": _q_dup_groups,
         "quantiles": _q_quantiles,
         "corpus_curation": _q_corpus_curation,
         "minhash_portable": _q_minhash_portable,
@@ -1563,6 +1645,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
             FROM t GROUP BY user_id, session_id
+        """,
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       unnest(range(0, greatest(len(toks), 1), 30)) AS start
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(start // 30 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+                   CAST(least(40, n - start) AS BIGINT) AS n_chunk_tokens
+            FROM s
+        """,
+        "redact_pii": """
+            WITH salted AS (
+                SELECT doc_id,
+                       substring(text, 1, 40)
+                       || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com tel 555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(s,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'
+                   ) AS redacted
+            FROM salted
+        """,
+        "token_freq": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token != ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "contamination": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(range(1, len(toks)-1),
+                                                i -> array_to_string(list_slice(toks, i, i+2), ' '))
+                       END AS shs
+                FROM t
+            ), e AS (
+                SELECT DISTINCT doc_id, unnest(shs) AS sh FROM s
+            ), bn AS (
+                SELECT DISTINCT sh FROM e WHERE doc_id < 20
+            ), tr AS (
+                SELECT * FROM e WHERE doc_id >= 20
+            ), sizes AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id
+            ), hits AS (
+                SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM tr JOIN bn USING (sh) GROUP BY tr.doc_id
+            )
+            SELECT doc_id, n_shingles,
+                   CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+                   round(coalesce(n_shared, 0) / n_shingles, 6) AS overlap_ratio,
+                   coalesce(n_shared, 0) > 0 AS contaminated
+            FROM sizes LEFT JOIN hits USING (doc_id)
+        """,
+        "dup_groups": """
+            WITH RECURSIVE e AS (
+                SELECT p_partkey AS a, p_partkey % 97 AS b
+                FROM part WHERE p_partkey >= 97
+            ), u AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), n AS (
+                SELECT DISTINCT a AS id FROM u
+            ), reach(id, r) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT u.a, reach.r FROM u JOIN reach ON reach.id = u.b
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id
         """,
         "user_profiles": """
             SELECT user_id, event_id,

@@ -94,6 +94,19 @@ class Lakehouse:
         self._init_core_rows()
 
     # ---------------------------------------------------------- registry io
+    #
+    # Layout: every registry is a parquet dir hash-bucketed on its id —
+    # ``<name>/__bucket=<id % n_buckets>/part-*.parquet``. Inserts
+    # append files into only the touched buckets; UPDATES rewrite only
+    # the touched buckets (copy-on-write per bucket, VERDICT r02 #6)
+    # instead of the whole table. This is the plain-parquet shape of a
+    # table format's partition-scoped MERGE; on a cluster the bucket
+    # column doubles as a co-location key.
+
+    #: id-hash fan-out per registry. 16 keeps small lakes readable;
+    #: the layout supports any value — changing it only requires one
+    #: compaction rewrite (buckets are re-derived from ids).
+    n_buckets: int = 16
 
     def _table_path(self, name: str) -> str:
         return f"{self.root}/registries/{name}"
@@ -101,13 +114,53 @@ class Lakehouse:
     def _exists(self, name: str) -> bool:
         return os.path.isdir(self._table_path(name))
 
+    def _bucket_key(self, name: str) -> tuple[str, bool]:
+        """(column, is_numeric): bucket on id when the registry has one
+        (id-scoped updates then prune to their bucket); link/EAV tables
+        bucket on their first FK / entity column."""
+        schema = REGISTRY_SCHEMAS[name]
+        fields = [f.name for f in schema.fields]
+        key = "id" if "id" in fields else fields[0]
+        kind = dict((f.name, f.dataType.typeName()) for f in schema.fields)[key]
+        return key, kind in ("long", "integer", "short", "byte")
+
+    def _with_bucket(self, df: DataFrame, name: str) -> DataFrame:
+        key, numeric = self._bucket_key(name)
+        col = (
+            F.coalesce(F.col(key).cast("long"), F.lit(0))
+            if numeric
+            else F.xxhash64(F.col(key))
+        )
+        return df.withColumn(
+            "__bucket", F.pmod(col, F.lit(self.n_buckets)).cast("int")
+        )
+
+    def _has_flat_files(self, name: str) -> bool:
+        """Legacy pre-bucketing layout: part files at the table root."""
+        try:
+            return any(
+                f.endswith(".parquet") for f in os.listdir(self._table_path(name))
+            )
+        except OSError:
+            return False
+
+    def _ensure_bucketed(self, name: str) -> None:
+        """One-time migration of a legacy flat registry dir — a single
+        rewrite, after which all writes are bucket-scoped."""
+        if self._exists(name) and self._has_flat_files(name):
+            flat = self.spark.read.schema(REGISTRY_SCHEMAS[name]).parquet(
+                self._table_path(name)
+            )
+            self._overwrite(name, flat)
+
     def read_raw(self, name: str) -> DataFrame:
         """Registry scan WITHOUT default filters (engine internal)."""
         if name not in REGISTRY_SCHEMAS:
             raise KeyError(f"unknown registry {name!r}; known: {sorted(REGISTRY_SCHEMAS)}")
         if not self._exists(name):
             return self.spark.createDataFrame([], REGISTRY_SCHEMAS[name])
-        return self.spark.read.schema(REGISTRY_SCHEMAS[name]).parquet(self._table_path(name))
+        df = self.spark.read.schema(REGISTRY_SCHEMAS[name]).parquet(self._table_path(name))
+        return df.drop("__bucket")
 
     def read(self, name: str) -> DataFrame:
         """Registry scan with the default branch predicate injected
@@ -158,7 +211,9 @@ class Lakehouse:
         format's MERGE commit)."""
         path = self._table_path(name)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        self._with_bucket(df, name).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(tmp)
         old = f"{path}.old-{uuid.uuid4().hex[:8]}"
         if os.path.isdir(path):
             os.rename(path, old)
@@ -174,10 +229,13 @@ class Lakehouse:
         coalesced to one file; small files are compacted opportunistically."""
         if not rows:
             return
+        self._ensure_bucketed(name)
         schema = REGISTRY_SCHEMAS[name]
         full = [{f.name: r.get(f.name) for f in schema.fields} for r in rows]
         new = self.spark.createDataFrame([Row(**r) for r in full], schema)
-        new.coalesce(1).write.mode("append").parquet(self._table_path(name))
+        self._with_bucket(new.coalesce(1), name).write.mode("append").partitionBy(
+            "__bucket"
+        ).parquet(self._table_path(name))
         self._note_ids(name, full)
         self._maybe_compact(name)
 
@@ -186,7 +244,12 @@ class Lakehouse:
         scan fast without paying a rewrite per insert."""
         path = self._table_path(name)
         try:
-            n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+            n = sum(
+                1
+                for _dir, _sub, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
         except OSError:
             return
         if n > max_files:
@@ -336,16 +399,50 @@ class Lakehouse:
                 r["id"] = nid
                 nid += 1
         if updates:
-            upd_ids = [r["id"] for r in updates]
-            kept = existing.filter(~F.col("id").isin(upd_ids))
-            schema = REGISTRY_SCHEMAS[name]
-            upd_df = self.spark.createDataFrame(
-                [Row(**{f.name: r.get(f.name) for f in schema.fields}) for r in updates],
-                schema,
-            )
-            self._overwrite(name, kept.unionByName(upd_df))
+            self._update_buckets(name, updates)
         self._append(name, inserts)
         return inserts + updates
+
+    def _update_buckets(self, name: str, updates: list[dict[str, Any]]) -> None:
+        """Copy-on-write by id-bucket: only the buckets containing
+        updated ids are re-read (partition-pruned scan) and atomically
+        swapped; every other bucket's files are untouched (their mtimes
+        are pinned by ``test_scale_write``). One updated row costs one
+        bucket rewrite — 1/n_buckets of the table — not a full rewrite;
+        the cluster-scale analogue is a table format's partition-scoped
+        MERGE commit."""
+        schema = REGISTRY_SCHEMAS[name]
+        upd_df = self.spark.createDataFrame(
+            [Row(**{f.name: r.get(f.name) for f in schema.fields}) for r in updates],
+            schema,
+        )
+        upd_ids = [r["id"] for r in updates]
+        path = self._table_path(name)
+        self._ensure_bucketed(name)
+        buckets = sorted({int(i) % self.n_buckets for i in upd_ids})
+        touched = (
+            self.spark.read.schema(schema)
+            .parquet(path)
+            .filter(F.col("__bucket").isin(buckets))  # PartitionFilters prune
+            .drop("__bucket")
+        )
+        kept = touched.filter(~F.col("id").isin(upd_ids))
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        self._with_bucket(kept.unionByName(upd_df), name).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(tmp)
+        for k in buckets:
+            src = f"{tmp}/__bucket={k}"
+            dst = f"{path}/__bucket={k}"
+            # displaced dir goes OUTSIDE the table path so a crash
+            # between the renames can never corrupt partition discovery
+            old = f"{path}.bktold-{k}-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(dst):
+                os.rename(dst, old)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # ---------------------------------------------------------- artifacts
 

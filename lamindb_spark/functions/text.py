@@ -107,6 +107,28 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+#: (pattern, replacement) pairs for PII scrubbing. Patterns restricted
+#: to constructs with identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB oracle): character classes, bounded repetition, \b.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / NA-style phone numbers / IPv4s from text — the
+    standard pre-training privacy pass, as a chain of JVM-side
+    ``regexp_replace`` (zero Python, full scan speed). Order matters:
+    emails first so their dotted domains are not half-eaten by the IP
+    pattern."""
+    out = col
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (MinHash input)."""
     toks = F.split(F.lower(F.trim(col)), _WORD_SPLIT)

@@ -156,6 +156,66 @@ def _closure_broadcast(
         e.unpersist()
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    step that turns near-dup candidate PAIRS (LSH/n-gram output) into
+    dup GROUPS for keeper election.
+
+    Each node's component label starts as its own id; every round each
+    node adopts the minimum label in its neighborhood (labels flow both
+    directions along each edge). Converges in O(component diameter)
+    rounds — for dedup graphs (stars + short chains) that is 2-3. Per
+    round: one join + one groupBy on the SAME key (AQE coalesces), and
+    a ``localCheckpoint`` so the plan never grows. Convergence check is
+    an aggregate (sum of labels strictly decreases until fixpoint), no
+    driver-side data.
+
+    Output: (``id``, ``component``) — component = min node id reachable,
+    matching the min-id keeper convention of ``exact_dedup`` and the
+    LSH star cap.
+    """
+    e = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    und = e.unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("__a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _i in range(max_iters):
+        # neighbor labels: for each node, min label among itself and
+        # all neighbors (und has both directions, so one join suffices)
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "__b"), "__b")
+            .groupBy("__a")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["__a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def creates_cycle(
     edges: DataFrame,
     new_child,

@@ -55,3 +55,65 @@ def curate_corpus(
         & F.col("is_keeper")
     )
     return grouped.withColumn("keep", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-window packing step of a training-data pipeline.
+
+    Chunks start every ``chunk_size - overlap`` tokens; the last chunk
+    may be short. One JVM-side explode, no Python, no shuffle: the
+    fan-out multiplies rows ~``1/(1-overlap/chunk_size)``× at scan
+    speed. ``chunk_idx = start // step`` so the id is derivable on both
+    sides of a cross-engine comparison without ordinality."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        staged.select(id_col, "__toks", "__n", F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            (F.col("__start") / step).cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_size), F.col("__n") - F.col("__start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k token frequencies (exact heavy hitters):
+    explode → hash-aggregate with map-side partial counts (one shuffle
+    of (token, partial_n)) → TakeOrdered. The exact twin of the
+    count-min/heavy-hitter sketches in ``functions/sketches.py`` —
+    exact is the right call whenever the vocabulary fits a shuffle,
+    which a whitespace vocabulary does even at corpus scale."""
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+    return (
+        df.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

@@ -261,6 +261,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, how
+    many of its distinct k-shingles also occur anywhere in a benchmark
+    set — the standard n-gram-overlap decontamination pass before
+    training on a crawl.
+
+    Shape: both sides explode to distinct shingles; the benchmark side
+    collapses to a DISTINCT shingle set (its size is vocabulary-bounded
+    and independent of benchmark doc count), then one semi-joinable
+    equi-join on the shingle feeds a per-doc count. All training docs
+    are kept (``n_shared = 0`` when clean) so the output is a stable
+    per-doc verdict table.
+
+    Output: (doc_id, n_shingles, n_shared, overlap_ratio, contaminated).
+    """
+    tr = _spread(train).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+    )
+    bn = (
+        bench.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh")
+        )
+        .distinct()
+    )
+    hits = (
+        tr.join(bn, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 _FP_PRIME = 1_000_000_007
 
 

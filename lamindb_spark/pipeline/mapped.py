@@ -61,3 +61,105 @@ def label_weights(df: DataFrame, label_col: str) -> DataFrame:
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
     total = df.count()
     return counts.withColumn("weight", F.lit(float(total)) / (F.col("n") * counts.count()))
+
+
+class MappedCollection:
+    """Random-access view over parquet shards for ML DataLoaders
+    (reference ``_mapped_collection.py:55-700``: ``__getitem__``
+    ``:400-438`` global-index dispatch via cumulative shard counts,
+    ``get_label_weights`` ``:522-565``).
+
+    ``collection[i]`` must be a sub-millisecond driver-side read — a
+    Spark job per sample would be 10^5× too slow for a training loop —
+    so item access goes through per-shard pyarrow datasets (lazy row
+    retrieval, only the needed row groups are read), exactly as the
+    reference does per-item h5/zarr reads. Bulk/batch access stays on
+    the Spark path (:func:`mapped_union`); the two agree on global row
+    order (per-shard sort on the first column, shards in list order),
+    which the parity test pins.
+
+    Scale note: init reads ONE column per shard (the sort key) plus,
+    lazily, the label column for weights — never the matrix payload.
+    """
+
+    def __init__(self, shard_paths: list[str], label_col: str | None = None):
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        self.shard_paths = list(shard_paths)
+        self.label_col = label_col
+        self._datasets = [pads.dataset(p) for p in self.shard_paths]
+        self._perms = []
+        self.n_obs_list = []
+        for d in self._datasets:
+            sort_col = d.schema.names[0]
+            col = d.to_table(columns=[sort_col]).column(0).to_numpy(zero_copy_only=False)
+            self._perms.append(np.argsort(col, kind="stable"))
+            self.n_obs_list.append(len(col))
+        self._offsets = np.concatenate([[0], np.cumsum(self.n_obs_list)]).astype(np.int64)
+        self._labels = None  # lazy global label vector
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _locate(self, idx: int) -> tuple[int, int]:
+        import numpy as np
+
+        n = len(self)
+        if idx < 0:
+            idx += n
+        if not 0 <= idx < n:
+            raise IndexError(f"index {idx} out of range for {n} rows")
+        shard = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return shard, int(idx - self._offsets[shard])
+
+    def __getitem__(self, idx: int) -> dict:
+        shard, within = self._locate(idx)
+        row_pos = int(self._perms[shard][within])
+        tbl = self._datasets[shard].take([row_pos])
+        out = {k: v[0] for k, v in tbl.to_pydict().items()}
+        out["_store_idx"] = shard  # reference parity (:407)
+        return out
+
+    def _global_labels(self):
+        import numpy as np
+
+        if self.label_col is None:
+            raise ValueError("label_col not set")
+        if self._labels is None:
+            parts = []
+            for d, perm in zip(self._datasets, self._perms):
+                col = d.to_table(columns=[self.label_col]).column(0)
+                parts.append(col.to_numpy(zero_copy_only=False)[perm])
+            self._labels = np.hstack(parts)
+        return self._labels
+
+    def get_label_weights(
+        self, scaler: float | None = None, return_categories: bool = False
+    ):
+        """Per-observation sampling weights, reference formula: ``1/n``
+        per label, or ``scaler/(n+scaler)`` when a scaler is given."""
+        from collections import Counter
+
+        import numpy as np
+
+        labels = self._global_labels()
+        counter = Counter(labels.tolist())
+        if return_categories:
+            return {
+                k: (1.0 / v if scaler is None else scaler / (v + scaler))
+                for k, v in counter.items()
+            }
+        counts = np.array([counter[x] for x in labels.tolist()], dtype=np.float64)
+        return 1.0 / counts if scaler is None else scaler / (counts + scaler)
+
+    def sample(self, n: int, seed: int = 0, scaler: float | None = None):
+        """Weighted sample of global indices (inverse label frequency) —
+        what a WeightedRandomSampler consumes; rare labels are
+        oversampled toward uniform class balance."""
+        import numpy as np
+
+        w = self.get_label_weights(scaler=scaler)
+        p = w / w.sum()
+        rng = np.random.default_rng(seed)
+        return rng.choice(len(self), size=n, replace=True, p=p)

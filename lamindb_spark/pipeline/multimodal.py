@@ -4,11 +4,14 @@ typed metadata, processed with Arrow-batched pandas iterators.
 Design (BASELINE.json north star): media cells are ``binary`` columns
 with a sidecar metadata struct; decode / feature-extraction / resize /
 frame-sampling run as ``mapInPandas`` stages — per-partition Arrow
-batches, so bytes move JVM→Python once per batch, never per row. The
-actual codecs (PIL/libav) are NOT in this environment, so the decode
-kernel is stubbed behind ``DECODERS`` with a deterministic fake: the
-Spark-side plumbing — schema, batching, partition sizing — is real and
-tested; swapping in a real codec is a one-function change.
+batches, so bytes move JVM→Python once per batch, never per row.
+Decoders dispatch per format: PNG is REAL (pure-python codec in
+``png.py`` — decode, nearest-neighbor resize, re-encode, all tested
+on actual pixel data); formats whose codecs don't ship in this
+environment (JPEG/audio/video via PIL/libav/soundfile) fall back to
+the declared deterministic stub, so the Spark-side plumbing — schema,
+batching, partition sizing — is exercised end-to-end either way, and
+swapping in another real codec is a one-function change.
 
 At 100 TB: binary columns dominate row size → partition by
 ``bytes-per-partition`` not rows (``repartitionByRange`` on a size
@@ -64,18 +67,29 @@ FEATURE_SCHEMA = StructType(
 def _fake_decode(content: bytes) -> list[float]:
     """STUB decoder: deterministic pseudo-pixels from the byte stream.
 
-    Replace with a real codec (PIL.Image.open / soundfile / pyav) —
-    same signature: bytes in, float feature vector out. Raising
-    NotImplementedError here would be honest too; the deterministic
-    fake lets the downstream plumbing be exercised end-to-end.
+    Fallback for formats whose codecs (PIL/libav/soundfile) don't ship
+    in this environment — same signature: bytes in, float feature
+    vector out. PNG images take the REAL decode path below.
     """
     if content is None:
         return []
     return [b / 255.0 for b in content[:256]]
 
 
+def _decode_image(content: bytes) -> list[float]:
+    """Image decode: REAL pure-python PNG decode (``png.py``) for PNG
+    payloads — actual pixels, normalized to [0, 1] — falling back to
+    the declared stub for formats that need codec libs (JPEG etc.)."""
+    from .png import PNG_SIG, decode_png
+
+    if content and bytes(content[:8]) == PNG_SIG:
+        arr, _w, _h, _c = decode_png(bytes(content))
+        return (arr.astype("float64") / 255.0).ravel().tolist()
+    return _fake_decode(content)
+
+
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {
-    "image": _fake_decode,
+    "image": _decode_image,
     "audio": _fake_decode,
     "video": _fake_decode,
 }
@@ -166,21 +180,26 @@ def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 6
     """Resize stage for image rows via ``mapInPandas`` — identical
     batch shape to :func:`extract_features`.
 
-    STUB kernel: no image codec ships in this environment, so the
-    "resize" deterministically truncates/pads the byte stream to
-    ``width*height`` bytes (real implementation: PIL
-    ``Image.open(...).resize((w, h))`` re-encoded — one-function swap,
-    the Spark-side schema/batching/partitioning is what this module
-    pins down).
+    PNG payloads take the REAL kernel: decode → nearest-neighbor
+    resize → re-encode (``png.py``, pure python). Other formats fall
+    back to the declared byte-truncate stub (their codecs don't ship
+    here); the Spark-side schema/batching/partitioning is identical
+    either way.
     """
 
     def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import PNG_SIG, decode_png, encode_png, resize_nearest
+
         target = width * height
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 content = row["content"] or b""
-                resized = bytes(content[:target]).ljust(target, b"\0")
+                if bytes(content[:8]) == PNG_SIG:
+                    arr, _w, _h, _c = decode_png(bytes(content))
+                    resized = encode_png(resize_nearest(arr, width, height))
+                else:
+                    resized = bytes(content[:target]).ljust(target, b"\0")
                 out.append(
                     {
                         "media_id": row["media_id"],

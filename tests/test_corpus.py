@@ -1,6 +1,14 @@
-"""Composed corpus curation pipeline."""
+"""Composed corpus curation pipeline + chunking / PII / heavy hitters
+/ contamination operators."""
 
-from lamindb_spark.pipeline.corpus import curate_corpus
+import pytest
+from pyspark.sql import functions as F
+
+from lamindb_spark.pipeline.corpus import (
+    chunk_documents,
+    curate_corpus,
+    token_frequencies,
+)
 from lamindb_spark.sources.literals import literal_table
 
 
@@ -20,3 +28,69 @@ def test_curate_corpus_verdicts(spark):
     assert out[2]["keep"] is False and out[2]["is_keeper"] is False  # dup loser
     assert out[3]["keep"] is False and out[3]["pred_lang"] == "es"
     assert out[4]["keep"] is False and out[4]["n_tokens"] == 1
+
+
+def test_chunk_documents_windows(spark):
+    toks = " ".join(f"w{i}" for i in range(11))  # 11 tokens
+    docs = literal_table(spark, [(1, toks), (2, "short doc")], ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_size=5, overlap=2)  # step 3
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+         for r in out.collect())
+    )
+    # doc 1: starts 0,3,6,9 → windows of ≤5 tokens, overlap 2
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert d1[0][2] == "w0 w1 w2 w3 w4" and d1[0][3] == 5
+    assert d1[1][2] == "w3 w4 w5 w6 w7"          # overlap of 2 with chunk 0
+    assert d1[3][2] == "w9 w10" and d1[3][3] == 2  # short tail
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, "short doc", 2)]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=5, overlap=5)
+
+
+def test_token_frequencies_topk(spark):
+    docs = literal_table(
+        spark,
+        [(1, "a b a c a b"), (2, "b c d")],
+        ["doc_id", "text"],
+    )
+    got = [(r["token"], r["n"]) for r in token_frequencies(docs, k=3).collect()]
+    assert got == [("a", 3), ("b", 3), ("c", 2)]  # ties break lexically
+
+
+def test_redact_pii(spark):
+    from lamindb_spark.functions.text import redact_pii
+
+    docs = literal_table(
+        spark,
+        [(1, "mail bob.smith+x@sub.example.org or 555-010-1234 from 192.168.0.1 ok"),
+         (2, "clean text with numbers 12345 and v1.2 stays")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           docs.select("doc_id", redact_pii(F.col("text")).alias("r")).collect()}
+    assert got[1] == "mail <EMAIL> or <PHONE> from <IP> ok"
+    assert got[2] == "clean text with numbers 12345 and v1.2 stays"
+
+
+def test_contamination_overlap(spark):
+    from lamindb_spark.pipeline.dedup import contamination_overlap
+
+    bench = literal_table(
+        spark, [(1, "the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    train = literal_table(
+        spark,
+        [(10, "the quick brown fox jumps high today"),   # heavy overlap
+         (11, "a completely different document body here"),  # clean
+         (12, "quick brown fox seen again")],             # partial
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_overlap(train, bench).collect()}
+    assert got[10]["contaminated"] and got[10]["n_shared"] == 4
+    assert not got[11]["contaminated"] and got[11]["n_shared"] == 0
+    assert got[12]["contaminated"] and got[12]["n_shared"] == 1  # 'quick brown fox'
+    assert 0 < got[12]["overlap_ratio"] < got[10]["overlap_ratio"]

@@ -59,6 +59,134 @@ def test_label_encoding_and_weights(spark):
     assert w["b"] == w["c"] > w["a"]  # inverse frequency
 
 
+def test_png_round_trip_all_filters():
+    """Decode reconstructs exact pixels through every PNG scanline
+    filter (0..4) for gray/RGB/RGBA (VERDICT r02 #7)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lamindb_spark.pipeline.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 3, 4):
+        arr = rng.integers(0, 256, size=(5, 4, ch), dtype=np.uint8)
+        for ft in range(5):
+            data = encode_png(arr, filter_type=ft)
+            got, w, h, c = decode_png(data)
+            assert (w, h, c) == (4, 5, ch)
+            np.testing.assert_array_equal(got, arr), f"filter {ft} ch {ch}"
+    with _pytest.raises(ValueError):
+        decode_png(b"notapng" + b"\0" * 16)
+
+
+def test_png_paeth_golden():
+    """Paeth predictor golden values straight from the spec's rules."""
+    from lamindb_spark.pipeline.png import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 5) == 20   # p=25 → closer to b
+    assert _paeth(20, 10, 5) == 20   # p=25 → closer to a
+    assert _paeth(10, 20, 30) == 10  # p=0 → ties prefer a
+    assert _paeth(100, 100, 100) == 100
+
+
+def test_extract_features_real_png(spark):
+    """End-to-end: a real 4×4 PNG through the Arrow decode stage yields
+    the TRUE pixel statistics, not the byte-stream fake."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.png import encode_png
+
+    pixels = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png_bytes = encode_png(pixels)
+    rows = [Row(media_id=7, kind="image", content=bytearray(png_bytes),
+                mime="image/png", width=4, height=4, duration_ms=None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_features(media).collect()[0]
+    norm = pixels.astype(np.float64) / 255.0
+    assert abs(got["feat_mean"] - norm.mean()) < 1e-12
+    assert abs(got["feat_std"] - norm.std()) < 1e-12
+
+
+def test_resize_images_real_png(spark):
+    """Resize decodes, nearest-neighbor-resamples, and re-encodes a
+    real PNG; output decodes to the expected 2×2 pixel block."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.multimodal import resize_images
+    from lamindb_spark.pipeline.png import decode_png, encode_png, resize_nearest
+
+    pixels = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [Row(media_id=1, kind="image", content=bytearray(encode_png(pixels)),
+                mime="image/png", width=4, height=4, duration_ms=None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, width=2, height=2).collect()[0]
+    got, w, h, c = decode_png(bytes(out["content"]))
+    assert (w, h, c) == (2, 2, 3)
+    np.testing.assert_array_equal(got, resize_nearest(pixels, 2, 2))
+    np.testing.assert_array_equal(got, pixels[::2, ::2])  # decimation oracle
+
+
+def test_mapped_collection_random_access_parity(spark, tmp_path):
+    """VERDICT r02 #5: __getitem__ by global index agrees with the
+    Spark union's __global_idx row-for-row, across shard boundaries."""
+    from lamindb_spark.pipeline.mapped import MappedCollection
+
+    s1 = literal_table(spark, [(1, "a", 0.1), (2, "b", 0.2)], ["id", "label", "v"])
+    s2 = literal_table(
+        spark, [(3, "a", 0.3), (4, "c", 0.4), (5, "a", 0.5)], ["id", "label", "v"]
+    )
+    p1, p2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    s1.coalesce(1).write.parquet(p1)
+    s2.coalesce(1).write.parquet(p2)
+    sh1, sh2 = spark.read.parquet(p1), spark.read.parquet(p2)
+
+    mc = MappedCollection([p1, p2], label_col="label")
+    assert len(mc) == 5
+    union_rows = {
+        r["__global_idx"]: r for r in mapped_union([sh1, sh2]).collect()
+    }
+    for i in range(5):
+        item = mc[i]
+        assert item["id"] == union_rows[i]["id"], f"order mismatch at {i}"
+        assert item["label"] == union_rows[i]["label"]
+        assert item["_store_idx"] == (0 if i < 2 else 1)
+    assert mc[-1]["id"] == mc[4]["id"]  # negative index
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        mc[5]
+
+
+def test_mapped_collection_weights_and_sampling(spark, tmp_path):
+    """Inverse-frequency weights follow the reference formula (1/n per
+    label; scaler/(n+scaler) with a scaler) and weighted sampling
+    oversamples rare labels toward class balance."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.mapped import MappedCollection
+
+    df = literal_table(
+        spark,
+        [(i, "common") for i in range(90)] + [(100 + i, "rare") for i in range(10)],
+        ["id", "label"],
+    )
+    p = str(tmp_path / "s.parquet")
+    df.coalesce(1).write.parquet(p)
+    mc = MappedCollection([p], label_col="label")
+    w = mc.get_label_weights()
+    assert w.shape == (100,)
+    cats = mc.get_label_weights(return_categories=True)
+    assert cats == {"common": 1.0 / 90, "rare": 1.0 / 10}
+    scaled = mc.get_label_weights(scaler=10.0, return_categories=True)
+    assert scaled == {"common": 10.0 / 100, "rare": 10.0 / 20}
+    # sampling: each CLASS gets ~half the draws (weights sum equal per class)
+    idx = mc.sample(4000, seed=1)
+    labels = np.array([mc[int(i)]["label"] for i in idx[:200]])
+    frac_rare = float((labels == "rare").mean())
+    assert 0.35 < frac_rare < 0.65  # vs 0.10 under uniform sampling
+
+
 def test_resize_images_stub_plumbing(spark):
     from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, resize_images
 

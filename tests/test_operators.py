@@ -105,6 +105,36 @@ def test_closure_wide_frontier_broadcast_join(spark):
     assert "Join" not in narrow_plan
 
 
+def test_connected_components(spark):
+    from lamindb_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4, needs multiple propagation rounds),
+    # pair 10-11, isolated self-loop style single edge 20-20
+    edges = literal_table(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_lsh_composition(spark):
+    """Pairs from LSH → groups: every member of an exact-dup cluster
+    lands in one component rooted at the min id (star cap included)."""
+    from lamindb_spark.operators.graph import connected_components
+    from lamindb_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    rows = [(i, "same text everywhere always repeated") for i in range(30)]
+    rows += [(100, "one totally unrelated document right here")]
+    docs = literal_table(spark, rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, k_shingle=2, n_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16, rows_per_band=2, max_bucket_size=10)
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}  # one group, keeper = min id
+    assert len(comp) == 30  # the unrelated doc never entered the graph
+
+
 def test_eav_entity_selection(spark):
     entities = literal_table(spark, [(1,), (2,), (3,)], ["id"])
     ann = literal_table(
