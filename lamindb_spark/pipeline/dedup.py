@@ -281,6 +281,12 @@ def contamination_overlap(
     per-doc verdict table.
 
     Output: (doc_id, n_shingles, n_shared, overlap_ratio, contaminated).
+
+    Both sides are separate lazy scans ON PURPOSE: a benchmark set is
+    orders of magnitude smaller than the training corpus, and keeping
+    it a distinct frame lets Catalyst push its defining predicate into
+    the scan — measured faster than sharing (and checkpointing) one
+    exploded shingle table across both sides.
     """
     tr = _spread(train).select(
         F.col(id_col),

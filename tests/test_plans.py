@@ -57,6 +57,10 @@ _MAX_EXCHANGES = {
     "latest_event": 1,
     "token_stats": 0,      # pure scan + expressions
     "quality_score": 0,
+    "chunk_docs": 0,       # explode is map-side
+    "redact_pii": 0,       # regexp_replace chain, pure scan
+    "token_freq": 1,       # partial agg + one shuffle; top-k is TakeOrdered
+    "user_profiles": 1,    # one (user_id) shuffle shared by all three windows
 }
 
 
