@@ -268,28 +268,59 @@ def cosine_neardup_pairs_arrow(
     )
 
 
+def query_bucket(query_vec: list[float], dim: int, n_bits: int = 8) -> int:
+    """The query's LSH bucket code, computed driver-side with the SAME
+    deterministic hyperplanes as :func:`lsh_index` (h_j[i] sign from
+    xxhash64(i, j) parity — evaluated through Spark so both sides use
+    the identical hash)."""
+    # one-row evaluation keeps the hyperplane definition in ONE place
+    # (the Column expression) instead of reimplementing xxhash64
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return int(spark.range(1).select(_sign_bits(q, dim, n_bits).alias("b")).first()["b"])
+
+
+def probe_buckets(bucket: int, n_bits: int, n_probes: int) -> list[int]:
+    """Multi-probe sequence: the query bucket, then buckets at Hamming
+    distance 1 (each sign bit flipped), then distance 2 — the standard
+    multi-probe LSH schedule (a near-miss flips the weakest bits, so
+    neighboring codes hold most of the lost recall). Deterministic
+    order; capped at ``n_probes`` codes."""
+    out = [bucket]
+    for i in range(n_bits):
+        out.append(bucket ^ (1 << i))
+    for i in range(n_bits):
+        for j in range(i + 1, n_bits):
+            out.append(bucket ^ (1 << i) ^ (1 << j))
+    return out[:n_probes]
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     dim: int,
     k: int = 10,
     n_bits: int = 8,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via same-bucket candidates (single probe).
+    """Approximate top-k via bucket candidates, with multi-probe.
 
-    The query's bucket is computed with the same deterministic
-    hyperplanes; candidates = rows with equal bucket; score + TakeOrdered
-    within the bucket only.
+    ``n_probes=1`` scans only the query's own bucket; larger values add
+    Hamming-neighbor buckets (:func:`probe_buckets`), trading scan
+    width for recall — the standard fix for LSH's
+    near-boundary-miss failure mode without adding hash tables. With
+    the index persisted ``partitionBy(bucket)``, the ``isin`` probe
+    list prunes at the file level exactly like :func:`ivf_topk`.
     """
     indexed = lsh_index(embeddings, dim, n_bits, vec_col)
-    qdf_bucket = _sign_bits(
-        F.array(*[F.lit(float(x)) for x in query_vec]), dim, n_bits
-    )
+    probes = probe_buckets(query_bucket(query_vec, dim, n_bits), n_bits, n_probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        indexed.filter(F.col("bucket") == qdf_bucket)
+        indexed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)

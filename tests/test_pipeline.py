@@ -130,6 +130,29 @@ def test_brute_force_and_lsh_topk(spark):
     assert 1 in ids and 4 not in ids  # opposite vector lands in another bucket
 
 
+def test_lsh_topk_multiprobe_recall(spark):
+    from lamindb_spark.pipeline.similarity import probe_buckets, query_bucket
+
+    vecs = literal_table(
+        spark,
+        [(1, 1.0, 0.0), (2, 0.9, 0.1), (3, 0.0, 1.0), (4, -1.0, 0.0)],
+        ["vec_id", "x", "y"],
+    ).select("vec_id", F.array("x", "y").alias("embedding"))
+    # probing out to Hamming distance 2 must keep the near neighbors
+    exact = [r["vec_id"] for r in brute_force_topk(vecs, [1.0, 0.0], k=2).collect()]
+    full = lsh_topk(
+        vecs, [1.0, 0.0], dim=2, k=4, n_bits=4, n_probes=1 + 4 + 6
+    ).collect()
+    assert set(exact) <= {r["vec_id"] for r in full}
+    # multi-probe candidate set grows monotonically with n_probes
+    b = query_bucket([1.0, 0.0], dim=2, n_bits=4)
+    p1, p5 = probe_buckets(b, 4, 1), probe_buckets(b, 4, 5)
+    assert p1 == [b] and p5[0] == b and len(set(p5)) == 5
+    n1 = lsh_topk(vecs, [1.0, 0.0], dim=2, k=4, n_bits=4, n_probes=1).count()
+    n5 = lsh_topk(vecs, [1.0, 0.0], dim=2, k=4, n_bits=4, n_probes=5).count()
+    assert n1 <= n5
+
+
 def test_text_metrics(spark):
     df = literal_table(spark, [(1, "the cat and the hat of a mat")], ["id", "text"])
     row = df.select(
