@@ -27,6 +27,8 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import datetime
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -210,6 +212,178 @@ def _q_tpch_q17(spark, sf):
             _cents(F.sum("l_extendedprice")).alias("sum_price_cents"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+def _q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape: order-priority counts over orders with a
+    correlated EXISTS (a lineitem shipped >60 days after the order
+    date). Compiles to a left-semi join: equi on the order key plus
+    the non-equi date condition — no fanout, no distinct needed
+    (ref query_manager.py:304 EXISTS semantics)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    o_f = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o_f.join(
+            late,
+            (o_f.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape: local-supplier revenue by nation — the 6-table
+    star with the extra c_nationkey = s_nationkey co-location
+    condition. Only the fixed-cardinality nation⋈region dim is force-
+    broadcast; the scaling joins (orders, customer, supplier) are left
+    to AQE. Date filter reaches the orders scan."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    asia = (
+        n.join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(asia), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+def _q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20.
+    Returnflag filter reaches the lineitem scan, date filter the
+    orders scan; nation is broadcast; revenue summed in cents with a
+    unique c_custkey tiebreak at the limit boundary."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.first(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape: promo-revenue ratio — conditional aggregate
+    over a part join, single output row. Both terms are exact bigint
+    cents, so the final double division is bit-identical across
+    engines."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 3, 1)
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            (F.col("promo_cents") / F.col("total_cents")).alias("promo_ratio"),
+        )
+    )
+
+
+def _q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped sum
+    (sum_qty > 180), then re-join orders+customer for display columns.
+    The agg runs BEFORE the joins, so only the ~1%% surviving orders
+    shuffle onward; l_quantity is integral-valued so the double sum is
+    exact in any order."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def _q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (adapted to this schema): customers with
+    above-average balance and no recent orders, counted per nation.
+    The global average is a 1-row broadcast (no driver collect), and
+    the comparison is exact integer math — cents*count > total_cents —
+    so no cross-engine float-threshold flakiness. NOT EXISTS compiles
+    to a left-anti join."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    bal = _cents(F.col("c_acctbal"))
+    glob = c.agg(
+        F.sum(bal).alias("tot_cents"), F.count(F.lit(1)).alias("n_cust")
+    )
+    rich = c.join(F.broadcast(glob)).filter(
+        bal * F.col("n_cust") > F.col("tot_cents")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= datetime.datetime(2000, 1, 1)
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        anti_join(rich, recent, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).alias("totacctbal_cents"),
+        )
+        .orderBy("c_nationkey")
     )
 
 
@@ -1013,6 +1187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q17": _q_tpch_q17,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
         "star_revenue": _q_star_revenue,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -1137,6 +1317,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN avg_q ON l_partkey = pk
             WHERE p_brand = 'Brand#1'
               AND l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name ASC
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(round(any_value(c_acctbal)*100) AS BIGINT) AS acctbal_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_cents DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            WITH agg AS (
+                SELECT
+                    CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS promo_cents,
+                    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-03-01'
+            )
+            SELECT promo_cents, total_cents,
+                   promo_cents / total_cents AS promo_ratio
+            FROM agg
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(sum(l_quantity) AS BIGINT) > 180
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+                   sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_cents DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "tpch_q22": """
+            WITH gtot AS (
+                SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS tot_cents,
+                       count(*) AS n_cust
+                FROM customer
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+            FROM customer, gtot
+            WHERE CAST(round(c_acctbal*100) AS BIGINT) * n_cust > tot_cents
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "star_revenue": """
             SELECT n_name,
