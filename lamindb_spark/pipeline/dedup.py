@@ -468,33 +468,45 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document — explode/groupBy shape for scale.
 
-    One pass: distinct token hashes explode to (id, hash) rows, then 64
-    SUM aggregates (one per bit position, map-side partial agg +
-    whole-stage codegen) and a single bit-assembly expression. Far
-    cheaper than 64 array traversals per row: the shuffle carries 64
-    longs per doc and every sum is a tight codegen loop.
+    One pass: distinct token hashes explode to (id, hash) rows, then
+    16 packed SUM aggregates — each long carries four 16-bit bit-set
+    counters (fields saturate at 65535, so distinct tokens per doc are
+    capped at 65535 via ``slice``; the cap is deterministic and far
+    above real document sizes). Bit i of the signature is set iff
+    ``2*count_set(i) > n_tokens`` — identical to the ±1-sum sign, but
+    the agg state is 16 longs + a count instead of 64 sums: 4× fewer
+    aggregation buffers and 4× less shuffled agg state per doc.
     """
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    toks = F.slice(
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")),
+        1,
+        65535,
+    )
     base = _spread(df).select(
         F.col(id_col), F.explode(toks).alias("__t")
     ).select(F.col(id_col), F.xxhash64(F.col("__t"), F.lit(seed)).alias("__h"))
+
+    def _pack(k: int) -> Column:
+        # bits 4k..4k+3 of the token hash, one per 16-bit field
+        bit = lambda i: F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+        return (
+            bit(4 * k)
+            + F.shiftleft(bit(4 * k + 1), 16)
+            + F.shiftleft(bit(4 * k + 2), 32)
+            + F.shiftleft(bit(4 * k + 3), 48)
+        )
+
     sums = base.groupBy(id_col).agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(_pack(k)).alias(f"p{k}") for k in range(16)],
     )
-    sig = reduce(
-        add,
-        [
-            F.shiftleft(
-                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
-            )
-            for i in range(64)
-        ],
-    )
+
+    def _sigbit(i: int) -> Column:
+        k, f = divmod(i, 4)
+        cnt = F.shiftright(F.col(f"p{k}"), 16 * f).bitwiseAND(F.lit(0xFFFF))
+        return F.shiftleft((cnt * 2 > F.col("__n")).cast("long"), i)
+
+    sig = reduce(add, [_sigbit(i) for i in range(64)])
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
