@@ -387,6 +387,69 @@ def _q_tpch_q22(spark, sf):
     )
 
 
+def _q_ann_lsh(spark, sf):
+    """Pipeline: multi-probe LSH ANN with cross-engine hyperplanes —
+    candidates are rows within Hamming distance 1 of the query's
+    8-bit bucket code (equivalent to the ``n_probes = 1 + n_bits``
+    probe schedule of ``lsh_topk``), scored by cosine within the
+    probed buckets only. Bucket signs use integer-quantized
+    projections against literal ±1 planes, so bucket membership is
+    exact in both engines; persisted ``partitionBy(bucket)`` the same
+    ``isin``/Hamming filter prunes at the file level."""
+    from lamindb_spark.pipeline.similarity import hyperplane_signs, portable_bucket
+
+    e = load_table(spark, sf, "embeddings")
+    be = e.withColumn(
+        "bucket", portable_bucket(F.col("embedding"), hyperplane_signs(64, 8))
+    )
+    q = be.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        be.join(F.broadcast(q))
+        .filter(F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of ``_q_ann_lsh`` — the ±1 hyperplanes are embedded
+    as literal lists, the bucket expression mirrors
+    ``portable_bucket`` term for term."""
+    from lamindb_spark.pipeline.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(64, 8)
+    terms = [
+        "(CASE WHEN list_dot_product("
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000000.0) AS BIGINT)), "
+        f"{srow}::BIGINT[]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, srow in enumerate(signs)
+    ]
+    bucket = " + ".join(terms)
+    return f"""
+        WITH be AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                   {bucket} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT ev AS qv, bucket AS qbucket FROM be WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_dot_product(ev, qv)
+                     / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))),
+               6) AS score
+        FROM be, q
+        WHERE bit_count(CAST(xor(bucket, qbucket) AS BIGINT)) <= 1
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 def _q_semi_join(spark, sf):
     """J3: customers having ≥1 urgent high-value order."""
     c = load_table(spark, sf, "customer")
@@ -1232,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh": _q_ann_lsh,
         "asof_join": _q_asof_join,
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
@@ -1409,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
             ORDER BY c_nationkey
         """,
+        "ann_lsh": _lsh_oracle_sql(),
         "star_revenue": """
             SELECT n_name,
                    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -124,6 +124,41 @@ def _argmin_cell(vec: Column, centroid_rows: list[tuple[int, list[float]]]) -> C
     return F.array_min(F.array(*structs))["c"]
 
 
+def hyperplane_signs(dim: int, n_bits: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from pure integer
+    arithmetic — reproducible in ANSI SQL as literal lists, unlike the
+    xxhash64 planes of :func:`_sign_bits`. ``signs[j][i]`` is the i-th
+    component of hyperplane j."""
+    return [
+        [
+            1 if ((i * 1315423911 + (j + 1) * 2654435761) % 97) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def portable_bucket(vec: Column, signs: list[list[int]], scale: int = 1_000_000) -> Column:
+    """Cross-engine LSH bucket code: components are quantized to
+    integers (``round(v*scale)``) so each projection is EXACT integer
+    arithmetic — the sign can never flip between engines from float
+    summation order. One codegen'd dot product per hyperplane against a
+    literal ±1 array."""
+    qv = F.transform(
+        vec, lambda v: F.round(v.cast("double") * F.lit(float(scale))).cast("long")
+    )
+    bits = []
+    for j, srow in enumerate(signs):
+        lit = F.array(*[F.lit(int(s)) for s in srow])
+        proj = F.aggregate(
+            F.zip_with(qv, lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return reduce(add, bits)
+
+
 def ivf_build_index(
     embeddings: DataFrame,
     centroid_rows: list[tuple[int, list[float]]],
