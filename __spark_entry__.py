@@ -387,6 +387,436 @@ def _q_tpch_q22(spark, sf):
     )
 
 
+def _q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape (adapted: no partsupp table — the observed unit
+    price ``l_extendedprice / l_quantity`` from lineitem stands in for
+    ps_supplycost): for LARGE size-15 parts, the EUROPE supplier(s)
+    matching the part's minimum unit price. The correlated MIN
+    subquery compiles to a per-part aggregate joined back on (part,
+    price) — two shuffles on p_partkey, dims broadcast. Unit price is
+    compared in integer micros (one IEEE double division then round,
+    identical in both engines)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    eur = (
+        s.join(F.broadcast(n.join(r.filter(F.col("r_name") == "EUROPE"),
+                                  n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pf = p.filter(F.col("p_size").between(10, 30) & (F.col("p_type") == "LARGE")).select(
+        "p_partkey", "p_name"
+    )
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 1_000_000).cast("long")
+    offers = (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(eur, li.l_suppkey == eur.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit).alias("unit_micros"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("unit_micros").alias("best_micros")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.p_partkey == best.bp) & (offers.unit_micros == best.best_micros),
+        )
+        .select(
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_micros",
+        )
+        .orderBy(F.desc("acctbal_cents"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _q_tpch_q6(spark, sf):
+    """TPC-H Q6: forecast-revenue-change — single scan, tight
+    predicate band, one-row aggregate. Discount band compared in
+    exact integer cents so 0.05/0.07 float literals can't straddle
+    engines differently."""
+    li = load_table(spark, sf, "lineitem")
+    disc_cents = F.round(F.col("l_discount") * 100).cast("long")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (disc_cents >= 5)
+            & (disc_cents <= 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by ship year. Both nation dims are broadcast; the OR'd nation-pair
+    predicate is applied post-join on broadcast columns so the big
+    fact joins stay plain equi-joins AQE can plan."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias(
+                "volume_cents"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape: NATION_3's market share of ECONOMY parts sold
+    to AMERICA customers, by order year. Numerator and denominator
+    are exact bigint cents; the single final division is bit-identical
+    across engines."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    p = load_table(spark, sf, "part")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    amer = (
+        n.join(r.filter(F.col("r_name") == "AMERICA"), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("ck"))
+    )
+    n2 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    vol = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(amer), c.c_nationkey == F.col("ck"), "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))).alias(
+                "nation_cents"
+            ),
+            F.sum(vol).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (F.col("nation_cents") / F.col("total_cents")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape (adapted: no partsupp — ``p_retailprice`` stands
+    in for ps_supplycost): profit on red parts by supplier nation and
+    ship year. amount = revenue_cents − retail_cents × qty, all exact
+    bigint terms."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    red = p.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", _cents(F.col("p_retailprice")).alias("retail_cents")
+    )
+    amount = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ) - F.col("retail_cents") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(amount).alias("profit_cents"))
+        .orderBy("nation", F.desc("l_year"))
+    )
+
+
+def _q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape (adapted: lineitem value per part replaces
+    partsupp value): parts whose shipped value through NATION_7
+    suppliers exceeds 1/2000 of that nation's total. The HAVING
+    fraction is exact integer cross-multiplication (value × 2000 >
+    total) against a 1-row broadcast aggregate — no driver collect,
+    no float threshold."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    nat = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               s.s_nationkey == n.n_nationkey, "left_semi")
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nat), li.l_suppkey == nat.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    tot = per_part.agg(F.sum("value_cents").alias("tot_cents"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 2000 > F.col("tot_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), F.asc("l_partkey"))
+    )
+
+
+def _q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_receiptdate —
+    returnflag groups late shipments, ``l_shipdate > o_orderdate + 90
+    days`` is the lateness test): per group, count critical-priority
+    vs other orders shipped late."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(crit.cast("long")).alias("high_line_count"),
+            F.sum((~crit).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_tpch_q13(spark, sf):
+    """TPC-H Q13: customer order-count distribution — LEFT join with
+    an ON-clause filter (priority ≠ 4-NOT SPECIFIED), then a
+    two-level aggregation. Group keys are unique so the ordering is
+    deterministic."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    of = o.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        c.join(of, c.c_custkey == of.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    MAX-of-view correlated filter compiles to a 1-row broadcast
+    aggregate joined back (no driver collect); ties all surface,
+    ordered by the unique supplier key."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 4, 1)
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias(
+                "total_cents"
+            )
+        )
+    )
+    best = rev.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier bridge
+    in place of partsupp; the complaint-supplier NOT IN excludes
+    negative-balance suppliers): distinct supplier count per (brand,
+    type, size) bucket."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape: OR of three brand/size/quantity brackets —
+    one broadcast-joined scan; the disjunction collapses into a single
+    post-join predicate Catalyst can't push but evaluates codegen'd."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(b).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def _q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape (adapted: a supplier \"has excess availqty\"
+    when it shipped >20%% of a red part's 1996 volume): EUROPE
+    suppliers dominating supply of any red part. The >20%% test is
+    exact integer cross-multiplication (qty × 5 > total); quantities
+    are integral-valued doubles so their sums are exact."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    red = p.filter(F.col("p_name").contains("red")).select("p_partkey")
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    lif = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).join(
+        F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi"
+    )
+    per_ps = lif.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("supp_qty")
+    )
+    per_p = lif.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").cast("long").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    eur = (
+        s.join(
+            F.broadcast(
+                n.join(r.filter(F.col("r_name") == "EUROPE"), n.n_regionkey == r.r_regionkey)
+            ),
+            s.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
+    return (
+        semi_join(eur, dominant.withColumnRenamed("l_suppkey", "s_suppkey"), "s_suppkey")
+        .select("s_suppkey", "s_name", _cents(F.col("s_acctbal")).alias("acctbal_cents"))
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (adapted: lateness is ``l_shipdate >
+    o_orderdate + 60 days``): suppliers who were the SOLE late
+    supplier on a multi-supplier finished order. The correlated
+    EXISTS / NOT EXISTS pair compiles to per-order distinct-supplier
+    counts (one aggregation, no correlated rescans) — n_supp ≥ 2 and
+    n_late_supp = 1 — then a top-100 count per supplier."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    s = load_table(spark, sf, "supplier")
+    lo_ = li.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo_.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        lo_.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "s_suppkey", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
 def _q_ann_lsh(spark, sf):
     """Pipeline: multi-probe LSH ANN with cross-engine hyperplanes —
     candidates are rows within Hamming distance 1 of the query's
@@ -1256,6 +1686,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -1472,6 +1915,221 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "tpch_q2": """
+            WITH eur AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), offers AS (
+                SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                       min(CAST(round(l_extendedprice / l_quantity * 1000000) AS BIGINT)) AS unit_micros
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN eur ON l_suppkey = s_suppkey
+                WHERE p_size BETWEEN 10 AND 30 AND p_type = 'LARGE'
+                GROUP BY ALL
+            )
+            SELECT CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents,
+                   s_name, n_name, p_partkey, p_name, unit_micros
+            FROM offers o
+            WHERE unit_micros = (
+                SELECT min(unit_micros) FROM offers i WHERE i.p_partkey = o.p_partkey)
+            ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS volume_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            WITH vols AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS vol,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
+                   CAST(sum(vol) AS BIGINT) AS total_cents,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT)
+                     / CAST(sum(vol) AS BIGINT) AS mkt_share
+            FROM vols GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+                        - CAST(round(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE contains(p_name, 'red')
+            GROUP BY n_name, l_year
+            ORDER BY nation, l_year DESC
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_7')
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, value_cents
+            FROM per_part
+            WHERE value_cents * 2000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM per_part)
+            ORDER BY value_cents DESC, l_partkey ASC
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_cents
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_cents = (SELECT max(total_cents) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q20": """
+            WITH lif AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part WHERE contains(p_name, 'red'))
+            ), per_ps AS (
+                SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+                FROM lif GROUP BY l_partkey, l_suppkey
+            ), per_p AS (
+                SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS part_qty
+                FROM lif GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                  SELECT per_ps.l_suppkey FROM per_ps
+                  JOIN per_p ON per_ps.l_partkey = per_p.l_partkey
+                  WHERE supp_qty * 5 > part_qty)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q21": """
+            WITH lo AS (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+                FROM lo GROUP BY l_orderkey
+            ), waiting AS (
+                SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+                FROM lo
+                JOIN per_order ON lo.l_orderkey = per_order.l_orderkey
+                WHERE lo.late AND n_supp >= 2 AND n_late_supp = 1
+            )
+            SELECT s_name, s_suppkey, count(*) AS numwait
+            FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name, s_suppkey
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 100
         """,
         "ann_lsh": _lsh_oracle_sql(),
         "star_revenue": """
