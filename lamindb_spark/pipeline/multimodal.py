@@ -6,12 +6,14 @@ with a sidecar metadata struct; decode / feature-extraction / resize /
 frame-sampling run as ``mapInPandas`` stages — per-partition Arrow
 batches, so bytes move JVM→Python once per batch, never per row.
 Decoders dispatch per format: PNG is REAL (pure-python codec in
-``png.py`` — decode, nearest-neighbor resize, re-encode, all tested
-on actual pixel data); formats whose codecs don't ship in this
-environment (JPEG/audio/video via PIL/libav/soundfile) fall back to
-the declared deterministic stub, so the Spark-side plumbing — schema,
-batching, partition sizing — is exercised end-to-end either way, and
-swapping in another real codec is a one-function change.
+``png.py`` — decode, nearest-neighbor resize, re-encode) and WAV is
+REAL (stdlib codec in ``wav.py`` — decode, nearest resample,
+re-encode), both tested on actual pixel/sample data; formats whose
+codecs don't ship in this environment (JPEG/mp3/video via
+PIL/libav/soundfile) fall back to the declared deterministic stub, so
+the Spark-side plumbing — schema, batching, partition sizing — is
+exercised end-to-end either way, and swapping in another real codec
+is a one-function change.
 
 At 100 TB: binary columns dominate row size → partition by
 ``bytes-per-partition`` not rows (``repartitionByRange`` on a size
@@ -88,9 +90,22 @@ def _decode_image(content: bytes) -> list[float]:
     return _fake_decode(content)
 
 
+def _decode_audio(content: bytes) -> list[float]:
+    """Audio decode: REAL pure-python WAV decode (``wav.py``) for
+    RIFF/WAVE PCM payloads — actual samples in [-1, 1], channels
+    interleaved — falling back to the declared stub for formats that
+    need codec libs (mp3/ogg/flac)."""
+    from .wav import decode_wav, is_wav
+
+    if content and is_wav(bytes(content)):
+        samples, _rate = decode_wav(bytes(content))
+        return samples.ravel().tolist()
+    return _fake_decode(content)
+
+
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {
     "image": _decode_image,
-    "audio": _fake_decode,
+    "audio": _decode_audio,
     "video": _fake_decode,
 }
 
@@ -213,3 +228,52 @@ def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 6
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.filter(F.col("kind") == "image").mapInPandas(_process, RESIZED_SCHEMA)
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, sample_rate: int, batch_size: int = 64) -> DataFrame:
+    """Resample stage for audio rows via ``mapInPandas`` — identical
+    batch shape to :func:`resize_images`.
+
+    WAV payloads take the REAL kernel: decode → nearest-neighbor
+    resample → re-encode (``wav.py``, stdlib only). Other formats fall
+    back to the declared passthrough stub (their codecs don't ship
+    here); Spark-side schema/batching is identical either way.
+    """
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import decode_wav, encode_wav, is_wav, resample_nearest
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                if is_wav(bytes(content)):
+                    samples, src_rate = decode_wav(bytes(content))
+                    resampled = resample_nearest(samples, src_rate, sample_rate)
+                    body = encode_wav(resampled, sample_rate)
+                    n_frames = resampled.shape[0]
+                else:
+                    body, n_frames = bytes(content), 0
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "content": body,
+                        "sample_rate": sample_rate,
+                        "n_frames": n_frames,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.filter(F.col("kind") == "audio").mapInPandas(_process, RESAMPLED_SCHEMA)
