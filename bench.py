@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing excludes session boot and JVM warmup (one throwaway warmup query
 runs first); each query is timed as plan-build + full materialization
-(collect), which is what the driver's oracle comparison does too.
+to pandas (Arrow-accelerated `toPandas`) — the same materialization
+target as the DuckDB reference (`scripts/bench_duckdb.py` uses
+`.df()`), so both engines pay comparable result-transfer cost instead
+of Spark paying py4j row-object serialization DuckDB never pays.
 
 Methodology: steady-state per query — each query runs twice and the
 faster run is reported (standard DB-bench practice; the first run pays
@@ -34,6 +37,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("lamindb-spark-bench")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     # warmup: JVM/codegen/parquet-footer caches
     entrymod.queries()["tpch_q1"](spark, sf_dir).collect()
@@ -45,7 +49,7 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = len(df.collect())
+            n = len(df.toPandas())
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         print(
