@@ -21,19 +21,79 @@ from operator import add
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint
 
 
-def _spread(df: DataFrame) -> DataFrame:
+#: below this estimated input size the pre-stage repartition is pure
+#: overhead: one core chews through <64 MB of text faster than a full
+#: round-robin shuffle + an extra stage of task scheduling costs.
+_SPREAD_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (parquet
+    statistics propagated through filters/projections). Errs huge on
+    unknown so gates default to the scale-safe branch."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _spread(df: DataFrame, force: bool | None = None) -> DataFrame:
     """Ensure at least cluster-default parallelism before a CPU-heavy
     per-row stage (tokenize/shingle/hash). A small parquet arrives as
     1-2 partitions and would pin the whole stage to one core; at real
     scale the input already has ≥ defaultParallelism partitions and
-    this is a no-op (no shuffle inserted)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    this is a no-op (no shuffle inserted).
+
+    Gated on the optimizer's SIZE estimate, not partition count alone:
+    a sub-``_SPREAD_MIN_BYTES`` input is cheaper to process on its 1-2
+    scan partitions than to shuffle first (the r3 bench paid a full
+    extra Exchange per text query for nothing — VERDICT r03 #1).
+    ``force=True/False`` overrides the heuristic (tests pin both
+    branches)."""
+    do = force
+    if do is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        do = (
+            _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
+            and df.rdd.getNumPartitions() < target
+        )
+    if do:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
+
+
+def _shingle_hash_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, sh) rows — one row per DISTINCT k-shingle hash per doc.
+
+    Shingles are 64-bit hashes of k consecutive token hashes, never
+    materialized as strings: per-row cost is a handful of xxhash64
+    calls instead of slice+concat string allocation (~10× cheaper),
+    join/broadcast keys downstream are 8-byte longs, and set semantics
+    are identical to string shingles modulo 64-bit collisions
+    (~n²/2⁶⁵ — zero in practice). A doc shorter than k tokens
+    contributes one whole-doc hash, mirroring ``shingles()``. Built as
+    SQL strings: one parse, no py4j round-trip pile-up.
+    """
+    base = _spread(df).selectExpr(
+        id_col,
+        f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t)) AS __th",
+    )
+    sh = "__th"
+    for j in range(1, k):
+        sh = (
+            f"zip_with({sh}, slice(__th, {j + 1}, greatest(size(__th) - {j}, 0)), "
+            "(a, b) -> xxhash64(a, b))"
+        )
+    valid = f"greatest(size(__th) - {k - 1}, 1)"
+    whole = "array(aggregate(__th, 42L, (a, b) -> xxhash64(a, b)))"
+    return base.selectExpr(
+        id_col,
+        f"explode(array_distinct(CASE WHEN size(__th) < {k} THEN {whole} "
+        f"ELSE slice({sh}, 1, {valid}) END)) AS sh",
+    )
 
 
 def exact_dedup(
@@ -67,26 +127,29 @@ def minhash_signatures(
     are ever materialized), then aggregate n_hashes cheap long-rehash
     minima under whole-stage codegen with map-side partial aggregation
     — the shuffle carries only n_docs × n_hashes longs.
+
+    The wide expressions (shingle zip_with chain, n_hashes minima) are
+    built as SQL strings — ONE parser call each — instead of nested
+    Column-API calls: with 64 hashes the py4j round-trips otherwise
+    cost ~2.5 s of plan-build per invocation (measured r4), dwarfing
+    the execution itself at bench scale.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    sh = th
+    base = _spread(df).selectExpr(
+        id_col,
+        f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t)) AS __th",
+    )
+    sh = "__th"
     for j in range(1, k_shingle):
         # combine with the j-shifted hash array; zip_with pads the
         # shorter side with null → trimmed to the valid window below
-        sh = F.zip_with(
-            sh,
-            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(0))),
-            lambda a, b: F.xxhash64(a, b),
+        sh = (
+            f"zip_with({sh}, slice(__th, {j + 1}, greatest(size(__th) - {j}, 0)), "
+            "(a, b) -> xxhash64(a, b))"
         )
-    valid = F.greatest(F.size(th) - (k_shingle - 1), F.lit(1))
-    base = _spread(df).select(F.col(id_col), F.explode(F.slice(sh, 1, valid)).alias("__h"))
-    mins = base.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
-    )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
-    )
+    valid = f"greatest(size(__th) - {k_shingle - 1}, 1)"
+    rows = base.selectExpr(id_col, f"explode(slice({sh}, 1, {valid})) AS __h")
+    mins = ", ".join(f"min(xxhash64(__h, {i}))" for i in range(n_hashes))
+    return rows.groupBy(id_col).agg(F.expr(f"array({mins})").alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -121,28 +184,18 @@ def lsh_candidate_pairs(
        signatures), which is unaffected by the cap — see
        ``tests/test_pipeline.py::test_star_mode_jaccard_verification``.
     """
-    bands = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"signature[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    # one SQL parse for the whole banding expression (vs ~n_bands ×
+    # rows_per_band py4j calls); inline() explodes straight to columns
+    bands = signatures.selectExpr(id_col, f"inline(array({band_structs}))")
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -210,45 +263,43 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard similarity for all pairs above a threshold —
     via a sparse inverted-index join, never a cross join.
 
-    Shape: doc → distinct shingles (explode), group by shingle into a
-    sorted doc-id array (only docs sharing a shingle ever meet), expand
-    the C(k,2) id pairs JVM-side with nested ``transform``/``slice``
-    HOFs, count per pair, then ``|A∩B| / (|A| + |B| - |A∩B|)``.
-    ``max_doc_freq`` drops stop-shingles that appear in more than N
-    docs — the standard guard against quadratic blowup on ubiquitous
-    n-grams at corpus scale — and here it is FREE: a ``size(ids)``
-    filter on the already-grouped arrays, where the earlier self-join
-    formulation paid a dedicated window shuffle for it (2 shuffles
-    total now, was 3; measured 25%% faster steady-state, 2.7× cold).
+    Shape: doc → distinct shingle HASHES (explode, see
+    :func:`_shingle_hash_rows`), group by shingle into a sorted doc-id
+    array (only docs sharing a shingle ever meet), expand the C(k,2)
+    id pairs with two chained codegen generators, count per pair, then
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. ``max_doc_freq`` drops
+    stop-shingles that appear in more than N docs — the standard guard
+    against quadratic blowup on ubiquitous n-grams at corpus scale —
+    and here it is FREE: a ``size(ids)`` filter on the already-grouped
+    arrays (2 shuffles total).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # Materialize the exploded (id, shingle) table once — it feeds two
-    # consumers (per-doc sizes, per-shingle groups); without this the
-    # corpus would be re-tokenized and re-shingled per consumer.
-    sh = _spread(df).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh")
-    ).localCheckpoint(eager=True)
+    # Materialize the exploded (id, shingle-hash) table once — it feeds
+    # two consumers (per-doc sizes, per-shingle groups); without this
+    # the corpus would be re-tokenized and re-shingled per consumer.
+    # The checkpoint only pays off when re-shingling is expensive:
+    # below the spread threshold the extra eager job costs more than
+    # the recompute it saves, so small inputs skip it.
+    sh = _shingle_hash_rows(df, text_col, id_col, k_shingle)
+    if _plan_size_bytes(df) >= _SPREAD_MIN_BYTES:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     grouped = sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids")).filter(
         F.size("ids") >= 2
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)
-    n = F.size("ids")
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), n - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, n - i - 1),
-                        lambda x: F.struct(F.col("ids")[i].alias("id_a"), x.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    # C(k,2) pair expansion as two chained generators + a filter: both
+    # explodes run inside whole-stage codegen and stream (nothing
+    # materializes the n² intermediate), which beats the nested
+    # transform/slice struct HOF formulation ~1.6× — interpreted
+    # lambda evaluation per emitted struct was the r3 cost.
+    pairs = (
+        grouped.selectExpr("explode(ids) AS id_a", "ids")
+        .selectExpr("id_a", "explode(ids) AS id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -290,14 +341,10 @@ def contamination_overlap(
 
     Output: (doc_id, n_shingles, n_shared, overlap_ratio, contaminated).
     """
-    tr = _spread(train).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
-    )
+    tr = _shingle_hash_rows(train, text_col, id_col, k_shingle)
     bn = (
-        bench.select(
-            F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh")
-        )
+        _shingle_hash_rows(bench, text_col, id_col, k_shingle)
+        .select("sh")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -332,26 +379,12 @@ def _token_polyhash(tok: Column) -> Column:
     )
 
 
-def _token_hash_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, __th array<long>) — per-document token-hash arrays with the
-    per-CHARACTER Horner hash computed once per DISTINCT token (the
-    dictionary-encoding trick: natural-language vocabularies are tiny
-    relative to corpus size), broadcast-joined back to positions and
-    reassembled in order. Avoids a depth-3 nested higher-order
-    expression per row, which defeats codegen and costs ~10× more."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    pos_tok = _spread(df).select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
-    vocab = (
-        pos_tok.select("__tok")
-        .distinct()
-        .withColumn("__h", _token_polyhash(F.col("__tok")))
-    )
-    hashed = pos_tok.join(F.broadcast(vocab), "__tok")
-    return hashed.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__pos", "__h"))), lambda s: s["__h"]
-        ).alias("__th")
-    )
+#: one SQL fragment: per-token Horner polynomial hash over character
+#: codes — cross-engine deterministic (DuckDB list_reduce equivalent)
+_TOKEN_POLYHASH_SQL = (
+    "transform(split(lower(trim({text})), '\\\\s+'), "
+    "t -> aggregate(split(t, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % {p}))"
+)
 
 
 def winnow_fingerprint(
@@ -365,25 +398,33 @@ def winnow_fingerprint(
     ``window``-token run into one hash, keep the minimum — a compact,
     shift-tolerant content fingerprint for near-dup grouping.
 
-    Output (id, fingerprint, n_windows); token hashing via
-    :func:`_token_hash_arrays` (dictionary trick).
+    Output (id, fingerprint, n_windows).
+
+    ZERO-shuffle shape: everything is a per-row expression (token
+    hashes inline, window combination as a zip_with Horner chain,
+    array_min). The r3 version hashed distinct tokens once and
+    broadcast the vocabulary back (3 shuffles + a broadcast); at web
+    scale that broadcast is the vocabulary of the whole corpus —
+    unbounded — while re-hashing a token per occurrence is ~6 cheap
+    arithmetic ops. Embarrassingly parallel wins here.
     """
-    th_per_doc = _token_hash_arrays(df, text_col, id_col)
-    th = F.col("__th")
-    n = F.size(th)
-    n_windows = F.greatest(n - (window - 1), F.lit(1))
-    window_hashes = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.aggregate(
-            F.slice(th, i, F.least(F.lit(window), n)),
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * 37 + h) % _FP_PRIME,
-        ),
+    base = _spread(df).selectExpr(
+        id_col, _TOKEN_POLYHASH_SQL.format(text=text_col, p=_FP_PRIME) + " AS __th"
     )
-    return th_per_doc.select(
-        F.col(id_col),
-        F.array_min(window_hashes).alias("fingerprint"),
-        n_windows.cast("long").alias("n_windows"),
+    w = "__th"
+    for j in range(1, window):
+        w = (
+            f"zip_with({w}, slice(__th, {j + 1}, greatest(size(__th) - {j}, 0)), "
+            f"(a, b) -> (a * 37 + b) % {_FP_PRIME})"
+        )
+    n_windows = f"greatest(size(__th) - {window - 1}, 1)"
+    # short docs (n < window): one window = Horner over ALL tokens
+    short = f"aggregate(__th, 0L, (acc, h) -> (acc * 37 + h) % {_FP_PRIME})"
+    return base.selectExpr(
+        id_col,
+        f"CASE WHEN size(__th) < {window} THEN {short} "
+        f"ELSE array_min(slice({w}, 1, {n_windows})) END AS fingerprint",
+        f"cast({n_windows} AS long) AS n_windows",
     )
 
 
@@ -401,47 +442,34 @@ def minhash_signatures_portable(
     ANSI SQL — used by the correctness harness to value-check the
     MinHash pipeline itself, not just its row counts.
 
-    Output: (id, hash_idx, sig) exploded long-form; token hashing via
-    the dictionary trick (polyhash once per DISTINCT token, broadcast
-    back). Shingle combination runs as a window ``lead`` over (doc,
-    pos) rows — the doc-key shuffle is shared by the window and the
-    per-doc MIN aggregates, with no collect_list/array_sort
-    reassembly; measured ~30%% faster steady-state, 3× cold, than the
-    per-doc-array formulation, identical output.
-    """
-    from pyspark.sql import Window
+    Output: (id, hash_idx, sig) exploded long-form.
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    pos_tok = _spread(df).select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
-    vocab = (
-        pos_tok.select("__tok").distinct().withColumn("__h", _token_polyhash(F.col("__tok")))
+    ZERO-shuffle shape: token hashes, adjacent-pair shingle hashes and
+    the per-permutation minima are all per-row expressions built as
+    SQL strings (one parse each). Two r3 formulations were both worse
+    — the window-``lead`` variant paid a doc-key shuffle plus two
+    window passes (+43%% on the driver bench despite its docstring
+    claim, VERDICT r03 #1), and the dictionary-trick variant paid a
+    distinct + an unbounded vocabulary broadcast.
+    """
+    base = _spread(df).selectExpr(
+        id_col, _TOKEN_POLYHASH_SQL.format(text=text_col, p=_FP_PRIME) + " AS __th"
     )
-    hashed = pos_tok.join(F.broadcast(vocab), "__tok").select(id_col, "__pos", "__h")
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
     # adjacent-pair shingle hash; a single-token doc contributes its
     # lone token hash (== Horner over the 1-element array)
-    sh_rows = (
-        hashed.withColumn("__h2", F.lead("__h", 1).over(w))
-        .withColumn("__n", n)
-        .filter((F.col("__pos") < F.col("__n") - 1) | (F.col("__n") == 1))
-        .withColumn(
-            "__sh",
-            F.when(F.col("__n") == 1, F.col("__h")).otherwise(
-                (F.col("__h") * 37 + F.col("__h2")) % _FP_PRIME
-            ),
-        )
+    shingled = base.selectExpr(
+        id_col,
+        "CASE WHEN size(__th) < 2 THEN array(__th[0]) "
+        "ELSE zip_with(slice(__th, 1, size(__th) - 1), slice(__th, 2, size(__th) - 1), "
+        f"(a, b) -> (a * 37 + b) % {_FP_PRIME}) END AS __sh",
     )
-    sigs = sh_rows.groupBy(id_col).agg(
-        *[
-            F.min(((2 * i + 1) * F.col("__sh") + 12345 * i + 7) % _FP_PRIME).alias(f"s{i}")
-            for i in range(n_hashes)
-        ]
+    sig_arr = ", ".join(
+        f"array_min(transform(__sh, x -> ({2 * i + 1} * x + {12345 * i + 7}) % {_FP_PRIME}))"
+        for i in range(n_hashes)
     )
-    arr = F.array(*[F.col(f"s{i}") for i in range(n_hashes)])
-    return sigs.select(F.col(id_col), F.posexplode(arr).alias("hash_idx", "sig")).select(
-        F.col(id_col), F.col("hash_idx").cast("long").alias("hash_idx"), "sig"
-    )
+    return shingled.selectExpr(
+        id_col, f"posexplode(array({sig_arr})) AS (hash_idx, sig)"
+    ).select(F.col(id_col), F.col("hash_idx").cast("long").alias("hash_idx"), "sig")
 
 
 def simhash_bit_sums_portable(
@@ -514,44 +542,48 @@ def simhash_signatures(
     ``2*count_set(i) > n_tokens`` — identical to the ±1-sum sign, but
     the agg state is 16 longs + a count instead of 64 sums: 4× fewer
     aggregation buffers and 4× less shuffled agg state per doc.
-    """
-    toks = F.slice(
-        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")),
-        1,
-        65535,
-    )
-    base = _spread(df).select(
-        F.col(id_col), F.explode(toks).alias("__t")
-    ).select(F.col(id_col), F.xxhash64(F.col("__t"), F.lit(seed)).alias("__h"))
 
-    def _pack(k: int) -> Column:
+    Pack and signature-assembly expressions are SQL strings (one
+    parse each) — the r3 Column-API build cost ~2.3 s of py4j
+    round-trips per invocation (VERDICT r03 #1).
+    """
+    base = _spread(df).selectExpr(
+        id_col,
+        f"explode(slice(array_distinct(split(lower(trim({text_col})), '\\\\s+')), 1, 65535)) AS __t",
+    ).selectExpr(id_col, f"xxhash64(__t, {seed}) AS __h")
+
+    def _pack_sql(k: int) -> str:
         # bits 4k..4k+3 of the token hash, one per 16-bit field
-        bit = lambda i: F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
-        return (
-            bit(4 * k)
-            + F.shiftleft(bit(4 * k + 1), 16)
-            + F.shiftleft(bit(4 * k + 2), 32)
-            + F.shiftleft(bit(4 * k + 3), 48)
-        )
+        terms = [
+            f"(shiftright(__h, {4 * k}) & 1)",
+            *[
+                f"shiftleft((shiftright(__h, {4 * k + f}) & 1), {16 * f})"
+                for f in range(1, 4)
+            ],
+        ]
+        return f"sum({' + '.join(terms)}) AS p{k}"
 
     sums = base.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(_pack(k)).alias(f"p{k}") for k in range(16)],
+        *[F.expr(_pack_sql(k)) for k in range(16)],
     )
-
-    def _sigbit(i: int) -> Column:
-        k, f = divmod(i, 4)
-        cnt = F.shiftright(F.col(f"p{k}"), 16 * f).bitwiseAND(F.lit(0xFFFF))
-        return F.shiftleft((cnt * 2 > F.col("__n")).cast("long"), i)
-
-    sig = reduce(add, [_sigbit(i) for i in range(64)])
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    sig = " + ".join(
+        f"shiftleft(cast((shiftright(p{i // 4}, {16 * (i % 4)}) & 65535) * 2 > __n AS long), {i})"
+        for i in range(64)
+    )
+    return sums.selectExpr(id_col, f"({sig}) AS simhash")
 
 
 def simhash64(col: Column, seed: int = 0) -> Column:
     """64-bit SimHash of whitespace tokens, pure bit arithmetic.
 
     For each bit position, sum +1/-1 over token-hash bits, take sign.
+
+    .. warning:: SMALL-DATA / TEST VARIANT. 64 interpreted
+       higher-order aggregates per row defeat codegen — use
+       :func:`simhash_signatures` (explode + packed sums) for any real
+       corpus; this exists as the independent value oracle its tests
+       compare against.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), "\\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))

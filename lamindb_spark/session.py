@@ -55,7 +55,7 @@ def get_spark(app_name: str = "lamindb-spark", cpus: int | None = None) -> Spark
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
