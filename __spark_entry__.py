@@ -1674,89 +1674,103 @@ def _q_wide_include(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All implemented queries, one per SURVEY.md §2 operator family.
+
+    Ordering is deliberate: the correctness driver value-checks the FIRST 50
+    entries, so the 32 queries that rounds 1-4 only certified locally (ANN,
+    portable dedup twins, streaming batch twins, M2M include, as-of join, ...)
+    lead, followed by 18 representative previously-driver-certified queries.
+    The r1-r4 driver runs already certified the remainder (see
+    CORRECTNESS_r0{1..4}.json); together the windows cover all 82.
+    The two seeded-xxhash64 rows-only entries (minhash_pairs, simhash) sit
+    past the cap on purpose — their value-checked *_portable twins are inside.
+    """
     return {
-        "filter_lookups": _q_filter_lookups,
-        "q_objects": _q_q_objects,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "star_revenue": _q_star_revenue,
-        "semi_join": _q_semi_join,
-        "anti_join": _q_anti_join,
-        "distinct_pairs": _q_distinct,
-        "topk_orders": _q_topk,
-        "latest_event": _q_latest_event,
-        "search_rank": _q_search,
-        "pivot_events": _q_pivot_events,
-        "json_extract": _q_json_extract,
-        "validate_values": _q_validate,
-        "standardize_values": _q_standardize,
-        "graph_closure": _q_closure,
-        "version_latest": _q_version_latest,
-        "dedup_exact": _q_dedup_exact,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "knn_cosine": _q_knn,
-        "token_stats": _q_token_stats,
-        "lang_id": _q_lang_id,
-        "hourly_events": _q_hourly_events,
-        "union_sets": _q_union,
-        "eav_filter": _q_eav_filter,
-        "path_filter": _q_path_filter,
-        "limit_preserved": _q_limit_preserved,
-        "topmost_dedup": _q_topmost_dedup,
-        "collect_list": _q_collect_list,
-        "multi_set_agg": _q_multi_set_agg,
-        "case_coalesce": _q_case_coalesce,
-        "union_by_name": _q_union_by_name,
-        "length_order": _q_length_order,
-        "json_object": _q_json_object,
-        "rollup_revenue": _q_rollup_revenue,
-        "search_synonyms": _q_search_synonyms,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "quality_score": _q_quality_score,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "embedding_neardup": _q_embedding_neardup,
+        # -- block A: locally-certified-only until r4; driver window now --
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh": _q_ann_lsh,
+        "embedding_neardup": _q_embedding_neardup,
+        "minhash_portable": _q_minhash_portable,
+        "simhash_portable": _q_simhash_portable,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "contamination": _q_contamination,
+        "dup_groups": _q_dup_groups,
+        "chunk_docs": _q_chunk_docs,
+        "redact_pii": _q_redact_pii,
+        "token_freq": _q_token_freq,
+        "quality_score": _q_quality_score,
+        "corpus_curation": _q_corpus_curation,
+        "quantiles": _q_quantiles,
         "asof_join": _q_asof_join,
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
         "user_profiles": _q_user_profiles,
-        "chunk_docs": _q_chunk_docs,
-        "redact_pii": _q_redact_pii,
-        "token_freq": _q_token_freq,
-        "contamination": _q_contamination,
-        "dup_groups": _q_dup_groups,
-        "quantiles": _q_quantiles,
-        "corpus_curation": _q_corpus_curation,
-        "minhash_portable": _q_minhash_portable,
         "sliding_events": _q_sliding_events,
-        "simhash_portable": _q_simhash_portable,
         "order_gaps": _q_order_gaps,
         "cube_priority": _q_cube_priority,
+        "rollup_revenue": _q_rollup_revenue,
         "label_filter": _q_label_filter,
         "wide_include": _q_wide_include,
+        "search_synonyms": _q_search_synonyms,
+        "multi_set_agg": _q_multi_set_agg,
+        "union_by_name": _q_union_by_name,
+        "case_coalesce": _q_case_coalesce,
+        "length_order": _q_length_order,
+        "json_object": _q_json_object,
+        # -- block B: representative driver-certified (r1-r4) queries --
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q21": _q_tpch_q21,
+        "star_revenue": _q_star_revenue,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "eav_filter": _q_eav_filter,
+        "graph_closure": _q_closure,
+        "version_latest": _q_version_latest,
+        "dedup_exact": _q_dedup_exact,
+        "knn_cosine": _q_knn,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "hourly_events": _q_hourly_events,
+        "search_rank": _q_search,
+        "pivot_events": _q_pivot_events,
+        # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "filter_lookups": _q_filter_lookups,
+        "q_objects": _q_q_objects,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q22": _q_tpch_q22,
+        "distinct_pairs": _q_distinct,
+        "topk_orders": _q_topk,
+        "latest_event": _q_latest_event,
+        "json_extract": _q_json_extract,
+        "validate_values": _q_validate,
+        "standardize_values": _q_standardize,
+        "union_sets": _q_union,
+        "path_filter": _q_path_filter,
+        "limit_preserved": _q_limit_preserved,
+        "topmost_dedup": _q_topmost_dedup,
+        "collect_list": _q_collect_list,
     }
 
 
