@@ -1121,9 +1121,25 @@ def _q_ann_ivf_topk(spark, sf):
         for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "vec").collect()
     ]
     qvec = next(v for cid, v in cent_rows if cid == 0)
-    path = f"/tmp/spark_graft_ivf_{_os.path.basename(sf.rstrip('/'))}"
-    # index build is a one-time cost (deterministic content per sf dir);
-    # repeated queries — the common case an IVF index exists for — reuse it
+    # cache key includes a fingerprint of the source parquet (paths,
+    # sizes, mtimes): a regenerated embeddings table invalidates the
+    # cached index instead of silently serving stale results
+    import hashlib as _hashlib
+
+    src = _os.path.join(sf.rstrip("/"), "embeddings.parquet")
+    stats = []
+    for p in sorted(
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(src)
+        for f in fs
+    ) or [src]:
+        st = _os.stat(p)
+        stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    fp = _hashlib.sha256("|".join(stats).encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_ivf_{_os.path.basename(sf.rstrip('/'))}_{fp}"
+    # index build is a one-time cost (deterministic content per source
+    # fingerprint); repeated queries — the common case an IVF index
+    # exists for — reuse it
     if not _os.path.exists(f"{path}/_SUCCESS"):
         ivf_build_index(emb.select("vec_id", "vec"), cent_rows, path, vec_col="vec")
     return ivf_topk(

@@ -40,7 +40,19 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
-def _spread(df: DataFrame, force: bool | None = None) -> DataFrame:
+#: canonical tokenization fragment shared by every text kernel. NULL
+#: text is normalized to '' HERE, explicitly: null handling must not
+#: depend on size(NULL) semantics, which flip between -1 and NULL with
+#: spark.sql.ansi.enabled / legacy.sizeOfNull (ADVICE r4). An empty/
+#: null doc therefore tokenizes to [''] and flows through every kernel
+#: like any other single-token doc (null-text docs pair as exact dups,
+#: fingerprints/signatures are emitted, never silently dropped).
+_TOKENS_SQL = "split(lower(trim(coalesce({text}, ''))), '\\\\s+')"
+
+
+def _spread(
+    df: DataFrame, force: bool | None = None, size_bytes: int | None = None
+) -> DataFrame:
     """Ensure at least cluster-default parallelism before a CPU-heavy
     per-row stage (tokenize/shingle/hash). A small parquet arrives as
     1-2 partitions and would pin the whole stage to one core; at real
@@ -52,20 +64,25 @@ def _spread(df: DataFrame, force: bool | None = None) -> DataFrame:
     scan partitions than to shuffle first (the r3 bench paid a full
     extra Exchange per text query for nothing — VERDICT r03 #1).
     ``force=True/False`` overrides the heuristic (tests pin both
-    branches)."""
+    branches); ``size_bytes`` supplies an already-computed estimate so
+    callers that also gate on size run Catalyst optimization once."""
     do = force
     if do is None:
         target = df.sparkSession.sparkContext.defaultParallelism
-        do = (
-            _plan_size_bytes(df) >= _SPREAD_MIN_BYTES
-            and df.rdd.getNumPartitions() < target
-        )
+        size = _plan_size_bytes(df) if size_bytes is None else size_bytes
+        do = size >= _SPREAD_MIN_BYTES and df.rdd.getNumPartitions() < target
     if do:
         return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 
 
-def _shingle_hash_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def _shingle_hash_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    size_bytes: int | None = None,
+) -> DataFrame:
     """(id, sh) rows — one row per DISTINCT k-shingle hash per doc.
 
     Shingles are 64-bit hashes of k consecutive token hashes, never
@@ -74,12 +91,13 @@ def _shingle_hash_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> Dat
     join/broadcast keys downstream are 8-byte longs, and set semantics
     are identical to string shingles modulo 64-bit collisions
     (~n²/2⁶⁵ — zero in practice). A doc shorter than k tokens
-    contributes one whole-doc hash, mirroring ``shingles()``. Built as
+    contributes one whole-doc hash, mirroring ``shingles()``; NULL
+    text is normalized to '' up front (see ``_TOKENS_SQL``). Built as
     SQL strings: one parse, no py4j round-trip pile-up.
     """
-    base = _spread(df).selectExpr(
+    base = _spread(df, size_bytes=size_bytes).selectExpr(
         id_col,
-        f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t)) AS __th",
+        f"transform({_TOKENS_SQL.format(text=text_col)}, t -> xxhash64(t)) AS __th",
     )
     sh = "__th"
     for j in range(1, k):
@@ -136,7 +154,7 @@ def minhash_signatures(
     """
     base = _spread(df).selectExpr(
         id_col,
-        f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t)) AS __th",
+        f"transform({_TOKENS_SQL.format(text=text_col)}, t -> xxhash64(t)) AS __th",
     )
     sh = "__th"
     for j in range(1, k_shingle):
@@ -281,8 +299,11 @@ def ngram_jaccard_pairs(
     # The checkpoint only pays off when re-shingling is expensive:
     # below the spread threshold the extra eager job costs more than
     # the recompute it saves, so small inputs skip it.
-    sh = _shingle_hash_rows(df, text_col, id_col, k_shingle)
-    if _plan_size_bytes(df) >= _SPREAD_MIN_BYTES:
+    # one Catalyst size estimate feeds BOTH gates (spread + checkpoint)
+    # so they cannot disagree and the optimizer runs once (ADVICE r4)
+    size_bytes = _plan_size_bytes(df)
+    sh = _shingle_hash_rows(df, text_col, id_col, k_shingle, size_bytes=size_bytes)
+    if size_bytes >= _SPREAD_MIN_BYTES:
         sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     grouped = sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids")).filter(
@@ -339,11 +360,17 @@ def contamination_overlap(
     twice). All training docs are kept (``n_shared = 0`` when clean)
     so the output is a stable per-doc verdict table.
 
+    The bench frame only needs ``text_col`` — a synthetic row id feeds
+    the shingler, so benchmark dumps without a document-id column work.
+
     Output: (doc_id, n_shingles, n_shared, overlap_ratio, contaminated).
     """
     tr = _shingle_hash_rows(train, text_col, id_col, k_shingle)
+    bn_src = bench.select(
+        F.monotonically_increasing_id().alias("__bid"), F.col(text_col)
+    )
     bn = (
-        _shingle_hash_rows(bench, text_col, id_col, k_shingle)
+        _shingle_hash_rows(bn_src, text_col, "__bid", k_shingle)
         .select("sh")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -380,9 +407,10 @@ def _token_polyhash(tok: Column) -> Column:
 
 
 #: one SQL fragment: per-token Horner polynomial hash over character
-#: codes — cross-engine deterministic (DuckDB list_reduce equivalent)
+#: codes — cross-engine deterministic (DuckDB list_reduce equivalent);
+#: tokenization (incl. NULL→'' normalization) via _TOKENS_SQL
 _TOKEN_POLYHASH_SQL = (
-    "transform(split(lower(trim({text})), '\\\\s+'), "
+    "transform(" + _TOKENS_SQL.format(text="{text}") + ", "
     "t -> aggregate(split(t, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % {p}))"
 )
 
@@ -498,7 +526,9 @@ def simhash_bit_sums_portable(
     hundreds of py4j round-trips otherwise dominate plan BUILD time
     (~0.9 s → ~0.25 s per invocation).
     """
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "\\s+")
+    )
     base = _spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), _token_polyhash(F.col("__t")).alias("__h")
     )
@@ -549,7 +579,7 @@ def simhash_signatures(
     """
     base = _spread(df).selectExpr(
         id_col,
-        f"explode(slice(array_distinct(split(lower(trim({text_col})), '\\\\s+')), 1, 65535)) AS __t",
+        f"explode(slice(array_distinct({_TOKENS_SQL.format(text=text_col)}), 1, 65535)) AS __t",
     ).selectExpr(id_col, f"xxhash64(__t, {seed}) AS __h")
 
     def _pack_sql(k: int) -> str:
@@ -585,7 +615,7 @@ def simhash64(col: Column, seed: int = 0) -> Column:
        corpus; this exists as the independent value oracle its tests
        compare against.
     """
-    toks = F.array_distinct(F.split(F.lower(F.trim(col)), "\\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), "\\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     bits = []
     for i in range(64):

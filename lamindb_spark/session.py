@@ -42,6 +42,23 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """Driver heap default scaled to detected system RAM, like the cpu/
+    shuffle settings: 16g only where it comfortably fits (≥48 GB), 8g
+    down to 16 GB hosts, 4g below — a library entry point must not OOM
+    the machine it is imported on. ``$SPARK_DRIVER_MEMORY`` overrides.
+    """
+    try:
+        total_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
+    except (AttributeError, ValueError, OSError):
+        return "8g"
+    if total_gb >= 48:
+        return "16g"
+    if total_gb >= 16:
+        return "8g"
+    return "4g"
+
+
 def get_spark(app_name: str = "lamindb-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -55,7 +72,10 @@ def get_spark(app_name: str = "lamindb-spark", cpus: int | None = None) -> Spark
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )

@@ -164,3 +164,82 @@ def test_include_to_many_empty_list_not_null(lakehouse):
     assert list(by_id[a1["id"]]["ulabels__name"]) == ["tagged"]
     unlinked = by_id[a2["id"]]["ulabels__name"]
     assert unlinked is not None and list(unlinked) == []
+
+
+# Round 4 (ADVICE.md r04): explicit NULL-text semantics in the dedup
+# kernels (independent of size(NULL) / ansi settings), bench frames
+# without an id column in contamination_overlap, and a single Catalyst
+# size estimate feeding both ngram_jaccard gates.
+
+
+@pytest.fixture()
+def null_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, None),
+            (3, None),
+            (4, ""),
+            (5, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_null_text_pairs_as_exact_dups_in_ngram_jaccard(spark, null_docs):
+    """NULL text normalizes to '' → null/empty docs share the whole-doc
+    shingle and pair with jaccard 1.0 (never silently dropped), under
+    BOTH ansi settings (ADVICE r4 #1)."""
+    from lamindb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    for ansi in ("true", "false"):
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        try:
+            pairs = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(null_docs, threshold=0.5).collect()
+            }
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        assert pairs[(2, 3)] == 1.0, "null-null must pair as exact dups"
+        assert pairs[(2, 4)] == 1.0, "null-empty must pair as exact dups"
+        assert pairs[(1, 5)] == 1.0
+
+
+def test_null_text_rows_survive_fingerprint_and_signatures(spark, null_docs):
+    """winnow_fingerprint / portable minhash / simhash emit a row for
+    every doc including null text — no silent drops (ADVICE r4 #1)."""
+    from lamindb_spark.pipeline.dedup import (
+        minhash_signatures,
+        minhash_signatures_portable,
+        simhash_signatures,
+        winnow_fingerprint,
+    )
+
+    fp = winnow_fingerprint(null_docs).collect()
+    assert {r["doc_id"] for r in fp} == {1, 2, 3, 4, 5}
+    by_id = {r["doc_id"]: r["fingerprint"] for r in fp}
+    assert by_id[2] == by_id[3] == by_id[4], "null == null == empty"
+    assert by_id[2] is not None
+
+    sig = minhash_signatures_portable(null_docs, n_hashes=4)
+    assert sig.groupBy("doc_id").count().count() == 5
+
+    assert minhash_signatures(null_docs).count() == 5
+    assert simhash_signatures(null_docs).count() == 5
+
+
+def test_contamination_bench_without_id_column(spark, null_docs):
+    """The bench side needs only text_col; frames lacking doc_id work
+    (ADVICE r4 #2)."""
+    from lamindb_spark.pipeline.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_overlap(null_docs, bench).collect()
+    }
+    assert out[1] and out[5]
+    assert not out[2] and not out[4]
