@@ -265,3 +265,47 @@ def test_resample_audio_real_wav(spark):
     assert rate == 4000
     src, _ = decode_wav(encode_wav(frames, 8000))
     np.testing.assert_allclose(got[:, 0], src[::2, 0], atol=1 / 32768)
+
+
+def test_mapped_union_distributed_plan(spark):
+    """VERDICT r04 #1: the global index must not funnel data rows
+    through one partition. SinglePartition exchanges are allowed only
+    directly above an aggregate (the #partitions-row counts table);
+    the data path shuffles via rangepartitioning only, and no
+    row_number window remains anywhere in the plan."""
+    import re
+
+    s1 = spark.range(0, 1000).selectExpr("id", "id % 7 AS label")
+    s2 = spark.range(1000, 2500).selectExpr("id", "id % 7 AS label")
+    u = mapped_union([s1, s2], ["a", "b"])
+    plan = u._jdf.queryExecution().executedPlan().toString()
+
+    sp_children = re.findall(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*?\+\- (\w+)", plan
+    )
+    assert sp_children, "expected tiny-offsets exchanges in plan"
+    assert all(c == "HashAggregate" for c in sp_children), (
+        f"SinglePartition exchange over non-aggregated rows: {sp_children}"
+    )
+    assert "rangepartitioning" in plan, "data path must use the range shuffle"
+    assert "row_number" not in plan, "no row_number funnel on data rows"
+    # full-width correctness at this scale: index == sorted id order
+    rows = sorted((r["__global_idx"], r["id"]) for r in u.collect())
+    assert [r[0] for r in rows] == list(range(2500))
+    assert [r[1] for r in rows] == list(range(2500))
+
+
+def test_encode_labels_distributed_plan(spark):
+    """encode_labels' vocab rank uses the same distributed shape — no
+    single-partition exchange over non-aggregated rows."""
+    import re
+
+    df = spark.range(0, 5000).selectExpr("id", "concat('lbl', id % 97) AS label")
+    encoded, vocab = encode_labels(df, "label")
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    sp_children = re.findall(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*?\+\- (\w+)", plan
+    )
+    assert all(c == "HashAggregate" for c in sp_children), sp_children
+    m = {r["label"]: r["label_idx"] for r in vocab.collect()}
+    assert sorted(m.values()) == list(range(97)), "dense 0-based, no gaps/dups"

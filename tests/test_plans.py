@@ -47,6 +47,33 @@ def test_plan_invariants(spark, name):
 # results stay correct.
 _MAX_EXCHANGES = {
     "tpch_q1": 1,          # partial agg + one shuffle on the group key
+    # All 22 TPC-H shapes pinned at their current (sf0.001, 4 shuffle
+    # partitions) exchange counts — VERDICT r04 #3: a join-order or
+    # broadcast regression in ANY of them now fails loudly instead of
+    # silently doubling shuffles. Broadcast exchanges count too, so a
+    # broadcast→sort-merge flip trips the ceiling (SMJ adds 2
+    # hashpartitioning exchanges for the 1 BroadcastExchange it drops).
+    "tpch_q2": 13,         # deep dim chain + correlated min-supplycost subquery
+    "tpch_q3": 3,
+    "tpch_q4": 3,          # semi-join via exists
+    "tpch_q5": 7,
+    "tpch_q6": 1,          # scan + filter + global agg (single reduce exchange)
+    "tpch_q7": 7,
+    "tpch_q8": 9,
+    "tpch_q9": 5,
+    "tpch_q10": 4,
+    "tpch_q11": 9,         # two-pass over partsupp (group + global threshold)
+    "tpch_q12": 3,
+    "tpch_q13": 4,         # outer join + double agg
+    "tpch_q14": 2,
+    "tpch_q15": 6,         # revenue view reused (max + equi-join)
+    "tpch_q16": 5,
+    "tpch_q17": 4,         # per-part avg subquery join
+    "tpch_q18": 3,
+    "tpch_q19": 2,
+    "tpch_q20": 9,         # nested exists chain
+    "tpch_q21": 7,         # lineitem self-joins (exists + not-exists)
+    "tpch_q22": 5,
     "dedup_exact": 1,      # hash-groupBy
     "sessionize": 1,       # one shuffle on user_id (lag+cumsum+agg share it)
     "asof_join": 1,        # union+window: one shuffle on the key, no range join
