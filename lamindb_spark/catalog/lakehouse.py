@@ -655,14 +655,25 @@ class Lakehouse:
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
             )
-        if suffix in (".h5ad", ".zarr"):
-            # array payload → long-form AnnData tables (S6 ingest
-            # bridge, reference artifact.py:2920-3115 suffix dispatch
-            # to the AnnData accessors)
+        if suffix in (".h5ad", ".zarr", ".h5mu"):
+            # array payload → long-form AnnData/MuData tables (S6
+            # ingest bridge, reference artifact.py:2920-3115 suffix
+            # dispatch to the AnnData accessors; MuData per
+            # artifact.py:2502 from_mudata)
             from ..sources.anndata_io import read_anndata_zarr, read_h5ad
+            from ..sources.mudata_io import (
+                is_mudata_store,
+                read_h5mu,
+                read_mudata_zarr,
+            )
 
-            opener = read_h5ad if suffix == ".h5ad" else read_anndata_zarr
-            return opener(self.spark, path)
+            if suffix == ".h5mu":
+                return read_h5mu(self.spark, path)
+            if suffix == ".h5ad":
+                return read_h5ad(self.spark, path)
+            if is_mudata_store(path):
+                return read_mudata_zarr(self.spark, path)
+            return read_anndata_zarr(self.spark, path)
         return read_payload(self.spark, path, suffix if suffix.startswith(".") else ".parquet")
 
     def describe_artifact(self, uid_or_key: str) -> str:

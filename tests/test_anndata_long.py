@@ -191,3 +191,153 @@ def test_h5ad_missing_h5py_message(spark, tmp_path):
         pass
     with pytest.raises(ImportError, match="h5py"):
         read_h5ad(spark, str(tmp_path / "x.h5ad"))
+
+
+# ------------------------------------------------------------- mudata io
+
+from lamindb_spark.sources.mudata_io import (
+    MuDataLong,
+    read_mudata_zarr,
+    write_mudata_zarr,
+)
+
+
+def _synthetic_mudata():
+    """Two modalities sharing a subset of cells (rna ⊃ prot), the
+    standard CITE-seq shape."""
+    rng = np.random.default_rng(11)
+    rna_obs = pd.DataFrame(
+        {
+            "obs_id": [f"cell{i}" for i in range(6)],
+            "cond": ["a", "b", "a", "b", "a", "b"],
+        }
+    )
+    rna_var = pd.DataFrame({"var_id": [f"gene{j}" for j in range(4)]})
+    rna_x = rng.random((6, 4))
+    rna_x[rna_x < 0.4] = 0.0
+    prot_obs = pd.DataFrame({"obs_id": [f"cell{i}" for i in range(4)]})
+    prot_var = pd.DataFrame({"var_id": [f"adt{j}" for j in range(3)]})
+    prot_x = rng.random((4, 3))
+    prot_x[prot_x < 0.4] = 0.0
+    return {
+        "rna": (rna_obs, rna_var, rna_x),
+        "prot": (prot_obs, prot_var, prot_x),
+    }
+
+
+def test_mudata_zarr_round_trip(spark, tmp_path):
+    """VERDICT r04 #5: MuData store → one AnnDataLong per modality,
+    values exact, modality order preserved from mod-order."""
+    mods = _synthetic_mudata()
+    path = str(tmp_path / "md.zarr")
+    write_mudata_zarr(path, mods)
+    md = read_mudata_zarr(spark, path)
+    assert md.mod_names == ["rna", "prot"]
+    for name, (obs, var, x) in mods.items():
+        ad = md[name]
+        assert ad.obs.count() == len(obs)
+        assert {r["var_id"] for r in ad.var.collect()} == set(var["var_id"])
+        entries = {(r["obs_id"], r["var_id"]): r["value"] for r in ad.x.collect()}
+        rows, cols = np.nonzero(x)
+        expect = {
+            (obs["obs_id"][i], var["var_id"][j]): x[i, j]
+            for i, j in zip(rows, cols)
+        }
+        assert entries == expect
+
+
+def test_mudata_union_and_paired_obs(spark, tmp_path):
+    mods = _synthetic_mudata()
+    path = str(tmp_path / "md2.zarr")
+    write_mudata_zarr(path, mods)
+    md = read_mudata_zarr(spark, path)
+    ux = md.union_x()
+    # namespaced var ids, one modality column, total nnz preserved
+    nnz = sum(int((x != 0).sum()) for _, _, x in mods.values())
+    assert ux.count() == nnz
+    assert {r["modality"] for r in ux.select("modality").distinct().collect()} == {
+        "rna",
+        "prot",
+    }
+    assert ux.filter(~F.col("var_id").rlike("^(rna|prot):")).count() == 0
+    uv = md.union_var()
+    assert uv.count() == 4 + 3
+    # paired obs: prot covers cell0-3 only → inner intersect is 4
+    assert md.paired_obs("inner").count() == 4
+    assert md.paired_obs("outer").count() == 6
+    # per-modality ops still compose (pseudobulk on the rna part)
+    pb = md["rna"].pseudobulk("cond")
+    assert pb.count() > 0
+
+
+def test_mudata_artifact_register_and_open(spark, tmp_path, lakehouse):
+    """End-to-end: register a MuData .zarr artifact (otype MuData, dir
+    hash dedup) and open_artifact dispatches to the MuData reader off
+    the store's encoding-type — same .zarr suffix as AnnData."""
+    mods = _synthetic_mudata()
+    path = str(tmp_path / "cite.zarr")
+    write_mudata_zarr(path, mods)
+    row = lakehouse.register_artifact(path, key="arrays/cite.zarr", otype="MuData")
+    assert row["otype"] == "MuData" and row["suffix"] == ".zarr"
+    md = lakehouse.open_artifact("arrays/cite.zarr", is_run_input=False)
+    assert isinstance(md, MuDataLong)
+    assert set(md.mod_names) == {"rna", "prot"}
+    # the AnnData path still dispatches to AnnDataLong
+    obs, var, x = _synthetic()
+    apath = str(tmp_path / "plain.zarr")
+    write_anndata_zarr(apath, obs, var, x)
+    lakehouse.register_artifact(apath, key="arrays/plain.zarr", otype="AnnData")
+    ad = lakehouse.open_artifact("arrays/plain.zarr", is_run_input=False)
+    assert isinstance(ad, AnnDataLong)
+
+
+def test_h5mu_round_trip(spark, tmp_path):
+    """Real .h5mu round-trip — runs wherever h5py is installed (this
+    container ships without it; the shared decode path is covered by
+    the MuData zarr tests above)."""
+    h5py = pytest.importorskip("h5py")
+    from lamindb_spark.sources.mudata_io import read_h5mu
+
+    mods = _synthetic_mudata()
+    path = str(tmp_path / "md.h5mu")
+    with h5py.File(path, "w") as f:
+        f.attrs["encoding-type"] = "MuData"
+        modg = f.create_group("mod")
+        modg.attrs["mod-order"] = list(mods)
+        for name, (obs, var, x) in mods.items():
+            g = modg.create_group(name)
+            for dfname, pdf, idx in (("obs", obs, "obs_id"), ("var", var, "var_id")):
+                dg = g.create_group(dfname)
+                dg.attrs["encoding-type"] = "dataframe"
+                dg.attrs["_index"] = idx
+                dg.attrs["column-order"] = [c for c in pdf.columns if c != idx]
+                for c in pdf.columns:
+                    vals = pdf[c].to_numpy()
+                    if vals.dtype.kind == "O":
+                        dg.create_dataset(
+                            c, data=[("" if v is None else v) for v in vals],
+                            dtype=h5py.string_dtype(),
+                        )
+                    else:
+                        dg.create_dataset(c, data=vals)
+            g.create_dataset("X", data=x)
+    md = read_h5mu(spark, path)
+    assert md.mod_names == list(mods)
+    for name, (obs, var, x) in mods.items():
+        entries = {(r["obs_id"], r["var_id"]): r["value"] for r in md[name].x.collect()}
+        rows, cols = np.nonzero(x)
+        assert entries == {
+            (obs["obs_id"][i], var["var_id"][j]): x[i, j] for i, j in zip(rows, cols)
+        }
+
+
+def test_h5mu_missing_h5py_guidance(spark, tmp_path):
+    """Without h5py the error must point at the zarr alternative."""
+    import sys as _sys
+
+    from lamindb_spark.sources.mudata_io import read_h5mu
+
+    if "h5py" in _sys.modules:
+        pytest.skip("h5py installed; gate path not reachable")
+    with pytest.raises(ImportError, match="read_mudata_zarr"):
+        read_h5mu(spark, str(tmp_path / "x.h5mu"))
