@@ -79,13 +79,18 @@ def _fake_decode(content: bytes) -> list[float]:
 
 
 def _decode_image(content: bytes) -> list[float]:
-    """Image decode: REAL pure-python PNG decode (``png.py``) for PNG
-    payloads — actual pixels, normalized to [0, 1] — falling back to
-    the declared stub for formats that need codec libs (JPEG etc.)."""
+    """Image decode: REAL pure-python codecs for PNG (``png.py``) and
+    baseline JPEG (``jpeg.py``) payloads — actual pixels, normalized
+    to [0, 1] — falling back to the declared stub only for formats
+    that need codec libs (webp/tiff etc.)."""
+    from .jpeg import decode_jpeg, is_jpeg
     from .png import PNG_SIG, decode_png
 
     if content and bytes(content[:8]) == PNG_SIG:
         arr, _w, _h, _c = decode_png(bytes(content))
+        return (arr.astype("float64") / 255.0).ravel().tolist()
+    if content and is_jpeg(bytes(content)):
+        arr, _w, _h, _c = decode_jpeg(bytes(content))
         return (arr.astype("float64") / 255.0).ravel().tolist()
     return _fake_decode(content)
 

