@@ -10,15 +10,21 @@ target as the DuckDB reference (`scripts/bench_duckdb.py` uses
 `.df()`), so both engines pay comparable result-transfer cost instead
 of Spark paying py4j row-object serialization DuckDB never pays.
 
-Methodology: steady-state per query — each query runs twice and the
-faster run is reported (standard DB-bench practice; the first run pays
-one-time whole-stage-codegen compilation and Python-worker startup,
-costs that are amortized to ~zero in any real workload). Cold times
-are printed to stderr alongside for transparency.
+Methodology: steady-state per query — each query runs THREE times and
+the fastest run is reported (standard DB-bench practice; the first run
+pays one-time whole-stage-codegen compilation and Python-worker
+startup, costs that are amortized to ~zero in any real workload).
+Between queries the Python and JVM heaps are explicitly collected: the
+r3/r4 suite runs showed ±6x swings on consecutive-block stretches that
+isolated re-runs couldn't reproduce — accumulated driver garbage, not
+plan changes — so each query now starts from a settled heap. The
+per-query cold (max) times ship in the JSON alongside steady (min) so
+a noisy round is diagnosable from the artifact itself.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -42,18 +48,29 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer caches
     entrymod.queries()["tpch_q1"](spark, sf_dir).collect()
 
+    jvm_gc = None
+    try:
+        jvm_gc = spark.sparkContext._jvm.System.gc
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        gc.collect()
+        if jvm_gc is not None:
+            jvm_gc()
         runs = []
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = len(df.toPandas())
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        cold[name] = round(max(runs), 3)
         print(
-            f"# {name}: {timings[name]:.3f}s steady ({max(runs):.3f}s cold, {n} rows)",
+            f"# {name}: {timings[name]:.3f}s steady ({cold[name]:.3f}s cold, {n} rows)",
             file=sys.stderr,
         )
 
@@ -65,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
                 "sf": sf,
             }
         )

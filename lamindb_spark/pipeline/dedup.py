@@ -86,10 +86,12 @@ def _shingle_hash_rows(
     """(id, sh) rows — one row per DISTINCT k-shingle hash per doc.
 
     Shingles are 64-bit hashes of k consecutive token hashes, never
-    materialized as strings: per-row cost is a handful of xxhash64
-    calls instead of slice+concat string allocation (~10× cheaper),
-    join/broadcast keys downstream are 8-byte longs, and set semantics
-    are identical to string shingles modulo 64-bit collisions
+    materialized as strings: per-row work is a handful of xxhash64
+    calls instead of slice+concat string allocation (NOT measurable at
+    bench scale — SCALE.md ledger r5: 0.495 vs 0.483 s at sf0.1, floor-
+    dominated; the design is kept for the 8-byte long join/broadcast
+    keys downstream and per-byte cost at corpus scale), and set
+    semantics are identical to string shingles modulo 64-bit collisions
     (~n²/2⁶⁵ — zero in practice). A doc shorter than k tokens
     contributes one whole-doc hash, mirroring ``shingles()``; NULL
     text is normalized to '' up front (see ``_TOKENS_SQL``). Built as
@@ -571,7 +573,10 @@ def simhash_signatures(
     above real document sizes). Bit i of the signature is set iff
     ``2*count_set(i) > n_tokens`` — identical to the ±1-sum sign, but
     the agg state is 16 longs + a count instead of 64 sums: 4× fewer
-    aggregation buffers and 4× less shuffled agg state per doc.
+    aggregation buffers and 4× less shuffled agg state per doc. (At
+    bench scale the pack/unpack arithmetic makes this ~24% SLOWER than
+    64 plain sums — SCALE.md ledger r5; packing is kept for the
+    shuffle-state property, which is what matters at corpus scale.)
 
     Pack and signature-assembly expressions are SQL strings (one
     parse each) — the r3 Column-API build cost ~2.3 s of py4j
