@@ -666,6 +666,10 @@ class Lakehouse:
                 read_h5mu,
                 read_mudata_zarr,
             )
+            from ..sources.spatialdata_io import (
+                is_spatialdata_store,
+                read_spatialdata_zarr,
+            )
 
             if suffix == ".h5mu":
                 return read_h5mu(self.spark, path)
@@ -673,6 +677,8 @@ class Lakehouse:
                 return read_h5ad(self.spark, path)
             if is_mudata_store(path):
                 return read_mudata_zarr(self.spark, path)
+            if is_spatialdata_store(path):
+                return read_spatialdata_zarr(self.spark, path)
             return read_anndata_zarr(self.spark, path)
         return read_payload(self.spark, path, suffix if suffix.startswith(".") else ".parquet")
 

@@ -6,3 +6,8 @@ from .mudata_io import (  # noqa: F401
     read_mudata_zarr,
     write_mudata_zarr,
 )
+from .spatialdata_io import (  # noqa: F401
+    SpatialDataLong,
+    read_spatialdata_zarr,
+    write_spatialdata_zarr,
+)

@@ -341,3 +341,65 @@ def test_h5mu_missing_h5py_guidance(spark, tmp_path):
         pytest.skip("h5py installed; gate path not reachable")
     with pytest.raises(ImportError, match="read_mudata_zarr"):
         read_h5mu(spark, str(tmp_path / "x.h5mu"))
+
+
+# -------------------------------------------------------- spatialdata io
+
+import os
+
+from lamindb_spark.sources.spatialdata_io import (
+    SpatialDataLong,
+    read_image_level,
+    read_spatialdata_zarr,
+    write_spatialdata_zarr,
+)
+
+
+def test_spatialdata_round_trip(spark, tmp_path):
+    """SpatialData store → tables via the shared AnnData path, points
+    as native parquet scans, images as NGFF metadata + lazy pixels."""
+    obs, var, x = _synthetic()
+    pts = spark.createDataFrame(
+        [(i, float(i) * 1.5, float(i) * 0.5, f"gene{i % 5}") for i in range(20)],
+        "point_id long, x double, y double, feature string",
+    )
+    img = (np.arange(2 * 6 * 8) % 256).astype(np.uint8).reshape(2, 6, 8)
+    path = str(tmp_path / "sd.zarr")
+    write_spatialdata_zarr(
+        path,
+        tables={"table": (obs, var, x)},
+        points={"transcripts": pts},
+        images={"he_stain": img},
+    )
+    sd = read_spatialdata_zarr(spark, path)
+    assert sd.element_names["tables"] == ["table"]
+    assert sd.element_names["points"] == ["transcripts"]
+    assert sd.element_names["images"] == ["he_stain"]
+    # tables: exact values through the shared decode path
+    entries = {(r["obs_id"], r["var_id"]): r["value"] for r in sd.tables["table"].x.collect()}
+    rows, cols = np.nonzero(x)
+    assert entries == {(f"cell{i}", f"gene{j}"): x[i, j] for i, j in zip(rows, cols)}
+    # points: a real distributed parquet scan
+    got = sd.points["transcripts"]
+    assert got.count() == 20
+    assert got.filter(got.feature == "gene1").count() == 4
+    # images: NGFF metadata + lazy pixel read of level 0
+    meta = sd.images["he_stain"]
+    assert meta["axes"] == ["c", "y", "x"]
+    assert meta["levels"][0]["shape"] == [2, 6, 8]
+    np.testing.assert_array_equal(read_image_level(os.path.join(path, "images"), "he_stain"), img)
+
+
+def test_spatialdata_artifact_register_and_open(spark, tmp_path, lakehouse):
+    """Register with otype SpatialData; open_artifact dispatches off
+    the store layout — same .zarr suffix as AnnData/MuData."""
+    obs, var, x = _synthetic()
+    path = str(tmp_path / "tissue.zarr")
+    write_spatialdata_zarr(path, tables={"table": (obs, var, x)})
+    row = lakehouse.register_artifact(
+        path, key="arrays/tissue.zarr", otype="SpatialData"
+    )
+    assert row["otype"] == "SpatialData"
+    sd = lakehouse.open_artifact("arrays/tissue.zarr", is_run_input=False)
+    assert isinstance(sd, SpatialDataLong)
+    assert "table" in sd.tables
