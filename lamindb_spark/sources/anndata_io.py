@@ -290,19 +290,93 @@ def read_anndata_zarr(spark: SparkSession, path: str) -> AnnDataLong:
 
 def read_h5ad(spark: SparkSession, path: str) -> AnnDataLong:
     """Open an ``.h5ad`` file as long form (reference
-    ``_anndata_accessor.py:727``). Requires the public ``h5py``
-    package; the decoding pipeline is shared with (and tested via)
-    :func:`read_anndata_zarr`."""
+    ``_anndata_accessor.py:727``). Uses ``h5py`` when installed;
+    otherwise falls back to the VENDORED pure-python HDF5 reader
+    (``sources/hdf5.py`` — superblock v0/v2/v3, symbol-table groups,
+    contiguous/chunked layouts with gzip/shuffle/fletcher32, vlen
+    strings), so the h5ad flavor works and is tested in environments
+    without libhdf5. The decoding pipeline below the store adapter is
+    shared with :func:`read_anndata_zarr`."""
     try:
         import h5py
-    except ImportError as exc:  # pragma: no cover - container lacks h5py
-        raise ImportError(
-            "read_h5ad needs the public 'h5py' package (pip install h5py); "
-            "alternatively store the array as AnnData zarr and use "
-            "read_anndata_zarr, which has no native dependencies"
-        ) from exc
+    except ImportError:
+        from .hdf5 import open_h5
+
+        return _store_to_long(spark, open_h5(path))
     with h5py.File(path, "r") as f:
         return _store_to_long(spark, _H5Store(f))
+
+
+def write_h5ad(
+    path: str,
+    obs,
+    var,
+    x: "np.ndarray",
+    x_format: str = "dense",
+    obs_index: str = "obs_id",
+    var_index: str = "var_id",
+    chunks: tuple | None = None,
+) -> None:
+    """Write an AnnData ``.h5ad`` (HDF5) file via the vendored writer
+    (``sources/hdf5.py``) — no libhdf5 needed. Mirrors
+    :func:`write_anndata_zarr`: dataframe groups with ``_index``/
+    ``column-order`` attrs, categorical groups for nullable string
+    columns, dense or CSR ``X`` (optionally chunked+gzip). Export sink
+    + in-container round-trip oracle for :func:`read_h5ad`."""
+    from .hdf5 import H5Writer
+
+    w = H5Writer()
+    w.group("/", {"encoding-type": "anndata", "encoding-version": "0.1.0"})
+    for name, pdf, idx in (("obs", obs, obs_index), ("var", var, var_index)):
+        cols = [c for c in pdf.columns if c != idx]
+        w.group(
+            name,
+            {
+                "encoding-type": "dataframe",
+                "encoding-version": "0.2.0",
+                "_index": idx,
+                "column-order": cols,
+            },
+        )
+        w.dataset(f"{name}/{idx}", pdf[idx].to_numpy())
+        for c in cols:
+            arr = pdf[c].to_numpy()
+            if arr.dtype.kind == "O" and pdf[c].isna().any():
+                cats = sorted({v for v in arr if v is not None})
+                cat_idx = {v: i for i, v in enumerate(cats)}
+                codes = np.array([cat_idx.get(v, -1) for v in arr], dtype=np.int64)
+                w.group(
+                    f"{name}/{c}",
+                    {"encoding-type": "categorical", "encoding-version": "0.2.0"},
+                )
+                w.dataset(f"{name}/{c}/codes", codes)
+                w.dataset(f"{name}/{c}/categories", np.array(cats, dtype=str))
+            else:
+                w.dataset(f"{name}/{c}", arr)
+    x = np.asarray(x, dtype=np.float64)
+    if x_format == "dense":
+        w.dataset(
+            "X", x,
+            attrs={"encoding-type": "array", "encoding-version": "0.2.0"},
+            chunks=chunks, gzip_level=4 if chunks else None,
+        )
+    elif x_format == "csr":
+        rows, cols_nz = np.nonzero(x)
+        data = x[rows, cols_nz]
+        indptr = np.zeros(x.shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        w.group(
+            "X",
+            {"encoding-type": "csr_matrix", "encoding-version": "0.1.0",
+             "shape": [int(x.shape[0]), int(x.shape[1])]},
+        )
+        w.dataset("X/data", data)
+        w.dataset("X/indices", cols_nz.astype(np.int64))
+        w.dataset("X/indptr", indptr)
+    else:
+        raise ValueError("x_format must be 'dense' or 'csr'")
+    w.save(path)
 
 
 # ------------------------------------------------------------ zarr writer

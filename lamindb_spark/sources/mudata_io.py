@@ -125,35 +125,36 @@ def read_mudata_zarr(spark: SparkSession, path: str) -> MuDataLong:
     return MuDataLong(modalities=modalities, obs=obs)
 
 
+def _h5_root_to_mudata(spark: SparkSession, root, path: str) -> MuDataLong:
+    if "mod" not in root:
+        raise ValueError(f"{path!r} has no mod/ group — not a MuData file")
+    mod = root["mod"]
+    names = mod.attrs().get("mod-order") or mod.keys()
+    modalities = {m: _store_to_long(spark, mod[m]) for m in names}
+    obs = None
+    if "obs" in root:
+        obs_pdf = _decode_dataframe(root["obs"])
+        obs_pdf = obs_pdf.rename(columns={obs_pdf.columns[0]: "obs_id"})
+        obs = spark.createDataFrame(obs_pdf)
+    return MuDataLong(modalities=modalities, obs=obs)
+
+
 def read_h5mu(spark: SparkSession, path: str) -> MuDataLong:
-    """Open an ``.h5mu`` file (HDF5 MuData flavor). Requires the public
-    ``h5py`` package; the decoding below the store adapter is shared
-    with (and tested via) :func:`read_mudata_zarr`."""
+    """Open an ``.h5mu`` file (HDF5 MuData flavor). Uses ``h5py`` when
+    installed; otherwise falls back to the vendored pure-python HDF5
+    reader (``sources/hdf5.py``) like :func:`anndata_io.read_h5ad`.
+    The decoding below the store adapter is shared with (and tested
+    via) :func:`read_mudata_zarr`."""
     try:
         import h5py
-    except ImportError as exc:  # pragma: no cover - container lacks h5py
-        raise ImportError(
-            "read_h5mu needs the public 'h5py' package (pip install h5py); "
-            "alternatively store the payload as MuData zarr and use "
-            "read_mudata_zarr, which has no native dependencies"
-        ) from exc
+    except ImportError:
+        from .hdf5 import open_h5
+
+        return _h5_root_to_mudata(spark, open_h5(path), path)
     from .anndata_io import _H5Store
 
     with h5py.File(path, "r") as f:
-        root = _H5Store(f)
-        if "mod" not in root:
-            raise ValueError(f"{path!r} has no mod/ group — not a MuData file")
-        mod = root["mod"]
-        names = mod.attrs().get("mod-order") or mod.keys()
-        modalities = {m: _store_to_long(spark, mod[m]) for m in names}
-        obs = None
-        if "obs" in root:
-            import pandas as pd  # noqa: F401  (decoder returns pandas)
-
-            obs_pdf = _decode_dataframe(root["obs"])
-            obs_pdf = obs_pdf.rename(columns={obs_pdf.columns[0]: "obs_id"})
-            obs = spark.createDataFrame(obs_pdf)
-        return MuDataLong(modalities=modalities, obs=obs)
+        return _h5_root_to_mudata(spark, _H5Store(f), path)
 
 
 def write_mudata_zarr(
