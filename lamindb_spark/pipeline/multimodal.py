@@ -5,12 +5,12 @@ Design (BASELINE.json north star): media cells are ``binary`` columns
 with a sidecar metadata struct; decode / feature-extraction / resize /
 frame-sampling run as ``mapInPandas`` stages — per-partition Arrow
 batches, so bytes move JVM→Python once per batch, never per row.
-Decoders dispatch per format: PNG is REAL (pure-python codec in
-``png.py`` — decode, nearest-neighbor resize, re-encode) and WAV is
-REAL (stdlib codec in ``wav.py`` — decode, nearest resample,
-re-encode), both tested on actual pixel/sample data; formats whose
-codecs don't ship in this environment (JPEG/mp3/video via
-PIL/libav/soundfile) fall back to the declared deterministic stub, so
+Decoders dispatch per format, and each modality has a REAL pure-
+python/numpy codec path tested on actual pixels/samples/frames: PNG
+(``png.py``) and baseline JPEG (``jpeg.py``) for images, PCM WAV
+(``wav.py``) for audio, MJPEG-AVI (``avi.py``) for video. Formats
+that require a codec library (webp/tiff, mp3/ogg/flac, inter-frame
+video like H.264) fall back to the declared deterministic stub, so
 the Spark-side plumbing — schema, batching, partition sizing — is
 exercised end-to-end either way, and swapping in another real codec
 is a one-function change.
@@ -108,10 +108,23 @@ def _decode_audio(content: bytes) -> list[float]:
     return _fake_decode(content)
 
 
+def _decode_video(content: bytes) -> list[float]:
+    """Video decode: REAL MJPEG-in-AVI path (``avi.py`` container
+    parse + ``jpeg.py`` per-frame decode) — features come from the
+    first frame's actual pixels; inter-frame codecs (H.264 etc.) fall
+    back to the declared stub (they need a codec library)."""
+    from .avi import decode_avi, is_avi
+
+    if content and is_avi(bytes(content)):
+        v = decode_avi(bytes(content))
+        return (v.frame(0).astype("float64") / 255.0).ravel().tolist()
+    return _fake_decode(content)
+
+
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {
     "image": _decode_image,
     "audio": _decode_audio,
-    "video": _fake_decode,
+    "video": _decode_video,
 }
 
 
@@ -150,10 +163,11 @@ def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (decode stubbed — emits frame offsets; a real
-    implementation decodes at each offset). Pure-DataFrame explode, so
-    the fan-out happens JVM-side before any Python decode stage."""
+    """Frame-sampling PLAN for video rows: one output row per sampled
+    timestamp from the duration metadata — pure-DataFrame explode, so
+    the fan-out happens JVM-side and never touches the bytes. Feed its
+    offsets to :func:`extract_video_frames` for the real pixel
+    decode (MJPEG-AVI)."""
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return (
         media.filter(F.col("kind") == "video")
@@ -282,3 +296,71 @@ def resample_audio(media: DataFrame, sample_rate: int, batch_size: int = 64) -> 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.filter(F.col("kind") == "audio").mapInPandas(_process, RESAMPLED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_ms", LongType()),
+        StructField("content", BinaryType()),  # PNG-encoded frame
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def extract_video_frames(
+    media: DataFrame, every_ms: int = 1000, batch_size: int = 8
+) -> DataFrame:
+    """REAL frame extraction for video rows via ``mapInPandas``:
+    MJPEG-AVI payloads (``avi.py``) decode one JPEG frame per sampled
+    offset — only the sampled frames' bytes are touched — and each
+    frame re-encodes as PNG (lossless interchange). Non-AVI payloads
+    emit zero rows rather than fake pixels; :func:`sample_frames`
+    remains the metadata-only planning variant.
+
+    Scale shape: one video row fans out to its sampled frames inside
+    the Python stage (Arrow batches kept small — video cells are the
+    largest media payloads); at cluster scale repartition upstream by
+    size so one executor holds few videos at a time.
+    """
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import decode_avi, is_avi
+        from .png import encode_png
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                if not is_avi(bytes(content)):
+                    continue
+                v = decode_avi(bytes(content))
+                seen = set()
+                for offset in range(0, max(v.duration_ms, 1), every_ms):
+                    idx, pixels = v.frame_at(offset)
+                    if idx in seen:
+                        continue
+                    seen.add(idx)
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": idx,
+                            "frame_offset_ms": offset,
+                            "content": encode_png(pixels),
+                            "width": v.width,
+                            "height": v.height,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "frame_offset_ms",
+                    "content", "width", "height",
+                ],
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.filter(F.col("kind") == "video").mapInPandas(_process, FRAME_SCHEMA)

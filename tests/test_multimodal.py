@@ -402,3 +402,75 @@ def test_jpeg_feature_extraction_in_pipeline(spark):
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
     expect = (60 + 120 + 240) / 3 / 255.0
     assert abs(feats[1]["feat_mean"] - expect) < 0.01
+
+
+# ------------------------------------------------------------- avi codec
+
+
+def test_avi_mjpeg_round_trip():
+    """MJPEG-AVI container: frames + PCM audio survive the round trip
+    (frames within JPEG lossy tolerance; audio bytes exact)."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.avi import decode_avi, encode_avi, is_avi
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack(
+            [(yy * 3 + t * 17) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for t in range(5)
+    ]
+    audio = (np.sin(np.arange(800) * 0.1) * 3000).astype("<i2").tobytes()
+    data = encode_avi(frames, fps=10.0, quality=92, audio=audio, audio_rate=8000)
+    assert is_avi(data)
+    v = decode_avi(data)
+    assert (v.width, v.height, v.n_frames) == (32, 24, 5)
+    assert v.fps == 10.0 and v.duration_ms == 500
+    assert v.audio == audio and v.audio_rate == 8000
+    for t in (0, 4):
+        err = np.abs(v.frame(t).astype(int) - frames[t].astype(int))
+        assert err.mean() < 1.0 and err.max() <= 6
+    assert v.frame_at(250)[0] == 2  # 250ms at 10fps → frame 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_video_features_and_frame_extraction(spark):
+    """Video rows with AVI payloads take the REAL decode path in both
+    extract_features (first-frame pixels) and extract_video_frames
+    (sampled frames re-encoded as PNG); non-AVI video emits no frames."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.avi import encode_avi
+    from lamindb_spark.pipeline.multimodal import extract_video_frames
+    from lamindb_spark.pipeline.png import decode_png
+
+    const = np.full((16, 16, 3), [30, 90, 240], dtype=np.uint8)
+    frames = [const, 255 - const, const]
+    avi = encode_avi(frames, fps=2.0, quality=95)  # 1500 ms
+    rows = [
+        (5, "video", bytearray(avi), "video/avi", 16, 16, 1500),
+        (6, "video", b"\x00" * 64, "video/mp4", None, None, 999),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    expect = (30 + 90 + 240) / 3 / 255.0
+    assert abs(feats[5]["feat_mean"] - expect) < 0.01  # real first frame
+    assert feats[6]["feat_mean"] > 0 or feats[6]["feat_mean"] == 0.0  # stub ran
+
+    got = extract_video_frames(media, every_ms=500).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert 6 not in by_media, "non-AVI must emit no fake frames"
+    fr = sorted(by_media[5], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in fr] == [0, 1, 2]
+    arr, w, h, c = decode_png(bytes(fr[1]["content"]))
+    assert (w, h, c) == (16, 16, 3)
+    err = np.abs(arr.astype(int) - (255 - const).astype(int))
+    assert err.mean() < 1.5  # real middle-frame pixels, PNG lossless
