@@ -83,3 +83,85 @@ def test_q_algebra_matches_python(spark, rows, a, b):
     got = sorted(r["x"] for r in df.filter(compile_filters(pred)).collect())
     want = sorted(r for r in rows if ((r > a or r <= b) and not r == a))
     assert got == want
+
+
+# ----------------------------------------------------- codec properties
+
+import numpy as np
+from hypothesis import HealthCheck
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(60, 100),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_round_trip_property(h, w, ch, quality, seed):
+    """decode(encode(x)) stays within the DCT-quantization error bound
+    for ANY dims/channels/quality — no crashes on edge sizes (1×1,
+    non-multiple-of-8, extreme aspect ratios)."""
+    from lamindb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (noise amplitudes bounded) so the error bound
+    # is meaningful at any quality
+    base = rng.integers(0, 256, (1, 1, ch))
+    arr = (base + rng.integers(-12, 13, (h, w, ch))).clip(0, 255).astype(np.uint8)
+    got, gw, gh, gc = decode_jpeg(encode_jpeg(arr, quality=quality))
+    assert (gw, gh, gc) == (w, h, ch)
+    err = np.abs(got.astype(int) - arr.astype(int))
+    assert err.max() <= 40 and err.mean() <= 12
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    shape=st.sampled_from([(3,), (7, 2), (4, 5), (2, 3, 4), (1, 1)]),
+    dtype=st.sampled_from(["<i8", "<i4", "<f8", "<f4", "<u2"]),
+    chunked=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_hdf5_round_trip_property(tmp_path_factory, shape, dtype, chunked, seed):
+    """Vendored HDF5: any numeric dtype/shape, contiguous or chunked+
+    gzip (chunk dims deliberately not dividing the shape), bit-exact."""
+    from lamindb_spark.sources.hdf5 import H5Writer, open_h5
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.random(shape) * 100).astype(dtype)
+    w = H5Writer()
+    chunks = tuple(max(1, s - 1) for s in shape) if chunked else None
+    w.dataset("d", arr, chunks=chunks, gzip_level=4 if chunks else None)
+    p = str(tmp_path_factory.mktemp("h5") / "p.h5")
+    w.save(p)
+    got = open_h5(p)["d"].read()
+    assert got.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n_frames=st.integers(1, 6),
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    fps=st.sampled_from([5.0, 24.0, 30.0]),
+    seed=st.integers(0, 2**31),
+)
+def test_avi_round_trip_property(n_frames, h, w, fps, seed):
+    """MJPEG-AVI: any frame count/dims/fps round-trips with correct
+    metadata and frame recovery within JPEG tolerance."""
+    from lamindb_spark.pipeline.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (1, 1, 3))
+    frames = [
+        (base + rng.integers(-10, 11, (h, w, 3))).clip(0, 255).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    v = decode_avi(encode_avi(frames, fps=fps, quality=92))
+    assert (v.width, v.height, v.n_frames) == (w, h, n_frames)
+    assert abs(v.fps - fps) < 0.05
+    for t in range(n_frames):
+        err = np.abs(v.frame(t).astype(int) - frames[t].astype(int))
+        assert err.mean() <= 8
