@@ -1,0 +1,90 @@
+"""Optimistic-concurrency commit log: multi-writer appends, snapshot
+isolation, time travel, conflict detection (catalog/commitlog.py)."""
+
+import os
+import threading
+
+import pytest
+
+from lamindb_spark.catalog.commitlog import (
+    CommitConflictError,
+    CommitLog,
+    append_dataframe,
+    compact,
+    read_committed,
+)
+
+
+def test_append_snapshot_isolation(spark, tmp_path):
+    """Readers see exactly the committed files: staged-but-uncommitted
+    data is invisible; each append becomes visible atomically."""
+    t = str(tmp_path / "tbl")
+    v0 = append_dataframe(spark.range(0, 10), t)
+    assert read_committed(spark, t).count() == 10
+    # stage a directory WITHOUT committing — must stay invisible
+    spark.range(100, 200).write.parquet(os.path.join(t, "stage-orphan"))
+    assert read_committed(spark, t).count() == 10
+    v1 = append_dataframe(spark.range(10, 25), t)
+    assert v1 > v0
+    assert read_committed(spark, t).count() == 25
+    # time travel: the v0 snapshot still reads exactly the first append
+    assert read_committed(spark, t, version=v0).count() == 10
+
+
+def test_concurrent_writers_never_lose_commits(spark, tmp_path):
+    """N threads committing concurrently: every commit wins a distinct
+    version and every file survives — the os.link CAS is the only
+    coordination point."""
+    t = str(tmp_path / "tbl")
+    log = CommitLog(t)
+    os.makedirs(t, exist_ok=True)
+    n_writers, per_writer = 8, 5
+    errors = []
+
+    def writer(wid):
+        try:
+            for i in range(per_writer):
+                fname = f"w{wid}-{i}.parquet"
+                open(os.path.join(t, fname), "wb").close()
+                log.commit(add=[fname])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    versions = log.versions()
+    assert len(versions) == n_writers * per_writer
+    assert versions == list(range(n_writers * per_writer)), "dense distinct versions"
+    _, live = log.snapshot()
+    assert len(live) == n_writers * per_writer, "no lost commits"
+
+
+def test_compaction_swap_and_conflict(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 30, 10):
+        append_dataframe(spark.range(lo, lo + 10), t)
+    v = compact(spark, t, target_files=1)
+    assert v >= 3
+    df = read_committed(spark, t)
+    assert df.count() == 30
+    assert len(df.inputFiles()) == 1, "compacted to one file"
+    # rows identical across the swap
+    assert sorted(r["id"] for r in df.collect()) == list(range(30))
+    # conflicting remove: removing an already-removed file raises
+    log = CommitLog(t)
+    with pytest.raises(CommitConflictError, match="already removed"):
+        log.commit(remove=["stage-definitely-gone/x.parquet"])
+
+
+def test_crashed_writer_leaves_no_trace(spark, tmp_path):
+    """A writer that staged files and died before commit affects
+    nothing; a later compaction doesn't pick its orphans up either."""
+    t = str(tmp_path / "tbl")
+    append_dataframe(spark.range(5), t)
+    spark.range(1000).write.parquet(os.path.join(t, "stage-crashed"))
+    compact(spark, t)
+    assert read_committed(spark, t).count() == 5
