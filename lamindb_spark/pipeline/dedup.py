@@ -82,8 +82,12 @@ def _shingle_hash_rows(
     id_col: str,
     k: int,
     size_bytes: int | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
-    """(id, sh) rows — one row per DISTINCT k-shingle hash per doc.
+    """(id, sh) rows — one row per DISTINCT k-shingle hash per doc
+    (plus the doc's distinct-shingle count ``n_sh`` when
+    ``with_count`` — a map-side column that rides along the explode,
+    saving downstream consumers a per-doc count shuffle).
 
     Shingles are 64-bit hashes of k consecutive token hashes, never
     materialized as strings: per-row work is a handful of xxhash64
@@ -109,11 +113,15 @@ def _shingle_hash_rows(
         )
     valid = f"greatest(size(__th) - {k - 1}, 1)"
     whole = "array(aggregate(__th, 42L, (a, b) -> xxhash64(a, b)))"
-    return base.selectExpr(
-        id_col,
-        f"explode(array_distinct(CASE WHEN size(__th) < {k} THEN {whole} "
-        f"ELSE slice({sh}, 1, {valid}) END)) AS sh",
+    arr = (
+        f"array_distinct(CASE WHEN size(__th) < {k} THEN {whole} "
+        f"ELSE slice({sh}, 1, {valid}) END)"
     )
+    if with_count:
+        return base.selectExpr(id_col, f"{arr} AS __arr").selectExpr(
+            id_col, "size(__arr) AS n_sh", "explode(__arr) AS sh"
+        )
+    return base.selectExpr(id_col, f"explode({arr}) AS sh")
 
 
 def exact_dedup(
@@ -283,52 +291,58 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard similarity for all pairs above a threshold —
     via a sparse inverted-index join, never a cross join.
 
-    Shape: doc → distinct shingle HASHES (explode, see
-    :func:`_shingle_hash_rows`), group by shingle into a sorted doc-id
-    array (only docs sharing a shingle ever meet), expand the C(k,2)
-    id pairs with two chained codegen generators, count per pair, then
-    ``|A∩B| / (|A| + |B| - |A∩B|)``. ``max_doc_freq`` drops
-    stop-shingles that appear in more than N docs — the standard guard
-    against quadratic blowup on ubiquitous n-grams at corpus scale —
-    and here it is FREE: a ``size(ids)`` filter on the already-grouped
-    arrays (2 shuffles total).
+    Shape: doc → distinct shingle HASHES with the per-doc count
+    ``n_sh`` carried as a map-side column (see
+    :func:`_shingle_hash_rows` ``with_count``), group by shingle into
+    a sorted (id, n_sh) struct array (only docs sharing a shingle
+    ever meet), expand the C(k,2) pairs with two chained codegen
+    generators — each pair carries BOTH set sizes — count per pair,
+    then ``|A∩B| / (|A| + |B| - |A∩B|)``. TWO shuffles total (the
+    inverted-index groupBy and the pair count); the r1-r4 formulation
+    paid a third shuffle (per-doc size table over the full exploded
+    rows) plus two joins to attach it — carrying n_sh through the
+    expansion deleted all three. Same-session A/B at sf0.1 (r5):
+    1.92 vs 2.00 s best-of-4 — locally ~even (floor-dominated); the
+    real win is the deleted exploded-rows shuffle at corpus scale.
+    ``max_doc_freq`` drops stop-shingles that appear in more than N
+    docs — the standard guard against quadratic blowup on ubiquitous
+    n-grams at corpus scale — and here it is FREE: a ``size(ids)``
+    filter on the already-grouped arrays.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # Materialize the exploded (id, shingle-hash) table once — it feeds
-    # two consumers (per-doc sizes, per-shingle groups); without this
-    # the corpus would be re-tokenized and re-shingled per consumer.
-    # The checkpoint only pays off when re-shingling is expensive:
-    # below the spread threshold the extra eager job costs more than
-    # the recompute it saves, so small inputs skip it.
     # one Catalyst size estimate feeds BOTH gates (spread + checkpoint)
-    # so they cannot disagree and the optimizer runs once (ADVICE r4)
+    # so they cannot disagree and the optimizer runs once (ADVICE r4);
+    # the checkpoint only pays off when re-shingling is expensive —
+    # with the single-consumer shape it guards recompute on retry only.
     size_bytes = _plan_size_bytes(df)
-    sh = _shingle_hash_rows(df, text_col, id_col, k_shingle, size_bytes=size_bytes)
+    sh = _shingle_hash_rows(
+        df, text_col, id_col, k_shingle, size_bytes=size_bytes, with_count=True
+    )
     if size_bytes >= _SPREAD_MIN_BYTES:
         sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    grouped = sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids")).filter(
-        F.size("ids") >= 2
-    )
+    grouped = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("n_sh")))).alias("ids")
+    ).filter(F.size("ids") >= 2)
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)
     # C(k,2) pair expansion as two chained generators + a filter: both
     # explodes run inside whole-stage codegen and stream (nothing
     # materializes the n² intermediate), which beats the nested
-    # transform/slice struct HOF formulation ~1.6× — interpreted
-    # lambda evaluation per emitted struct was the r3 cost.
+    # transform/slice struct HOF formulation ~1.4× (SCALE.md ledger).
     pairs = (
-        grouped.selectExpr("explode(ids) AS id_a", "ids")
-        .selectExpr("id_a", "explode(ids) AS id_b")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.selectExpr("explode(ids) AS a", "ids")
+        .selectExpr("a", "explode(ids) AS b")
+        .filter(F.col("a")[id_col] < F.col("b")[id_col])
     )
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.groupBy(
+            F.col("a")[id_col].alias("id_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b")[id_col].alias("id_b"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(
             "id_a",
             "id_b",

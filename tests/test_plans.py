@@ -88,6 +88,8 @@ _MAX_EXCHANGES = {
     "redact_pii": 0,       # regexp_replace chain, pure scan
     "token_freq": 1,       # partial agg + one shuffle; top-k is TakeOrdered
     "user_profiles": 1,    # one (user_id) shuffle shared by all three windows
+    "ngram_jaccard": 2,    # inverted-index groupBy + pair count; NO size
+                           # join (n_sh rides the explode) — r5 rewrite
 }
 
 
