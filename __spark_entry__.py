@@ -1689,6 +1689,58 @@ def _q_wide_include(spark, sf):
     )
 
 
+def _q_gopher_rules(spark, sf):
+    """Training-corpus quality gate: the published Gopher rule set
+    (word-count bounds, mean word length, symbol ratio, alpha-word
+    fraction, required stopwords, duplicate-word fraction) as one
+    zero-shuffle codegen scan (`pipeline/rules.py`)."""
+    from lamindb_spark.pipeline.rules import gopher_rules
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return gopher_rules(d).drop("text")
+
+
+def _q_top_bigram(spark, sf):
+    """Gopher repetition rule: per-document most-frequent-bigram
+    fraction via explode + two-level partial aggregation (linear in
+    corpus tokens, never O(len^2) per document)."""
+    from lamindb_spark.pipeline.rules import top_bigram_frac
+
+    d = load_table(spark, sf, "documents")
+    return top_bigram_frac(d, "doc_id", "text")
+
+
+def _q_pack_sequences(spark, sf):
+    """LLM pre-training sequence packing: assign each document to a
+    fixed 512-token-budget sequence by global token offset. The global
+    prefix sum is distributed (range shuffle + partition-local window +
+    #partitions-row offset table) — no single-partition global window."""
+    from lamindb_spark.functions.text import token_count
+    from lamindb_spark.pipeline.rules import pack_sequences
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, "n_tokens", "doc_id", budget=512, id_cols=["doc_id"])
+
+
+def _q_kmeans(spark, sf):
+    """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
+    lowest-id init, centroids rounded for engine portability) over the
+    embeddings table; output = final cluster sizes. Each pass is one
+    map-side scan; the update is posexplode + partial-agg means."""
+    from lamindb_spark.pipeline.similarity import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    return (
+        kmeans_assign(emb, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cell")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
@@ -1735,11 +1787,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_coalesce": _q_case_coalesce,
         "length_order": _q_length_order,
         "json_object": _q_json_object,
+        # -- block A2: new in r5, never driver-certified --
+        "gopher_rules": _q_gopher_rules,
+        "top_bigram": _q_top_bigram,
+        "pack_sequences": _q_pack_sequences,
+        "kmeans_clusters": _q_kmeans,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q18": _q_tpch_q18,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "semi_join": _q_semi_join,
@@ -1751,10 +1806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
-        "hourly_events": _q_hourly_events,
         "search_rank": _q_search,
-        "pivot_events": _q_pivot_events,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q18": _q_tpch_q18,
+        "hourly_events": _q_hourly_events,
+        "pivot_events": _q_pivot_events,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "filter_lookups": _q_filter_lookups,
@@ -1802,6 +1859,124 @@ _RANK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_rules": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+                FROM documents
+            ), l AS (
+                SELECT doc_id, text, toks,
+                       list_transform(toks, x -> lower(x)) AS low,
+                       greatest(len(toks), 1) AS nw
+                FROM t
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / nw AS mwl,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / nw AS symbol_ratio,
+                       CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw AS alpha_frac,
+                       CAST(list_contains(low, 'the') AS INTEGER) + CAST(list_contains(low, 'be') AS INTEGER)
+                       + CAST(list_contains(low, 'to') AS INTEGER) + CAST(list_contains(low, 'of') AS INTEGER)
+                       + CAST(list_contains(low, 'and') AS INTEGER) + CAST(list_contains(low, 'that') AS INTEGER)
+                       + CAST(list_contains(low, 'have') AS INTEGER) + CAST(list_contains(low, 'with') AS INTEGER)
+                         AS stop_hits,
+                       1.0 - CAST(len(list_distinct(low)) AS DOUBLE) / nw AS dup_word_frac
+                FROM l
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   round(dup_word_frac, 6) AS dup_word_frac,
+                   CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+                   CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS r_mwl,
+                   CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol,
+                   CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+                   CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop,
+                   CASE WHEN dup_word_frac <= 0.95 THEN 1 ELSE 0 END AS r_dup,
+                   CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                             AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                             AND stop_hits >= 2 AND dup_word_frac <= 0.95
+                        THEN 1 ELSE 0 END AS passes
+            FROM m
+        """,
+        "top_bigram": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM t
+            ), c AS (
+                SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY doc_id, bigram
+            )
+            SELECT doc_id,
+                   CAST(max(cnt) AS BIGINT) AS top_count,
+                   CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_frac
+            FROM c GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+            FROM c
+        """,
+        "kmeans_clusters": """
+            WITH c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                       embedding AS cv
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), d0 AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+                FROM embeddings e, c0 c
+            ), a0 AS (
+                SELECT vec_id, embedding, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM d0)
+                WHERE rn = 1
+            ), u1 AS (
+                SELECT cell, CAST(z[2] AS INTEGER) AS pos, CAST(z[1] AS DOUBLE) AS v
+                FROM (SELECT cell,
+                             unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+                      FROM a0)
+            ), c1 AS (
+                SELECT cell AS cid, list(m ORDER BY pos) AS cv
+                FROM (SELECT cell, pos, round(avg(v), 6) AS m FROM u1 GROUP BY cell, pos)
+                GROUP BY cell
+            ), d1 AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+                FROM embeddings e, c1 c
+            ), a1 AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM d1)
+                WHERE rn = 1
+            )
+            SELECT CAST(cell AS INTEGER) AS cell, CAST(count(*) AS BIGINT) AS n_points
+            FROM a1 GROUP BY cell ORDER BY cell
+        """,
         "filter_lookups": """
             SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents

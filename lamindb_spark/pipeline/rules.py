@@ -1,0 +1,215 @@
+"""Training-corpus filter rules and sequence packing.
+
+The quality-gate rules follow the published Gopher (Rae et al. 2021,
+Table A1) and C4 (Raffel et al. 2020) heuristics, re-expressed as pure
+Spark Column expressions so a 100 TB corpus pass stays inside
+whole-stage codegen: word-count bounds, mean-word-length bounds,
+symbol-to-word ratio, alphabetic-word fraction, required-stopword
+presence, and duplicate-word fraction. Line-based Gopher rules
+(bullet/ellipsis line ratios) are provided too; on single-line corpora
+they are trivially satisfied.
+
+``top_bigram_frac`` is the Gopher repetition rule — the fraction of a
+document occupied by its most frequent 2-gram — computed with an
+explode + two-level aggregation rather than an O(len²) array
+expression, so documents of any length stream through map-side partial
+aggregation instead of blowing up a single row.
+
+``pack_sequences`` assigns documents to fixed-token-budget training
+sequences (the standard LLM pre-training packing step): documents are
+concatenated into one deterministic token stream ordered by a key, and
+each document belongs to the sequence its first token lands in. The
+global prefix sum is DISTRIBUTED — range shuffle + partition-local
+window + a #partitions-row offset table — never a single-partition
+global window (the scale-killer the naive ``Window.orderBy`` hides).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Gopher's required-stopword list (Rae et al. 2021, A1.1): a document
+# must contain at least 2 of these to pass the stopword rule.
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_WS = "\\s+"
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.trim(F.coalesce(col, F.lit(""))), _WS)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_word_frac: float = 0.95,
+) -> DataFrame:
+    """Per-document Gopher quality-rule evaluation.
+
+    Adds one integer flag column per rule plus the composite
+    ``passes`` gate, and the underlying measurements (rounded so the
+    result is engine-portable). Pure map-side expressions: the 100 TB
+    pass is a single scan with zero shuffles.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _toks(F.col(text_col))
+    low = F.transform(toks, F.lower)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1))
+    mwl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / nw
+    n_hash = F.length(text) - F.length(
+        F.expr(f"replace(coalesce({text_col}, ''), '#', '')")
+    )
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    symbol_ratio = (n_hash + n_ellipsis) / nw
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nw
+    stop_hits = reduce(
+        add,
+        [F.array_contains(low, w).cast("int") for w in REQUIRED_STOPWORDS],
+    )
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(low)) / nw
+
+    flags = {
+        "r_words": (n_words >= min_words) & (n_words <= max_words),
+        "r_mwl": (mwl >= min_mwl) & (mwl <= max_mwl),
+        "r_symbol": symbol_ratio <= max_symbol_ratio,
+        "r_alpha": alpha_frac >= min_alpha_frac,
+        "r_stop": stop_hits >= min_stop_hits,
+        "r_dup": dup_word_frac <= max_dup_word_frac,
+    }
+    out = df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": F.round(mwl, 6),
+            "symbol_ratio": F.round(symbol_ratio, 6),
+            "alpha_frac": F.round(alpha_frac, 6),
+            "stop_hits": stop_hits.cast("long"),
+            "dup_word_frac": F.round(dup_word_frac, 6),
+        }
+    )
+    passes = reduce(lambda a, b: a & b, flags.values())
+    return out.withColumns(
+        {name: flag.cast("int") for name, flag in flags.items()}
+    ).withColumn("passes", passes.cast("int"))
+
+
+def top_bigram_frac(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition rule: fraction of a document's bigrams taken
+    by its single most frequent bigram.
+
+    Shape: explode bigrams → partial-aggregated count per
+    (doc, bigram) → per-doc max/sum. Two shuffles whose payload is
+    (doc_id, bigram) pairs with map-side combine — linear in corpus
+    token count, never quadratic in document length (the array-side
+    alternative is O(len²) per row and dies on long documents).
+    Documents with fewer than 2 tokens produce no bigrams and are
+    absent from the output (same in the SQL oracle).
+    """
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    counts = exploded.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("top_count"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+        .withColumn(
+            "top_frac", F.round(F.col("top_count") / F.col("n_bigrams"), 6)
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each row to a fixed-token-budget training sequence.
+
+    Semantics: rows are concatenated into one token stream in
+    ``order_col`` order; a row belongs to sequence
+    ``(start_offset div budget)`` where ``start_offset`` is the number
+    of tokens before it. All-integer arithmetic — bit-exact across
+    engines.
+
+    Scale shape (the point of this operator): the global prefix sum is
+    computed WITHOUT a single-partition window —
+
+    1. project to (keys, token count) only, so the shuffles below move
+       a few bytes per row no matter how wide the input is,
+    2. range-repartition + sort on ``order_col`` (one data shuffle),
+    3. partition-local cumulative sum (``Window.partitionBy(pid)`` —
+       distributed; costs one more small-payload exchange on pid),
+    4. per-partition totals → cumulative offsets, a #partitions-row
+       plan broadcast back.
+
+    Two narrow exchanges of (key, long) pairs instead of funneling the
+    corpus through one partition. ``repartitionByRange`` assigns
+    ascending key ranges to ascending partition ids, so offsets ordered
+    by pid reconstruct the exact global order.
+    """
+    keep = list(id_cols or [order_col])
+    cols = list(dict.fromkeys(keep + [order_col, token_col]))
+    local = (
+        df.select(*cols)
+        .repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = local.withColumn(
+        "__cum", F.sum(F.col(token_col).cast("long")).over(w)
+    )
+    totals = local.groupBy("__pid").agg(F.max("__cum").alias("__tot"))
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "seq_id",
+            F.floor(
+                (F.col("__off") + F.col("__cum") - F.col(token_col)) / F.lit(budget)
+            ).cast("long"),
+        )
+        .select(*keep, token_col, "seq_id")
+    )
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL/source form for URL-level dedup: lowercase, strip
+    scheme, leading ``www.``, query string, fragment, and trailing
+    slash. Pure regexp chain — zero-shuffle normalization pass."""
+    u = F.lower(F.trim(col))
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    return F.regexp_replace(u, r"/+$", "")

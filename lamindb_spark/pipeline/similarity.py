@@ -360,3 +360,72 @@ def lsh_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means: the IVF coarse-quantizer trainer.
+
+    Deterministic and engine-portable by construction:
+
+    - init = the ``k`` lowest-``id_col`` vectors (no RNG),
+    - each assignment pass is ONE map-side scan — the nearest-centroid
+      argmin is the codegen'd :func:`_argmin_cell` expression against
+      literal centroids, no join, no shuffle of the vectors,
+    - each update pass is posexplode → ``groupBy(cell, pos).avg`` —
+      linear in n·dim with map-side partial aggregation, so it scales
+      to any dimension (no dim-wide aggregate buffer),
+    - new centroids are rounded to ``round_to`` decimals before the
+      next pass: partial-sum ordering noise (~1e-13) can never leak
+      into assignments, which is what makes an independent ANSI-SQL
+      re-implementation bit-reproducible.
+
+    Driver traffic per iteration is k·dim doubles (like the IVF
+    centroid fetch) — the vectors themselves never leave executors.
+    Reference parity: lamindb delegates clustering to scanpy/sklearn
+    on in-memory arrays; this is the distributed equivalent used to
+    build the IVF index at corpus scale.
+    """
+    init = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in row[0]]) for i, row in enumerate(init)]
+    for _ in range(max(iters - 1, 0)):
+        assigned = embeddings.withColumn(
+            "__cell", _argmin_cell(F.col(vec_col), cents)
+        )
+        means = (
+            assigned.select("__cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("__cell", "pos")
+            .agg(F.round(F.avg("v"), round_to).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["__cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (cell, [dims[p] for p in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ]
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final cluster assignment: one zero-shuffle map pass."""
+    return embeddings.select(
+        F.col(id_col), _argmin_cell(F.col(vec_col), cents).alias("cell")
+    )

@@ -75,6 +75,13 @@ _MAX_EXCHANGES = {
     "tpch_q21": 7,         # lineitem self-joins (exists + not-exists)
     "tpch_q22": 5,
     "dedup_exact": 1,      # hash-groupBy
+    "gopher_rules": 0,     # quality gate is a pure map pass
+    "top_bigram": 2,       # explode → (doc,bigram) partial agg → per-doc agg
+    # pack_sequences: range shuffle + pid-local window exchange on the
+    # narrow (key, long) projection, plus the #partitions-row offsets
+    # branch (tiny SinglePartition aggregates) and its broadcast.
+    "pack_sequences": 6,
+    "kmeans_clusters": 2,  # final assignment is map-side; sizes agg + sort
     "sessionize": 1,       # one shuffle on user_id (lag+cumsum+agg share it)
     "asof_join": 1,        # union+window: one shuffle on the key, no range join
     "range_window": 1,     # RANGE frame window
