@@ -7,10 +7,11 @@ frame-sampling run as ``mapInPandas`` stages — per-partition Arrow
 batches, so bytes move JVM→Python once per batch, never per row.
 Decoders dispatch per format, and each modality has a REAL pure-
 python/numpy codec path tested on actual pixels/samples/frames: PNG
-(``png.py``) and baseline JPEG (``jpeg.py``) for images, PCM WAV
-(``wav.py``) for audio, MJPEG-AVI (``avi.py``) for video. Formats
-that require a codec library (webp/tiff, mp3/ogg/flac, inter-frame
-video like H.264) fall back to the declared deterministic stub, so
+(``png.py``), baseline JPEG (``jpeg.py``), GIF (``gif.py``) and BMP
+(``bmp.py``) for images, PCM and G.711 mu-law/A-law WAV (``wav.py``)
+for audio, MJPEG-AVI (``avi.py``) for video. Formats that require a
+codec library (webp/tiff, mp3/ogg/flac, inter-frame video like
+H.264) fall back to the declared deterministic stub, so
 the Spark-side plumbing — schema, batching, partition sizing — is
 exercised end-to-end either way, and swapping in another real codec
 is a one-function change.
@@ -79,10 +80,13 @@ def _fake_decode(content: bytes) -> list[float]:
 
 
 def _decode_image(content: bytes) -> list[float]:
-    """Image decode: REAL pure-python codecs for PNG (``png.py``) and
-    baseline JPEG (``jpeg.py``) payloads — actual pixels, normalized
-    to [0, 1] — falling back to the declared stub only for formats
-    that need codec libs (webp/tiff etc.)."""
+    """Image decode: REAL pure-python codecs for PNG (``png.py``),
+    baseline JPEG (``jpeg.py``), GIF (``gif.py``) and uncompressed BMP
+    (``bmp.py``) payloads — actual pixels, normalized to [0, 1] —
+    falling back to the declared stub only for formats that need codec
+    libs (webp/tiff etc.)."""
+    from .bmp import decode_bmp, is_bmp
+    from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import PNG_SIG, decode_png
 
@@ -91,6 +95,12 @@ def _decode_image(content: bytes) -> list[float]:
         return (arr.astype("float64") / 255.0).ravel().tolist()
     if content and is_jpeg(bytes(content)):
         arr, _w, _h, _c = decode_jpeg(bytes(content))
+        return (arr.astype("float64") / 255.0).ravel().tolist()
+    if content and is_gif(bytes(content)):
+        arr, _w, _h, _c = decode_gif(bytes(content))
+        return (arr.astype("float64") / 255.0).ravel().tolist()
+    if content and is_bmp(bytes(content)):
+        arr, _w, _h, _c = decode_bmp(bytes(content))
         return (arr.astype("float64") / 255.0).ravel().tolist()
     return _fake_decode(content)
 
@@ -214,14 +224,18 @@ def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 6
     """Resize stage for image rows via ``mapInPandas`` — identical
     batch shape to :func:`extract_features`.
 
-    PNG payloads take the REAL kernel: decode → nearest-neighbor
-    resize → re-encode (``png.py``, pure python). Other formats fall
-    back to the declared byte-truncate stub (their codecs don't ship
-    here); the Spark-side schema/batching/partitioning is identical
-    either way.
+    PNG, GIF and BMP payloads take the REAL kernel: decode →
+    nearest-neighbor resize → re-encode in the same format (``png.py``
+    / ``gif.py`` / ``bmp.py``, pure python; GIF resize keeps the
+    source palette since nearest-neighbor only reuses existing
+    pixels). Other formats fall back to the declared byte-truncate
+    stub (their codecs don't ship here); the Spark-side
+    schema/batching/partitioning is identical either way.
     """
 
     def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .bmp import decode_bmp, encode_bmp, is_bmp
+        from .gif import decode_gif, encode_gif, is_gif
         from .png import PNG_SIG, decode_png, encode_png, resize_nearest
 
         target = width * height
@@ -232,6 +246,12 @@ def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 6
                 if bytes(content[:8]) == PNG_SIG:
                     arr, _w, _h, _c = decode_png(bytes(content))
                     resized = encode_png(resize_nearest(arr, width, height))
+                elif is_gif(bytes(content)):
+                    arr, _w, _h, _c = decode_gif(bytes(content))
+                    resized = encode_gif(resize_nearest(arr, width, height))
+                elif is_bmp(bytes(content)):
+                    arr, _w, _h, _c = decode_bmp(bytes(content))
+                    resized = encode_bmp(resize_nearest(arr, width, height))
                 else:
                     resized = bytes(content[:target]).ljust(target, b"\0")
                 out.append(

@@ -474,3 +474,85 @@ def test_video_features_and_frame_extraction(spark):
     assert (w, h, c) == (16, 16, 3)
     err = np.abs(arr.astype(int) - (255 - const).astype(int))
     assert err.mean() < 1.5  # real middle-frame pixels, PNG lossless
+
+
+# ---------------------------------------------------- gif / bmp / g711
+
+
+def test_extract_features_real_gif_bmp(spark):
+    """End-to-end: real GIF and BMP payloads through the Arrow decode
+    stage yield TRUE pixel statistics, not the byte-stream fake."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.bmp import encode_bmp
+    from lamindb_spark.pipeline.gif import encode_gif
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, extract_features
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    gif_px = pal[rng.integers(0, 8, (6, 5))]
+    bmp_px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    rows = [
+        Row(media_id=21, kind="image", content=bytearray(encode_gif(gif_px)),
+            mime="image/gif", width=5, height=6, duration_ms=None),
+        Row(media_id=22, kind="image", content=bytearray(encode_bmp(bmp_px)),
+            mime="image/bmp", width=7, height=5, duration_ms=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    for mid, px in ((21, gif_px), (22, bmp_px)):
+        norm = px.astype(np.float64) / 255.0
+        assert abs(got[mid]["feat_mean"] - norm.mean()) < 1e-12
+        assert abs(got[mid]["feat_std"] - norm.std()) < 1e-12
+
+
+def test_resize_images_real_gif_bmp(spark):
+    """Resize stage re-encodes GIF as GIF and BMP as BMP with the real
+    nearest-neighbor kernel."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.bmp import decode_bmp, encode_bmp, is_bmp
+    from lamindb_spark.pipeline.gif import decode_gif, encode_gif, is_gif
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, resize_images
+    from lamindb_spark.pipeline.png import resize_nearest
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    gif_px = pal[rng.integers(0, 5, (8, 8))]
+    bmp_px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    rows = [
+        Row(media_id=31, kind="image", content=bytearray(encode_gif(gif_px)),
+            mime="image/gif", width=8, height=8, duration_ms=None),
+        Row(media_id=32, kind="image", content=bytearray(encode_bmp(bmp_px)),
+            mime="image/bmp", width=8, height=8, duration_ms=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    g = bytes(got[31]["content"])
+    assert is_gif(g)
+    arr, w, h, _ = decode_gif(g)
+    assert (w, h) == (4, 4) and (arr == resize_nearest(gif_px, 4, 4)).all()
+    b = bytes(got[32]["content"])
+    assert is_bmp(b)
+    arr, w, h, _ = decode_bmp(b)
+    assert (w, h) == (4, 4) and (arr == resize_nearest(bmp_px, 4, 4)).all()
+
+
+def test_extract_features_real_g711(spark):
+    """A mu-law WAV payload routes through the REAL G.711 expansion in
+    the audio decode stage."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, extract_features
+    from lamindb_spark.pipeline.wav import decode_wav, encode_wav_g711
+
+    t = np.arange(400) / 8000.0
+    mono = (0.5 * np.sin(2 * np.pi * 120 * t))[:, None]
+    data = encode_wav_g711(mono, 8000, "ulaw")
+    decoded, _ = decode_wav(data)  # post-quantization oracle
+    rows = [Row(media_id=41, kind="audio", content=bytearray(data),
+                mime="audio/wav", width=None, height=None, duration_ms=50)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_features(media).collect()[0]
+    assert abs(got["feat_mean"] - decoded.mean()) < 1e-12
+    assert abs(got["feat_std"] - decoded.std()) < 1e-12
