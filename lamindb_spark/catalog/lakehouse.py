@@ -655,6 +655,12 @@ class Lakehouse:
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
             )
+        if suffix == ".tiledbsoma":
+            # SOMA experiment → same long-form tables (import-gated
+            # bridge, reference artifact.py:2642 from_tiledbsoma)
+            from ..sources.soma_io import read_tiledbsoma
+
+            return read_tiledbsoma(self.spark, path)
         if suffix in (".h5ad", ".zarr", ".h5mu"):
             # array payload → long-form AnnData/MuData tables (S6
             # ingest bridge, reference artifact.py:2920-3115 suffix
