@@ -1741,6 +1741,37 @@ def _q_kmeans(spark, sf):
     )
 
 
+def _q_random_proj(spark, sf):
+    """JL dimensionality reduction: 64-dim embeddings → 8 integer
+    projections against a deterministic ±1 matrix. Exact integer
+    arithmetic (quantize-then-project), zero shuffle."""
+    from lamindb_spark.pipeline.similarity import random_projection
+
+    emb = load_table(spark, sf, "embeddings")
+    return random_projection(emb, dim=64, out_dim=8)
+
+
+def _q_curated_packing(spark, sf):
+    """Composed pipeline: Gopher quality gate → sequence packing. Only
+    passing documents enter the token stream; the packing prefix sum
+    stays distributed. The end-to-end shape of a real pre-training
+    data build: filter (map-only) feeding packing (two narrow
+    exchanges). The stopword threshold is relaxed to 1 for the
+    synthetic word-soup corpus (its docs rarely carry 2 of Gopher's
+    required stopwords; the published default would gate out every
+    row and prove nothing)."""
+    from lamindb_spark.functions.text import token_count
+    from lamindb_spark.pipeline.rules import gopher_rules, pack_sequences
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    passed = (
+        gopher_rules(d, min_stop_hits=1)
+        .filter(F.col("passes") == 1)
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    )
+    return pack_sequences(passed, "n_tokens", "doc_id", budget=256, id_cols=["doc_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
@@ -1792,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigram": _q_top_bigram,
         "pack_sequences": _q_pack_sequences,
         "kmeans_clusters": _q_kmeans,
+        "random_proj": _q_random_proj,
+        "curated_packing": _q_curated_packing,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1804,10 +1837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_latest": _q_version_latest,
         "dedup_exact": _q_dedup_exact,
         "knn_cosine": _q_knn,
-        "token_stats": _q_token_stats,
-        "lang_id": _q_lang_id,
         "search_rank": _q_search,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
         "tpch_q9": _q_tpch_q9,
         "tpch_q18": _q_tpch_q18,
         "hourly_events": _q_hourly_events,
@@ -1857,8 +1890,71 @@ _RANK_SQL = """
 """
 
 
+def _random_proj_oracle() -> str:
+    """SQL twin of _q_random_proj, generated from the SAME deterministic
+    sign matrix (pipeline.similarity.hyperplane_signs) so both engines
+    project against identical literals with exact integer arithmetic."""
+    from lamindb_spark.pipeline.similarity import hyperplane_signs
+
+    comps = []
+    for srow in hyperplane_signs(64, 8):
+        lit = "[" + ", ".join(str(s) for s in srow) + "]"
+        comps.append(
+            "CAST(list_sum(list_transform(list_zip(embedding, {lit}), "
+            "p -> CAST(round(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT) * p[2])) "
+            "AS BIGINT)".format(lit=lit)
+        )
+    return "SELECT vec_id, [{}] AS proj FROM embeddings".format(", ".join(comps))
+
+
+_GOPHER_PASS_SQL = """
+            WITH gl AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+                FROM documents
+            ), gl2 AS (
+                SELECT doc_id, text, toks,
+                       list_transform(toks, x -> lower(x)) AS low,
+                       greatest(len(toks), 1) AS nw
+                FROM gl
+            ), gm AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / nw AS mwl,
+                       CAST(length(text) - length(replace(text, '#', ''))
+                            + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / nw AS symbol_ratio,
+                       CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / nw AS alpha_frac,
+                       CAST(list_contains(low, 'the') AS INTEGER) + CAST(list_contains(low, 'be') AS INTEGER)
+                       + CAST(list_contains(low, 'to') AS INTEGER) + CAST(list_contains(low, 'of') AS INTEGER)
+                       + CAST(list_contains(low, 'and') AS INTEGER) + CAST(list_contains(low, 'that') AS INTEGER)
+                       + CAST(list_contains(low, 'have') AS INTEGER) + CAST(list_contains(low, 'with') AS INTEGER)
+                         AS stop_hits,
+                       1.0 - CAST(len(list_distinct(low)) AS DOUBLE) / nw AS dup_word_frac
+                FROM gl2
+            ), gpass AS (
+                SELECT doc_id, n_tokens FROM gm
+                WHERE n_words BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                      AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                      AND stop_hits >= 1 AND dup_word_frac <= 0.95
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "random_proj": _random_proj_oracle(),
+        "curated_packing": _GOPHER_PASS_SQL + """
+            , c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM gpass
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+            FROM c
+        """,
         "gopher_rules": """
             WITH t AS (
                 SELECT doc_id, coalesce(text, '') AS text,

@@ -429,3 +429,40 @@ def kmeans_assign(
     return embeddings.select(
         F.col(id_col), _argmin_cell(F.col(vec_col), cents).alias("cell")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    deterministic ±1 projection matrix (:func:`hyperplane_signs`) —
+    the standard cheap embedding compressor before ANN indexing or
+    near-dup blocking.
+
+    Engine-portable by the :func:`portable_bucket` trick: components
+    quantize to integers (``round(v*scale)``) so every projection is
+    EXACT integer arithmetic — one codegen'd dot product per output
+    dimension, zero shuffles, zero Python. Downstream consumers divide
+    by ``scale`` if they need floats; keeping longs keeps cross-engine
+    comparisons bit-exact.
+    """
+    signs = hyperplane_signs(dim, out_dim)
+    qv = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * F.lit(float(scale))).cast("long")
+    )
+    comps = []
+    for srow in signs:
+        lit = F.array(*[F.lit(int(x)) for x in srow])
+        comps.append(
+            F.aggregate(
+                F.zip_with(qv, lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))

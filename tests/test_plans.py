@@ -82,6 +82,8 @@ _MAX_EXCHANGES = {
     # branch (tiny SinglePartition aggregates) and its broadcast.
     "pack_sequences": 6,
     "kmeans_clusters": 2,  # final assignment is map-side; sizes agg + sort
+    "random_proj": 0,      # JL projection is a pure map pass
+    "curated_packing": 6,  # map-only gate feeding the packing shape above
     "sessionize": 1,       # one shuffle on user_id (lag+cumsum+agg share it)
     "asof_join": 1,        # union+window: one shuffle on the key, no range join
     "range_window": 1,     # RANGE frame window

@@ -158,3 +158,25 @@ def test_kmeans_assign_zero_shuffle(spark):
         kmeans_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, "assignment must be a pure map pass"
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from lamindb_spark.pipeline.similarity import hyperplane_signs, random_projection
+
+    rng = np.random.default_rng(5)
+    vecs = rng.uniform(-1, 1, (20, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r["proj"] for r in random_projection(df, dim=16, out_dim=4).collect()}
+    signs = np.array(hyperplane_signs(16, 4))
+    q = np.round(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    want = q @ signs.T
+    for i in range(20):
+        assert got[i] == list(want[i]), i
+    # zero-shuffle plan
+    plan = random_projection(df, 16, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
