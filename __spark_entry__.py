@@ -1468,16 +1468,20 @@ def _q_path_filter(spark, sf):
 
 def _q_limit_preserved(spark, sf):
     """O2/O3: limit with preserved selection order as an explicit
-    position column (reference query_set.py:1167-1189)."""
+    position column (reference query_set.py:1167-1189).
+
+    Scale shape: the LIMIT happens FIRST as TakeOrdered (distributed
+    per-partition top-k + merge of k-row heads); the global
+    row_number window then runs over 20 rows, not the table — the
+    r4-documented "bounded global window" is now bounded by
+    construction, not by hope."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf, "documents")
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        d.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= 20)
-        .select("doc_id", "n_chars", "pos")
-    )
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    top = d.orderBy(*order).limit(20).select("doc_id", "n_chars")
+    w = Window.orderBy(*order)
+    return top.withColumn("pos", F.row_number().over(w))
 
 
 def _q_topmost_dedup(spark, sf):
