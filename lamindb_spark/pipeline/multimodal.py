@@ -7,11 +7,12 @@ frame-sampling run as ``mapInPandas`` stages — per-partition Arrow
 batches, so bytes move JVM→Python once per batch, never per row.
 Decoders dispatch per format, and each modality has a REAL pure-
 python/numpy codec path tested on actual pixels/samples/frames: PNG
-(``png.py``), baseline JPEG (``jpeg.py``), GIF (``gif.py``) and BMP
-(``bmp.py``) for images, PCM and G.711 mu-law/A-law WAV (``wav.py``)
-for audio, MJPEG-AVI (``avi.py``) for video. Formats that require a
-codec library (webp/tiff, mp3/ogg/flac, inter-frame video like
-H.264) fall back to the declared deterministic stub, so
+(``png.py``), baseline JPEG (``jpeg.py``), GIF (``gif.py``), BMP
+(``bmp.py``) and uncompressed TIFF (``tiff.py``) for images, PCM and
+G.711 mu-law/A-law WAV (``wav.py``) for audio, MJPEG-AVI (``avi.py``)
+for video. Formats that require a codec library (webp, compressed
+TIFF, mp3/ogg/flac, inter-frame video like H.264) fall back to the
+declared deterministic stub, so
 the Spark-side plumbing — schema, batching, partition sizing — is
 exercised end-to-end either way, and swapping in another real codec
 is a one-function change.
@@ -81,14 +82,15 @@ def _fake_decode(content: bytes) -> list[float]:
 
 def _decode_image(content: bytes) -> list[float]:
     """Image decode: REAL pure-python codecs for PNG (``png.py``),
-    baseline JPEG (``jpeg.py``), GIF (``gif.py``) and uncompressed BMP
-    (``bmp.py``) payloads — actual pixels, normalized to [0, 1] —
-    falling back to the declared stub only for formats that need codec
-    libs (webp/tiff etc.)."""
+    baseline JPEG (``jpeg.py``), GIF (``gif.py``), uncompressed BMP
+    (``bmp.py``) and baseline TIFF (``tiff.py``) payloads — actual
+    pixels, normalized to [0, 1] — falling back to the declared stub
+    only for formats that need codec libs (webp, compressed TIFF)."""
     from .bmp import decode_bmp, is_bmp
     from .gif import decode_gif, is_gif
     from .jpeg import decode_jpeg, is_jpeg
     from .png import PNG_SIG, decode_png
+    from .tiff import decode_tiff, is_tiff
 
     if content and bytes(content[:8]) == PNG_SIG:
         arr, _w, _h, _c = decode_png(bytes(content))
@@ -101,6 +103,12 @@ def _decode_image(content: bytes) -> list[float]:
         return (arr.astype("float64") / 255.0).ravel().tolist()
     if content and is_bmp(bytes(content)):
         arr, _w, _h, _c = decode_bmp(bytes(content))
+        return (arr.astype("float64") / 255.0).ravel().tolist()
+    if content and is_tiff(bytes(content)):
+        try:
+            arr, _w, _h, _c = decode_tiff(bytes(content))
+        except ValueError:  # compressed/tiled variants stay stubbed
+            return _fake_decode(content)
         return (arr.astype("float64") / 255.0).ravel().tolist()
     return _fake_decode(content)
 
@@ -237,6 +245,7 @@ def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 6
         from .bmp import decode_bmp, encode_bmp, is_bmp
         from .gif import decode_gif, encode_gif, is_gif
         from .png import PNG_SIG, decode_png, encode_png, resize_nearest
+        from .tiff import decode_tiff, encode_tiff, is_tiff
 
         target = width * height
         for pdf in batches:
@@ -252,6 +261,12 @@ def resize_images(media: DataFrame, width: int, height: int, batch_size: int = 6
                 elif is_bmp(bytes(content)):
                     arr, _w, _h, _c = decode_bmp(bytes(content))
                     resized = encode_bmp(resize_nearest(arr, width, height))
+                elif is_tiff(bytes(content)):
+                    try:
+                        arr, _w, _h, _c = decode_tiff(bytes(content))
+                        resized = encode_tiff(resize_nearest(arr, width, height))
+                    except ValueError:  # compressed/tiled → stub
+                        resized = bytes(content[:target]).ljust(target, b"\0")
                 else:
                     resized = bytes(content[:target]).ljust(target, b"\0")
                 out.append(

@@ -556,3 +556,30 @@ def test_extract_features_real_g711(spark):
     got = extract_features(media).collect()[0]
     assert abs(got["feat_mean"] - decoded.mean()) < 1e-12
     assert abs(got["feat_std"] - decoded.std()) < 1e-12
+
+
+def test_extract_and_resize_real_tiff(spark):
+    """Baseline TIFF routes through the real decode in both Arrow
+    stages; same-format re-encode on resize."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+    from lamindb_spark.pipeline.png import resize_nearest
+    from lamindb_spark.pipeline.tiff import decode_tiff, encode_tiff, is_tiff
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    rows = [Row(media_id=51, kind="image", content=bytearray(encode_tiff(px)),
+                mime="image/tiff", width=8, height=6, duration_ms=None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media).collect()[0]
+    norm = px.astype(np.float64) / 255.0
+    assert abs(feat["feat_mean"] - norm.mean()) < 1e-12
+    out = bytes(resize_images(media, 4, 3).collect()[0]["content"])
+    assert is_tiff(out)
+    arr, w, h, _ = decode_tiff(out)
+    assert (w, h) == (4, 3) and (arr == resize_nearest(px, 4, 3)).all()

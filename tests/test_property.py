@@ -8,6 +8,8 @@ uid arithmetic — against independent models.
 
 import re
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from lamindb_spark.functions.ids import decode_base62, encode_base62, increment_suffix
@@ -260,3 +262,79 @@ def test_g711_itu_spot_values():
     a = _alaw_decode_table()
     assert a[0xD5] == 8 and a[0x55] == -8
     assert a.max() == 32256 and a.min() == -32256
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31),
+)
+def test_tiff_round_trip_property(h, w, ch, seed):
+    """Baseline TIFF decode(encode(x)) is lossless for any dims and
+    1/3 channels."""
+    from lamindb_spark.pipeline.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    got, gw, gh, gc = decode_tiff(encode_tiff(arr))
+    assert (gw, gh, gc) == (w, h, ch)
+    assert (got == arr).all()
+
+
+def test_tiff_decodes_big_endian_multi_strip():
+    """Hand-built MM-order TIFF with two strips and out-of-line
+    offset/count arrays decodes correctly."""
+    import struct
+
+    from lamindb_spark.pipeline.tiff import decode_tiff
+
+    rng = np.random.default_rng(3)
+    w, h = 5, 4
+    body = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    strips = [body[:2].tobytes(), body[2:].tobytes()]
+    n = 8
+
+    def ent(tag, typ, cnt, val):
+        head = struct.pack(">HHI", tag, typ, cnt)
+        return head + (
+            struct.pack(">I", val) if typ == 4 else struct.pack(">HH", val, 0)
+        )
+
+    ifd_size = 2 + 12 * n + 4
+    so_off = 8 + ifd_size
+    sc_off = so_off + 8
+    data0 = sc_off + 8
+    data1 = data0 + len(strips[0])
+    ifd = struct.pack(">H", n)
+    ifd += ent(256, 4, 1, w) + ent(257, 4, 1, h) + ent(258, 3, 1, 8)
+    ifd += ent(259, 3, 1, 1) + ent(262, 3, 1, 1)
+    ifd += struct.pack(">HHI", 273, 4, 2) + struct.pack(">I", so_off)
+    ifd += ent(278, 4, 1, 2)
+    ifd += struct.pack(">HHI", 279, 4, 2) + struct.pack(">I", sc_off)
+    ifd += struct.pack(">I", 0)
+    blob = (
+        b"MM\x00*" + struct.pack(">I", 8) + ifd
+        + struct.pack(">II", data0, data1)
+        + struct.pack(">II", len(strips[0]), len(strips[1]))
+        + strips[0] + strips[1]
+    )
+    got, gw, gh, gc = decode_tiff(blob)
+    assert (gw, gh, gc) == (w, h, 1) and (got[:, :, 0] == body).all()
+
+
+def test_tiff_compressed_raises():
+    """LZW-compressed TIFF raises (declared out of scope → the
+    multimodal stage falls back to the stub, not a crash)."""
+    import struct
+
+    from lamindb_spark.pipeline.tiff import decode_tiff, encode_tiff
+
+    blob = bytearray(encode_tiff(np.zeros((2, 2, 1), dtype=np.uint8)))
+    # compression entry is the 4th: flip its value to 5 (LZW)
+    off = 8 + 2 + 12 * 3 + 8
+    assert struct.unpack("<H", blob[off - 8 : off - 6])[0] == 259
+    blob[off : off + 2] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(blob))
