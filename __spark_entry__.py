@@ -1776,6 +1776,17 @@ def _q_curated_packing(spark, sf):
     return pack_sequences(passed, "n_tokens", "doc_id", budget=256, id_cols=["doc_id"])
 
 
+def _q_split_by_source(spark, sf):
+    """Leakage-aware train/val/test split: keyed on source so every
+    document from one source lands in one split (near-dups within a
+    source can never straddle train and test). md5-bucket arithmetic,
+    stable across engines; pure map pass, zero shuffle."""
+    from lamindb_spark.pipeline.rules import hash_split
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return hash_split(d, "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
@@ -1829,9 +1840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans,
         "random_proj": _q_random_proj,
         "curated_packing": _q_curated_packing,
+        "split_by_source": _q_split_by_source,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "semi_join": _q_semi_join,
@@ -1843,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn,
         "search_rank": _q_search,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "tpch_q3": _q_tpch_q3,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "tpch_q9": _q_tpch_q9,
@@ -1947,6 +1959,22 @@ _GOPHER_PASS_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "split_by_source": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       CAST(list_sum(list_transform(list_zip(
+                           list_transform(range(1, 9),
+                               i -> strpos('0123456789abcdef', substr(md5(source), i, 1)) - 1),
+                           [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]),
+                           p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source, bucket,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
         "random_proj": _random_proj_oracle(),
         "curated_packing": _GOPHER_PASS_SQL + """
             , c AS (

@@ -213,3 +213,47 @@ def normalize_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"^www\.", "")
     u = F.regexp_replace(u, r"[?#].*$", "")
     return F.regexp_replace(u, r"/+$", "")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard
+    leakage-aware corpus split.
+
+    The split key hashes through md5 (stable across engines, versions
+    and languages, unlike engine-native hash functions), the first 8
+    hex digits become an integer bucket, and cumulative weight
+    thresholds carve the bucket space. Split BY THE RIGHT KEY to
+    control leakage: keying on a group column (source/domain/url) puts
+    every row of that group in one split, so near-duplicates within a
+    group can never straddle train and test.
+
+    Pure map expression — zero shuffle at any scale; re-running on
+    grown data never reassigns an existing key (hash stability), which
+    is what makes incremental corpus refreshes reproducible.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % buckets
+    expr = None
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    return df.withColumn("bucket", bucket).withColumn(
+        "split", expr.otherwise(F.lit(last))
+    )

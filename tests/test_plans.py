@@ -84,6 +84,7 @@ _MAX_EXCHANGES = {
     "kmeans_clusters": 2,  # final assignment is map-side; sizes agg + sort
     "random_proj": 0,      # JL projection is a pure map pass
     "limit_preserved": 0,  # TakeOrdered + window over the 20-row head
+    "split_by_source": 0,  # md5-bucket split is a pure map pass
     "curated_packing": 6,  # map-only gate feeding the packing shape above
     "sessionize": 1,       # one shuffle on user_id (lag+cumsum+agg share it)
     "asof_join": 1,        # union+window: one shuffle on the key, no range join

@@ -180,3 +180,33 @@ def test_random_projection_matches_numpy(spark):
     # zero-shuffle plan
     plan = random_projection(df, 16, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hash_split_deterministic_and_grouped(spark):
+    from lamindb_spark.pipeline.rules import hash_split
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(200)], ["doc_id", "source"]
+    )
+    out = hash_split(df, "source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["split"])
+    # leakage guard: one split per source
+    assert all(len(s) == 1 for s in by_src.values())
+    # stable across invocations
+    again = {r["doc_id"]: r["split"] for r in hash_split(df, "source").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+    # different salt → (very likely) different assignment for some key
+    salted = {r["source"]: r["split"] for r in hash_split(df, "source", salt="v2").collect()}
+    base = {r["source"]: r["split"] for r in out}
+    assert salted.keys() == base.keys()
+    # weights roughly honored on many keys
+    many = spark.createDataFrame([(i, f"k{i}") for i in range(2000)], ["id", "k"])
+    frac = {}
+    for r in hash_split(many, "k").collect():
+        frac[r["split"]] = frac.get(r["split"], 0) + 1
+    assert 0.74 < frac["train"] / 2000 < 0.86
+    # zero-shuffle plan
+    plan = hash_split(df, "source")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
