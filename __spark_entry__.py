@@ -1787,6 +1787,37 @@ def _q_split_by_source(spark, sf):
     return hash_split(d, "source")
 
 
+def _q_dedup_spans(spark, sf):
+    """C4-style corpus-level duplicate-span removal: 5-token windows,
+    canonical (lowest doc_id, lowest position) occurrence survives,
+    documents reassembled from surviving spans. Two narrow shuffles
+    (span-hash election + doc reassembly), explode is JVM-side."""
+    from lamindb_spark.pipeline.corpus import dedup_token_spans
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup_token_spans(d, span_tokens=5)
+
+
+def _q_bm25(spark, sf):
+    """BM25 (Okapi) ranking of documents against fixed query terms.
+    One scalar stats aggregate (N, Σdl, per-term df in a single pass)
+    broadcast onto a codegen scoring scan; TakeOrdered top-15."""
+    from lamindb_spark.pipeline.corpus import bm25_rank
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return bm25_rank(d, ["spark", "shuffle", "merge"], top_n=15)
+
+
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup: k-means cells as the blocking key, drop any vector
+    with a ≥0.35-cosine lower-id neighbour in its cell. Composition of
+    the kmeans trainer and the blocked near-dup kernel."""
+    from lamindb_spark.pipeline.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
@@ -1841,19 +1872,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_proj": _q_random_proj,
         "curated_packing": _q_curated_packing,
         "split_by_source": _q_split_by_source,
+        "dedup_spans": _q_dedup_spans,
+        "bm25_rank": _q_bm25,
+        "semantic_dedup": _q_semantic_dedup,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
-        "semi_join": _q_semi_join,
-        "anti_join": _q_anti_join,
         "eav_filter": _q_eav_filter,
         "graph_closure": _q_closure,
         "version_latest": _q_version_latest,
         "dedup_exact": _q_dedup_exact,
         "knn_cosine": _q_knn,
-        "search_rank": _q_search,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "search_rank": _q_search,
         "tpch_q3": _q_tpch_q3,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -2104,6 +2138,115 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(cell AS INTEGER) AS cell, CAST(count(*) AS BIGINT) AS n_points
             FROM a1 GROUP BY cell ORDER BY cell
+        """,
+        "dedup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), segs AS (
+                SELECT doc_id, CAST(s AS INTEGER) AS seg_idx,
+                       array_to_string(t[(CAST(s AS INTEGER)*5+1):(CAST(s AS INTEGER)*5+5)], ' ') AS seg
+                FROM toks, unnest(range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) u(s)
+                WHERE len(t) > 0
+            ), flagged AS (
+                SELECT doc_id, seg_idx, seg,
+                       (row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep
+                FROM segs
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM flagged GROUP BY doc_id
+        """,
+        "bm25_rank": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), b2 AS (
+                SELECT doc_id, t, len(t) AS dl FROM base
+            ), stats AS (
+                SELECT count(*) AS n, sum(dl) AS sumdl,
+                       sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN list_contains(t, 'shuffle') THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END) AS df2
+                FROM b2
+            ), scored AS (
+                SELECT doc_id,
+                       round(
+                         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                           * CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2
+                           / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+                              + 1.2 * (0.25 + (0.75 * dl) / (CAST(sumdl AS DOUBLE) / n)))
+                         + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                           * CAST(len(list_filter(t, x -> x = 'shuffle')) AS DOUBLE) * 2.2
+                           / (CAST(len(list_filter(t, x -> x = 'shuffle')) AS DOUBLE)
+                              + 1.2 * (0.25 + (0.75 * dl) / (CAST(sumdl AS DOUBLE) / n)))
+                         + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                           * CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) * 2.2
+                           / (CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE)
+                              + 1.2 * (0.25 + (0.75 * dl) / (CAST(sumdl AS DOUBLE) / n)))
+                       , 6) AS score
+                FROM b2, stats
+            )
+            SELECT doc_id, score FROM scored
+            WHERE score > 0
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "semantic_dedup": """
+            WITH c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                       embedding AS cv
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), d0 AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+                FROM embeddings e, c0 c
+            ), a0 AS (
+                SELECT vec_id, embedding, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM d0)
+                WHERE rn = 1
+            ), u1 AS (
+                SELECT cell, CAST(z[2] AS INTEGER) AS pos, CAST(z[1] AS DOUBLE) AS v
+                FROM (SELECT cell,
+                             unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+                      FROM a0)
+            ), c1 AS (
+                SELECT cell AS cid, list(m ORDER BY pos) AS cv
+                FROM (SELECT cell, pos, round(avg(v), 6) AS m FROM u1 GROUP BY cell, pos)
+                GROUP BY cell
+            ), d1 AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+                FROM embeddings e, c1 c
+            ), a1 AS (
+                SELECT vec_id, embedding, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM d1)
+                WHERE rn = 1
+            ), pairs AS (
+                SELECT y.vec_id AS ib
+                FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE round(
+                        list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))),
+                        6) >= 0.35
+            ), dup AS (
+                SELECT DISTINCT ib AS vec_id FROM pairs
+            )
+            SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+            FROM a1 a LEFT JOIN dup d USING (vec_id)
         """,
         "filter_lookups": """
             SELECT l_orderkey, l_linenumber, l_quantity AS qty,

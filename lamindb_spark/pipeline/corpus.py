@@ -99,6 +99,168 @@ def chunk_documents(
     )
 
 
+def _dedup_reassemble(
+    segs: DataFrame, id_col: str, min_chars: int, sep_out: str
+) -> DataFrame:
+    """Core of corpus-level span dedup: keep the canonical (lowest id,
+    lowest position) occurrence of every repeated segment, then stitch
+    each document back together from its surviving segments in original
+    order.
+
+    Exactly two narrow shuffles, both linear in corpus size: ONE on the
+    segment text (row_number window that elects the canonical copy —
+    payload (seg, id, idx) per segment) and ONE on the doc id for
+    reassembly (payload: surviving segments only). Segments shorter
+    than ``min_chars`` never participate in dedup (the C4 guard that
+    stops blank/boilerplate micro-lines from collapsing corpus-wide).
+    """
+    w = Window.partitionBy("seg").orderBy(F.asc(id_col), F.asc("seg_idx"))
+    flagged = segs.select(
+        id_col,
+        "seg_idx",
+        "seg",
+        (
+            (F.length("seg") < min_chars) | (F.row_number().over(w) == 1)
+        ).alias("__keep"),
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("seg_idx"), F.col("seg"), F.col("__keep")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep_out,
+            F.transform(
+                F.filter(parts, lambda s: s["__keep"]), lambda s: s["seg"]
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-level exact line deduplication: any line that
+    occurs anywhere else in the corpus survives only at its canonical
+    first occurrence (lowest doc id, then position); every other copy
+    is cut out of its document (C4/T5 paper §2.2 'three-sentence span'
+    rule, line-granularity variant). Reference scope note: lamindb has
+    no corpus operators; this extends the pipeline family.
+
+    posexplode is the only fan-out (JVM codegen, no Python); the rest
+    is the two-shuffle core of :func:`_dedup_reassemble`."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
+        ).alias("seg_idx", "seg"),
+    )
+    return _dedup_reassemble(lines, id_col, min_chars, sep_out=sep)
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-span removal over fixed token windows —
+    the same canonical-occurrence rule as :func:`dedup_lines` but with
+    non-overlapping ``span_tokens``-token segments as the unit, for
+    corpora without line structure. Tokenize → slice → the shared
+    two-shuffle dedup/reassembly core."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+    segs = staged.filter(F.col("__n") > 0).select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("__n") / span_tokens).cast("int") - 1,
+                F.lit(1),
+            )
+        ).alias("seg_idx"),
+        "__toks",
+    ).select(
+        id_col,
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("seg_idx") * span_tokens + 1, span_tokens)
+        ).alias("seg"),
+    )
+    return _dedup_reassemble(segs, id_col, min_chars, sep_out=" ")
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 15,
+) -> DataFrame:
+    """BM25 document ranking against a fixed term list (Robertson/
+    Sparck-Jones idf, the Okapi tf saturation) — the classic retrieval
+    scorer a training-data pipeline uses for quality-by-query mining.
+
+    Scale shape: corpus stats (N, Σdl, per-term document frequencies)
+    come from ONE map-side-combined scalar aggregate — k terms fold
+    into k ``array_contains`` sums in the same pass, so there is no
+    per-term scan and no explode. The 1-row stats frame is broadcast
+    (literally: a broadcast nested-loop join of a single row) onto a
+    second scan where tf, idf and the final score are pure codegen
+    expressions; top-n goes through TakeOrdered (per-partition heads,
+    no global sort). avgdl is computed as exact-integer Σdl / N at
+    score time so both engines divide the same integers (float-sum
+    drift cannot flip the round-6 comparison).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("dl").alias("__sumdl"),
+        *[
+            F.sum(F.array_contains("__toks", t).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__N")
+    norm = k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    score = None
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter("__toks", lambda x: x == t)).cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("__N") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+        )
+        term = idf * tf * (k1 + 1.0) / (tf + norm)
+        score = term if score is None else score + term
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:

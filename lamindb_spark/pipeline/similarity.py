@@ -466,3 +466,47 @@ def random_projection(
             )
         )
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then drop any vector whose cluster
+    holds a sufficiently-cosine-similar representative with a lower id
+    (the deterministic stand-in for the paper's keep-farthest-from-
+    centroid choice). Output: (id, cell, keep).
+
+    Scale shape = the two bounded pieces it composes: the
+    :func:`kmeans_fit` trainer (map-side scans, k*dim driver traffic)
+    and :func:`cosine_neardup_pairs` (pair space bounded per cluster —
+    the cluster IS the blocking key, so the quadratic term is
+    C(cell_size, 2), capped by capping cell size at trainer time).
+    The verdict join broadcasts the dropped-id set (bounded by the
+    near-dup count, not the corpus).
+    """
+    cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        _argmin_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    pairs = cosine_neardup_pairs(
+        assigned, "cell", threshold, id_col=id_col, vec_col="__vec"
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "__dup", F.lit(True)
+    )
+    return (
+        assigned.join(F.broadcast(dropped), [id_col], "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

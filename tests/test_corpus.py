@@ -94,3 +94,97 @@ def test_contamination_overlap(spark):
     assert not got[11]["contaminated"] and got[11]["n_shared"] == 0
     assert got[12]["contaminated"] and got[12]["n_shared"] == 1  # 'quick brown fox'
     assert 0 < got[12]["overlap_ratio"] < got[10]["overlap_ratio"]
+
+
+def test_dedup_lines_canonical_occurrence(spark):
+    docs = literal_table(
+        spark,
+        [
+            (1, "alpha beta\nshared boilerplate line\nunique one"),
+            (2, "shared boilerplate line\nunique two"),
+            (3, "x\nrepeat me\nrepeat me\ny"),  # intra-doc dup
+        ],
+        ["doc_id", "text"],
+    )
+    from lamindb_spark.pipeline.corpus import dedup_lines
+
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_chars=2).collect()}
+    # doc 1 is the canonical holder of the shared line
+    assert out[1]["clean_text"] == "alpha beta\nshared boilerplate line\nunique one"
+    assert out[1]["n_dropped"] == 0
+    # doc 2 loses its copy
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    # intra-doc repeat: only the first occurrence survives; the
+    # 1-char lines are below min_chars and bypass dedup entirely
+    assert out[3]["clean_text"] == "x\nrepeat me\ny"
+    assert out[3]["n_dropped"] == 1
+
+
+def test_dedup_lines_min_chars_guard(spark):
+    docs = literal_table(
+        spark, [(1, "a\nb\na"), (2, "a\nc")], ["doc_id", "text"]
+    )
+    from lamindb_spark.pipeline.corpus import dedup_lines
+
+    # min_chars=2: every 1-char line is exempt — nothing is dropped
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_chars=2).collect()}
+    assert out[1]["n_dropped"] == 0 and out[2]["n_dropped"] == 0
+    # min_chars=1: corpus-wide 'a' collapses to doc 1's first copy
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_chars=1).collect()}
+    assert out[1]["clean_text"] == "a\nb" and out[2]["clean_text"] == "c"
+
+
+def test_dedup_token_spans_reassembly(spark):
+    # spans of 2 tokens; docs 1 and 2 share the span "p q"
+    docs = literal_table(
+        spark,
+        [(1, "p q r s"), (2, "p q t u"), (3, "v w")],
+        ["doc_id", "text"],
+    )
+    from lamindb_spark.pipeline.corpus import dedup_token_spans
+
+    out = {r["doc_id"]: r for r in dedup_token_spans(docs, span_tokens=2).collect()}
+    assert out[1]["clean_text"] == "p q r s"
+    assert out[2]["clean_text"] == "t u" and out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "v w"
+
+
+def test_bm25_ranking_order(spark):
+    docs = literal_table(
+        spark,
+        [
+            (1, "spark spark spark"),          # high tf, short
+            (2, "spark " + "filler " * 50),    # tf 1, long doc → penalized
+            (3, "spark spark other words"),
+            (4, "nothing relevant here"),      # score 0 → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    from lamindb_spark.pipeline.corpus import bm25_rank
+
+    rows = bm25_rank(docs, ["spark"], top_n=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids
+    # tf saturation + length normalization: doc 1 beats 3 beats 2
+    assert ids == [1, 3, 2]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_semantic_dedup_drops_near_neighbor(spark):
+    from lamindb_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),   # near-dup of 0 (cos ≈ 0.99)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, k=4, iters=2, threshold=0.9).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False            # lower-id neighbour 0 wins
+    assert all(out[i]["keep"] for i in (2, 3, 4))
+    assert out[0]["cell"] == out[1]["cell"]   # same cluster → same block

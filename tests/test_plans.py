@@ -101,6 +101,11 @@ _MAX_EXCHANGES = {
     "user_profiles": 1,    # one (user_id) shuffle shared by all three windows
     "ngram_jaccard": 2,    # inverted-index groupBy + pair count; NO size
                            # join (n_sh rides the explode) — r5 rewrite
+    "dedup_spans": 2,      # span-election window + doc reassembly, nothing else
+    "bm25_rank": 2,        # 1-row stats agg (SinglePartition) + its broadcast;
+                           # scoring itself is a pure map pass
+    "semantic_dedup": 3,   # cell-blocked pair join shuffle + 2 broadcasts
+                           # (stats/dropped-ids); kmeans passes are map-side
 }
 
 
