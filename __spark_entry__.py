@@ -1808,6 +1808,86 @@ def _q_bm25(spark, sf):
     return bm25_rank(d, ["spark", "shuffle", "merge"], top_n=15)
 
 
+def _q_oov_rate(spark, sf):
+    """Tokenizer-vocab coverage: exact top-100 vocabulary (heavy-hitter
+    agg, k tokens to the driver) + zero-shuffle literal-array OOV
+    scoring pass."""
+    from lamindb_spark.pipeline.corpus import vocab_coverage
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return vocab_coverage(d, vocab_size=100)
+
+
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training: 8 merges learned on the
+    word-frequency table (one corpus shuffle, then vocab-sized
+    rounds). The merge table IS the model — tiny by construction.
+    Oracle: the same 8 rounds unrolled as a DuckDB CTE chain over the
+    identical sentinel-string representation (see _bpe_oracle_sql),
+    so the training itself is value-checked cross-engine."""
+    from lamindb_spark.pipeline.bpe import bpe_train
+    from lamindb_spark.sources.literals import literal_table
+
+    d = load_table(spark, sf, "documents").select("text")
+    merges = bpe_train(d, n_merges=8)
+    out = literal_table(spark, merges, ["rank", "lhs", "rhs", "freq"])
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        "lhs",
+        "rhs",
+        F.col("freq").cast("long").alias("freq"),
+    ).orderBy("rank")
+
+
+def _bpe_oracle_sql(n: int = 8) -> str:
+    """Unrolled n-round BPE trainer in pure SQL: pair counting via
+    shifted list_zip, argmax with the (freq desc, lhs, rhs) tiebreak,
+    merge application via the sentinel-string replace (identical
+    greedy semantics — see pipeline/bpe.py module docstring)."""
+    parts = [
+        """
+        WITH w0 AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY word
+        ), v0 AS (
+            SELECT freq,
+                   array_to_string(list_transform(range(1, length(word) + 1),
+                                                  i -> chr(31) || word[i]), ' ')
+                   || ' ' || chr(31) || '</w> ' AS vstr
+            FROM w0
+        )"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f""", p{r} AS (
+            SELECT z[1] AS a, z[2] AS b, sum(freq) AS f
+            FROM (SELECT freq, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                  FROM (SELECT freq,
+                               list_filter(string_split(vstr, ' '), x -> x <> '') AS l
+                        FROM v{r-1}))
+            GROUP BY a, b
+        ), t{r} AS (
+            SELECT a, b, CAST(f AS BIGINT) AS f
+            FROM p{r} ORDER BY f DESC, a ASC, b ASC LIMIT 1
+        ), v{r} AS (
+            SELECT v.freq,
+                   replace(v.vstr, t.a || ' ' || t.b || ' ',
+                           t.a || substr(t.b, 2) || ' ') AS vstr
+            FROM v{r-1} v, t{r} t
+        )"""
+        )
+    sel = "\n            UNION ALL ".join(
+        f"SELECT {r} AS rank, substr(a, 2) AS lhs, substr(b, 2) AS rhs, f AS freq FROM t{r}"
+        for r in range(1, n + 1)
+    )
+    parts.append(f"\n        SELECT * FROM ({sel}) ORDER BY rank")
+    return "".join(parts)
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup: k-means cells as the blocking key, drop any vector
     with a ≥0.35-cosine lower-id neighbour in its cell. Composition of
@@ -1875,16 +1955,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "bm25_rank": _q_bm25,
         "semantic_dedup": _q_semantic_dedup,
+        "oov_rate": _q_oov_rate,
+        "bpe_merges": _q_bpe_merges,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "eav_filter": _q_eav_filter,
         "graph_closure": _q_closure,
-        "version_latest": _q_version_latest,
         "dedup_exact": _q_dedup_exact,
-        "knn_cosine": _q_knn,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "version_latest": _q_version_latest,
+        "knn_cosine": _q_knn,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "search_rank": _q_search,
@@ -1993,6 +2075,7 @@ _GOPHER_PASS_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_merges": _bpe_oracle_sql(8),
         "split_by_source": """
             WITH h AS (
                 SELECT doc_id, source,
@@ -2197,6 +2280,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "oov_rate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), vocab AS (
+                SELECT list(token) AS vl FROM (
+                    SELECT token FROM (
+                        SELECT unnest(t) AS token FROM toks
+                    ) GROUP BY token
+                    ORDER BY count(*) DESC, token ASC LIMIT 100
+                )
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE round(CAST(len(list_filter(t, x -> NOT list_contains(vl, x))) AS DOUBLE)
+                                   / len(t), 6)
+                   END AS oov_ratio
+            FROM toks, vocab
         """,
         "semantic_dedup": """
             WITH c0 AS (

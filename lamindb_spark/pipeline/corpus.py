@@ -279,3 +279,41 @@ def token_frequencies(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the exact top-k corpus
+    vocabulary, then score every document's out-of-vocabulary token
+    ratio against it — the standard pre-tokenizer sanity signal
+    (docs with high OOV rates are noise/foreign/binary spill).
+
+    Scale shape mirrors the k-means trainer: the vocabulary is ONE
+    heavy-hitter aggregate (map-side partial counts + TakeOrdered,
+    deterministic (count desc, token asc) tiebreak) whose k tokens are
+    the only bytes that touch the driver; scoring is a SECOND pure
+    map pass with the vocab as a literal array — zero shuffle, so at
+    100 TB the cost is two scan-bound passes (or one, if the caller
+    persists the tokenized frame)."""
+    vocab = [
+        r["token"]
+        for r in token_frequencies(df, text_col, k=vocab_size).select("token").collect()
+    ]
+    vlit = F.array(*[F.lit(t) for t in vocab])
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    n = F.size(toks)
+    n_oov = F.size(F.filter(toks, lambda x: ~F.array_contains(vlit, x)))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(n_oov.cast("double") / n, 6))
+        .alias("oov_ratio"),
+    )

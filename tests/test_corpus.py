@@ -188,3 +188,21 @@ def test_semantic_dedup_drops_near_neighbor(spark):
     assert out[1]["keep"] is False            # lower-id neighbour 0 wins
     assert all(out[i]["keep"] for i in (2, 3, 4))
     assert out[0]["cell"] == out[1]["cell"]   # same cluster → same block
+
+
+def test_vocab_coverage_oov_ratio(spark):
+    docs = literal_table(
+        spark,
+        [
+            (1, "a a a b"),      # all in-vocab (vocab_size=2 → {a, b})
+            (2, "a b zz qq"),    # half OOV
+            (3, "qq zz"),        # all OOV (b wins the count tie lexically)
+        ],
+        ["doc_id", "text"],
+    )
+    from lamindb_spark.pipeline.corpus import vocab_coverage
+
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert out[1]["oov_ratio"] == 0.0 and out[1]["n_tokens"] == 4
+    assert out[2]["oov_ratio"] == 0.5
+    assert out[3]["oov_ratio"] == 1.0

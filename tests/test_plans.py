@@ -24,7 +24,7 @@ _CARTESIAN_OK = set()
 
 # the single sanctioned Python stage: Arrow-batched applyInPandas
 # (FlatMapGroupsInPandas) in embedding_neardup / multimodal.
-_ARROW_OK = {"embedding_neardup"}
+_ARROW_OK = {"embedding_neardup", "semantic_dedup"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
@@ -106,6 +106,8 @@ _MAX_EXCHANGES = {
                            # scoring itself is a pure map pass
     "semantic_dedup": 3,   # cell-blocked pair join shuffle + 2 broadcasts
                            # (stats/dropped-ids); kmeans passes are map-side
+    "oov_rate": 0,         # scoring is a pure map pass (vocab is a literal
+                           # array fetched at build time, like kmeans cents)
 }
 
 
