@@ -53,3 +53,41 @@ def stream_to_artifact(
             target, key=key, description=description, otype="DataFrame"
         )
     return writer.start()
+
+
+def stream_append_exactly_once(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    query_name: str = "stream",
+    trigger_available_now: bool = True,
+    timeout_sec: int = 300,
+):
+    """Streaming append with END-TO-END exactly-once semantics into a
+    commit-log table: each micro-batch commits through
+    :func:`catalog.commitlog.append_dataframe_txn` keyed on
+    ``(query_name, batch_id)``, so a replayed batch — Spark re-runs
+    the last micro-batch after an unclean restart, the documented
+    at-least-once edge of ``foreachBatch`` — is recognized in the log
+    and skipped instead of double-appending.
+
+    This is the Delta ``txn``/SetTransaction pattern; the plain
+    ``mode("append")`` sink in :func:`stream_to_artifact` is
+    at-least-once by comparison (duplicate part-files on replay).
+    Readers use ``read_committed`` and never see staged files.
+    """
+    from ..catalog.commitlog import append_dataframe_txn
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_dataframe_txn(batch_df, table_path, query_name, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec)
+        return None
+    return writer.start()

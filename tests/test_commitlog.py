@@ -88,3 +88,62 @@ def test_crashed_writer_leaves_no_trace(spark, tmp_path):
     spark.range(1000).write.parquet(os.path.join(t, "stage-crashed"))
     compact(spark, t)
     assert read_committed(spark, t).count() == 5
+
+
+def test_txn_append_is_idempotent(spark, tmp_path):
+    from lamindb_spark.catalog.commitlog import append_dataframe_txn
+
+    t = str(tmp_path / "tbl")
+    v = append_dataframe_txn(spark.range(0, 10), t, "job-a", 0)
+    assert v is not None
+    # replay of the SAME transaction: skipped, no new rows, no new commit
+    assert append_dataframe_txn(spark.range(0, 10), t, "job-a", 0) is None
+    assert read_committed(spark, t).count() == 10
+    assert CommitLog(t).versions() == [v]
+    # a different txn version (next batch) lands normally
+    assert append_dataframe_txn(spark.range(10, 15), t, "job-a", 1) is not None
+    assert read_committed(spark, t).count() == 15
+    # same version from a DIFFERENT app is a different transaction
+    assert append_dataframe_txn(spark.range(100, 102), t, "job-b", 0) is not None
+    assert read_committed(spark, t).count() == 17
+
+
+def test_stream_exactly_once_replay(spark, tmp_path):
+    """Drain a file stream through the exactly-once sink, then replay
+    the micro-batches by re-running against a WIPED checkpoint (worst
+    case: Spark forgets all progress) — the commit log still dedups."""
+    from lamindb_spark.catalog.commitlog import CommitLog
+    from lamindb_spark.streaming.sink import stream_append_exactly_once
+
+    src = str(tmp_path / "src")
+    spark.range(0, 50).write.parquet(src)
+    table = str(tmp_path / "tbl")
+    stream = spark.readStream.schema("id long").parquet(src)
+    stream_append_exactly_once(stream, table, str(tmp_path / "ck1"), "ingest")
+    assert read_committed(spark, table).count() == 50
+    n_commits = len(CommitLog(table).versions())
+    # full replay with fresh checkpoint → same (query, batch) ids re-run
+    stream2 = spark.readStream.schema("id long").parquet(src)
+    stream_append_exactly_once(stream2, table, str(tmp_path / "ck2"), "ingest")
+    assert read_committed(spark, table).count() == 50  # no duplicates
+    assert len(CommitLog(table).versions()) == n_commits
+
+
+def test_read_changes_incremental_feed(spark, tmp_path):
+    from lamindb_spark.catalog.commitlog import read_changes
+
+    t = str(tmp_path / "tbl")
+    v0 = append_dataframe(spark.range(0, 10), t)
+    v1 = append_dataframe(spark.range(10, 30), t)
+    compact(spark, t, target_files=1)
+    v3 = append_dataframe(spark.range(30, 35), t)
+    # everything after v0: the two real appends, NOT the compaction
+    got = sorted(r["id"] for r in read_changes(spark, t, since_version=v0).collect())
+    assert got == list(range(10, 35))
+    # bounded window
+    got = sorted(
+        r["id"] for r in read_changes(spark, t, v0, to_version=v1).collect()
+    )
+    assert got == list(range(10, 30))
+    # empty window → empty frame with the table schema
+    assert read_changes(spark, t, since_version=v3).count() == 0
