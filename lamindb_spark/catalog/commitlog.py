@@ -268,3 +268,100 @@ def read_changes(
     if not files:
         return spark.createDataFrame([], read_committed(spark, table_path).schema)
     return spark.read.parquet(*files)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key: str,
+) -> int:
+    """Keyed MERGE (upsert) into a commit-log table — the table-format
+    write primitive behind Delta/Iceberg MERGE INTO, with FILE-LEVEL
+    pruning: only live files whose parquet footer [min, max] span of
+    ``key`` overlaps the source keys are rewritten; every other file
+    is untouched bytes AND untouched log entry.
+
+    Plan: (1) driver reads metadata-sized footers of the live snapshot
+    and intersects each file's key span with the source's [min, max]
+    (a clustered layout — ``sources/zorder.py`` or any sort on key —
+    is what makes this prune hard); (2) matched files are scanned,
+    matched keys anti-joined away, the survivors + source written as
+    replacement files; (3) one optimistic commit publishes
+    add+remove — a concurrent writer that already removed an input
+    raises :class:`CommitConflictError` and the caller re-plans, the
+    same contract as :func:`compact`.
+
+    Upsert semantics: source rows replace same-key rows; unmatched
+    source rows are inserts. Returns the committed version.
+    """
+    import pyarrow.parquet as pq
+
+    log = CommitLog(table_path)
+    _, files = log.snapshot()
+    if source.isEmpty():
+        return -1
+    spans, no_stats = [], []
+    for i, f in enumerate(files):
+        md = pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == key and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None:
+            no_stats.append(f)  # unknown stats -> conservatively rewrite
+        else:
+            spans.append((i, fmin, fmax))
+    # per-file pruning against the actual source KEY SET (a single
+    # [min,max] span of the source would let one out-of-range insert
+    # un-prune the whole table): broadcast the metadata-sized interval
+    # table against the source keys, keep files some key lands in.
+    hit_idx: set[int] = set()
+    if spans:
+        from pyspark.sql import functions as F
+
+        ivals = spark.createDataFrame(
+            [(i, lo, hi) for i, lo, hi in spans], ["__fidx", "__lo", "__hi"]
+        )
+        hits = (
+            source.select(F.col(key).alias("__k"))
+            .join(
+                F.broadcast(ivals),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__fidx")
+            .distinct()
+            .collect()
+        )
+        hit_idx = {r["__fidx"] for r in hits}
+    touched = no_stats + [files[i] for i, _lo, _hi in spans if i in hit_idx]
+    untouched = [files[i] for i, _lo, _hi in spans if i not in hit_idx]
+    stage = f"merge-{uuid.uuid4().hex[:12]}"
+    stage_path = os.path.join(table_path, stage)
+    if touched:
+        existing = spark.read.parquet(*touched)
+        keep = existing.join(source.select(key).distinct(), [key], "left_anti")
+        out = keep.unionByName(source)
+    else:
+        out = source
+    out.write.mode("overwrite").parquet(stage_path)
+    new = [
+        os.path.join(stage, f)
+        for f in os.listdir(stage_path)
+        if f.endswith(".parquet")
+    ]
+    old = [os.path.relpath(p, table_path) for p in touched]
+    return log.commit(
+        add=new,
+        remove=old,
+        metadata={
+            "op": "merge",
+            "key": key,
+            "n_rewritten": len(old),
+            "n_pruned": len(untouched),
+        },
+    )

@@ -5,6 +5,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from lamindb_spark.catalog.commitlog import (
     CommitConflictError,
@@ -147,3 +148,46 @@ def test_read_changes_incremental_feed(spark, tmp_path):
     assert got == list(range(10, 30))
     # empty window → empty frame with the table schema
     assert read_changes(spark, t, since_version=v3).count() == 0
+
+
+def test_merge_into_upsert_with_file_pruning(spark, tmp_path):
+    """Upsert touching a narrow key range rewrites ONLY the files whose
+    footer span overlaps it; a clustered table keeps most files as
+    untouched bytes and untouched log entries."""
+    from lamindb_spark.catalog.commitlog import CommitLog, merge_into
+
+    t = str(tmp_path / "tbl")
+    # clustered layout: 8 files, each a tight id range
+    df = spark.range(0, 800).withColumn("val", F.col("id") * 10)
+    stage = str(tmp_path / "init")
+    df.repartitionByRange(8, "id").sortWithinPartitions("id").write.parquet(stage)
+    files = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    # move staged files under the table dir and commit them
+    os.makedirs(t, exist_ok=True)
+    for f in files:
+        os.rename(os.path.join(stage, f), os.path.join(t, f))
+    CommitLog(t).commit(add=files, metadata={"op": "append"})
+    before = {p for p in read_committed(spark, t).inputFiles()}
+
+    # upsert: update ids 100..104, insert ids 10_000..10_001
+    src = spark.createDataFrame(
+        [(100 + i, -1) for i in range(5)] + [(10_000, -2), (10_001, -2)],
+        "id long, val long",
+    )
+    merge_into(spark, t, src, "id")
+    out = read_committed(spark, t)
+    assert out.count() == 802
+    vals = {r["id"]: r["val"] for r in out.filter(F.col("id").isin(99, 100, 104, 10_000)).collect()}
+    assert vals[99] == 990 and vals[100] == -1 and vals[104] == -1 and vals[10_000] == -2
+    # pruning: at most 1-2 of the 8 original files rewritten
+    log = CommitLog(t)
+    with open(os.path.join(log.log_dir, f"{log.versions()[-1]:020d}.json")) as fh:
+        import json as _json
+
+        meta = _json.load(fh)["metadata"]
+    assert meta["op"] == "merge"
+    assert meta["n_rewritten"] <= 2, meta
+    assert meta["n_pruned"] >= 6, meta
+    after = {p for p in out.inputFiles()}
+    # the pruned files are literally the same paths as before
+    assert len(before & after) >= 6
