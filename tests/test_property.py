@@ -14,6 +14,7 @@ from hypothesis import given, settings, strategies as st
 
 from lamindb_spark.functions.ids import decode_base62, encode_base62, increment_suffix
 from lamindb_spark.operators.filters import Q, compile_filters
+from lamindb_spark.sources.literals import literal_table
 
 # --- base62 ------------------------------------------------------------
 
@@ -338,3 +339,67 @@ def test_tiff_compressed_raises():
     blob[off : off + 2] = struct.pack("<H", 5)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(blob))
+
+
+# --- corpus span dedup vs python model ---------------------------------
+
+
+def _python_span_dedup(texts, span):
+    """Reference: canonical-occurrence span dedup + reassembly."""
+    segs = []
+    for did, t in texts:
+        toks = [w for w in t.strip().split() if w]
+        for s in range(0, max(len(toks), 0), span):
+            if toks:
+                segs.append((did, s // span, " ".join(toks[s : s + span])))
+    seen = {}
+    for did, idx, seg in sorted(segs, key=lambda r: (r[0], r[1])):
+        seen.setdefault(seg, (did, idx))
+    out = {}
+    for did, _t in texts:
+        mine = [(idx, seg) for d, idx, seg in segs if d == did]
+        kept = [seg for idx, seg in mine if seen[seg] == (did, idx)]
+        dropped = len(mine) - len(kept)
+        if mine:
+            out[did] = (" ".join(kept), len(kept), dropped)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dedup_token_spans_matches_python(spark, texts):
+    from lamindb_spark.pipeline.corpus import dedup_token_spans
+
+    rows = list(enumerate(texts))
+    docs = literal_table(spark, rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_token_spans(docs, span_tokens=2).collect()
+    }
+    assert got == _python_span_dedup(rows, 2)
+
+
+# --- BPE trainer vs python model on random corpora ---------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bpe_train_property(spark, texts, n_merges):
+    from lamindb_spark.pipeline.bpe import bpe_train
+    from tests.test_bpe import _ref_train
+
+    docs = literal_table(spark, list(enumerate(texts)), ["doc_id", "text"])
+    assert bpe_train(docs, n_merges=n_merges) == _ref_train(texts, n_merges)
