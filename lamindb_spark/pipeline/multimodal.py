@@ -8,8 +8,8 @@ batches, so bytes move JVM→Python once per batch, never per row.
 Decoders dispatch per format, and each modality has a REAL pure-
 python/numpy codec path tested on actual pixels/samples/frames: PNG
 (``png.py``), baseline JPEG (``jpeg.py``), GIF (``gif.py``), BMP
-(``bmp.py``) and uncompressed TIFF (``tiff.py``) for images, PCM and
-G.711 mu-law/A-law WAV (``wav.py``) for audio, MJPEG-AVI (``avi.py``)
+(``bmp.py``) and uncompressed TIFF (``tiff.py``) for images, PCM,
+G.711 mu-law/A-law and IMA ADPCM WAV (``wav.py``) for audio, MJPEG-AVI (``avi.py``)
 for video. Formats that require a codec library (webp, compressed
 TIFF, mp3/ogg/flac, inter-frame video like H.264) fall back to the
 declared deterministic stub, so
@@ -117,7 +117,7 @@ def _decode_audio(content: bytes) -> list[float]:
     """Audio decode: REAL pure-python WAV decode (``wav.py``) for
     RIFF/WAVE PCM payloads — actual samples in [-1, 1], channels
     interleaved — falling back to the declared stub for formats that
-    need codec libs (mp3/ogg/flac)."""
+    need codec libs (mp3/ogg/flac); IMA ADPCM decodes real."""
     from .wav import decode_wav, is_wav
 
     if content and is_wav(bytes(content)):

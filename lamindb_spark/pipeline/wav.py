@@ -139,6 +139,8 @@ def decode_wav(data: bytes):
     fmt = _wav_format_code(bytes(data))
     if fmt in _G711_TABLES:
         return _decode_wav_g711(bytes(data), fmt)
+    if fmt == 0x11:  # IMA/DVI ADPCM
+        return decode_wav_ima(bytes(data))
     with wave.open(io.BytesIO(data), "rb") as w:
         n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
         raw = w.readframes(w.getnframes())
@@ -182,3 +184,153 @@ def resample_nearest(samples, src_rate: int, dst_rate: int):
         arr.shape[0] - 1,
     )
     return arr[idx]
+
+
+# --- IMA/DVI ADPCM (WAV fmt code 0x11) --------------------------------
+# 4-bit adaptive differential PCM: per-block header carries the seed
+# predictor + step index, then one nibble per sample steps the shared
+# encoder/decoder state machine (IMA ADPCM spec / RFC 3551 payload).
+# Blocks are independent — the parallelism unit at corpus scale.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_FMT = 0x11
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One state-machine step shared by encode and decode: apply a
+    nibble to (predictor, step index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return pred, index
+
+
+def _ima_encode_nibble(sample: int, pred: int, index: int) -> int:
+    step = _IMA_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def decode_wav_ima(data: bytes):
+    """IMA ADPCM WAV → (float64 samples in [-1, 1], rate). Mono and
+    stereo (stereo nibbles interleave in 4-byte per-channel groups)."""
+    import struct
+
+    n_ch = rate = block_align = None
+    raw = b""
+    for cid, payload in _riff_chunks(bytes(data)):
+        if cid == b"fmt ":
+            n_ch = int(np.frombuffer(payload[2:4], dtype="<u2")[0])
+            rate = int(np.frombuffer(payload[4:8], dtype="<u4")[0])
+            block_align = int(np.frombuffer(payload[12:14], dtype="<u2")[0])
+        elif cid == b"data":
+            raw = payload
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for b0 in range(0, len(raw) - (len(raw) % block_align), block_align):
+        block = raw[b0 : b0 + block_align]
+        preds, idxs = [], []
+        for c in range(n_ch):
+            p, i = struct.unpack_from("<hBx", block, c * 4)
+            preds.append(p)
+            idxs.append(min(max(i, 0), 88))
+            chans[c].append(p)  # header predictor IS the first sample
+        body = block[4 * n_ch :]
+        # nibbles come in 4-byte (8-nibble) groups per channel
+        for g0 in range(0, len(body) - (len(body) % (4 * n_ch)), 4 * n_ch):
+            for c in range(n_ch):
+                for byte in body[g0 + 4 * c : g0 + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+    n = min(len(ch) for ch in chans)
+    arr = np.stack([np.array(ch[:n], dtype=np.int32) for ch in chans], axis=1)
+    return arr.astype("float64") / _SCALE[2], rate
+
+
+def encode_wav_ima(samples, sample_rate: int, block_frames: int = 505) -> bytes:
+    """float [-1, 1] → IMA ADPCM RIFF/WAVE. The encoder's predictor IS
+    the decoder state machine, so decode(encode(x)) equals the
+    encoder's internal reconstruction exactly — the self-consistency
+    the round-trip test pins. ``block_frames`` must be 1 + a multiple
+    of 8 (nibble groups)."""
+    import struct
+
+    if (block_frames - 1) % 8:
+        raise ValueError("block_frames must be 1 + k*8")
+    arr = np.asarray(samples, dtype="float64")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_ch = arr.shape
+    pcm = np.clip(np.round(arr * _SCALE[2]), -32768, 32767).astype(np.int32)
+    block_align = 4 * n_ch + ((block_frames - 1) // 2) * n_ch
+    body = bytearray()
+    idxs = [0] * n_ch
+    for b0 in range(0, n_frames, block_frames):
+        blk = pcm[b0 : b0 + block_frames]
+        # pad the tail block to full length by repeating the last frame
+        if len(blk) < block_frames:
+            pad = np.repeat(blk[-1:], block_frames - len(blk), axis=0)
+            blk = np.concatenate([blk, pad], axis=0)
+        preds = []
+        for c in range(n_ch):
+            p = int(blk[0, c])
+            body += struct.pack("<hBx", p, idxs[c])
+            preds.append(p)
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for t in range(1, block_frames):
+            for c in range(n_ch):
+                nib = _ima_encode_nibble(int(blk[t, c]), preds[c], idxs[c])
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        for g in range(0, len(nibs[0]), 8):
+            for c in range(n_ch):
+                for k in range(0, 8, 2):
+                    body.append(nibs[c][g + k] | (nibs[c][g + k + 1] << 4))
+    n_blocks = (n_frames + block_frames - 1) // block_frames
+    fmt_chunk = struct.pack(
+        "<HHIIHHHH",
+        _IMA_FMT,
+        n_ch,
+        sample_rate,
+        sample_rate * block_align // block_frames,
+        block_align,
+        4,
+        2,
+        block_frames,
+    )
+    out = b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    out += b"fact" + struct.pack("<II", 4, n_blocks * block_frames)
+    out += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    if len(body) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out

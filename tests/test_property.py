@@ -403,3 +403,70 @@ def test_bpe_train_property(spark, texts, n_merges):
 
     docs = literal_table(spark, list(enumerate(texts)), ["doc_id", "text"])
     assert bpe_train(docs, n_merges=n_merges) == _ref_train(texts, n_merges)
+
+
+# --- IMA ADPCM --------------------------------------------------------
+
+
+def test_ima_adpcm_known_block():
+    """Decode a hand-crafted block against hand-computed state-machine
+    values (step table walk done on paper, independent of the code)."""
+    import struct
+
+    import numpy as np
+
+    from lamindb_spark.pipeline.wav import decode_wav
+
+    # mono block: header pred=100 idx=0, nibbles 3,7,0,0,0,0,0,0
+    body = struct.pack("<hBx", 100, 0) + bytes([3 | (7 << 4), 0, 0, 0])
+    fmt_chunk = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 2, 9)
+    out = b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    out += b"data" + struct.pack("<I", len(body)) + body
+    wav = b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+    samples, rate = decode_wav(wav)
+    assert rate == 8000
+    pcm = np.round(samples[:, 0] * 32768.0).astype(int).tolist()
+    # by hand: 100 | +4 (nib 3, step 7) | +11 (nib 7) -> idx 8 |
+    # +2 (nib 0, step 16) -> idx 7 | +1 (nib 0, step 14) -> idx 6
+    assert pcm[:5] == [100, 104, 115, 117, 118]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=120, max_value=600),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ima_adpcm_round_trip_property(n, n_ch, seed):
+    import numpy as np
+
+    from lamindb_spark.pipeline.wav import decode_wav, encode_wav_ima
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None] / 40.0
+    freqs = rng.uniform(0.5, 2.0, size=(1, n_ch))
+    sig = 0.6 * np.sin(2 * np.pi * freqs * t) + 0.02 * rng.standard_normal((n, n_ch))
+    sig = np.clip(sig, -0.999, 0.999)
+    wav = encode_wav_ima(sig, 8000, block_frames=505)
+    out, rate = decode_wav(wav)
+    assert rate == 8000
+    got = out[:n]
+    assert got.shape == (n, n_ch)
+    # lossy codec: judge reconstruction after the step-size adaptation
+    # warm-up (the first ~30 samples chase the signal from step 7)
+    err = np.sqrt(np.mean((got[30:] - sig[30:]) ** 2))
+    pwr = np.sqrt(np.mean(sig[30:] ** 2))
+    assert err < 0.25 * pwr, f"SNR too low: err={err}, pwr={pwr}"
+
+
+def test_ima_adpcm_decode_is_deterministic_and_padded():
+    import numpy as np
+
+    from lamindb_spark.pipeline.wav import decode_wav, encode_wav_ima
+
+    sig = np.linspace(-0.5, 0.5, 20)  # tail block gets padded
+    wav = encode_wav_ima(sig, 16000, block_frames=17)
+    a, _ = decode_wav(wav)
+    b, _ = decode_wav(wav)
+    assert np.array_equal(a, b)
+    assert len(a) >= 20
