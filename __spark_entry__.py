@@ -1818,6 +1818,15 @@ def _q_oov_rate(spark, sf):
     return vocab_coverage(d, vocab_size=100)
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic exact-quota stratified sample: 20% per source in
+    portable md5 order; one shuffle, reproducible across engines."""
+    from lamindb_spark.pipeline.rules import stratified_sample
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(d, "source", 0.2)
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training: 8 merges learned on the
     word-frequency table (one corpus shuffle, then vocab-sized
@@ -1957,14 +1966,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "oov_rate": _q_oov_rate,
         "bpe_merges": _q_bpe_merges,
+        "stratified_sample": _q_stratified_sample,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "eav_filter": _q_eav_filter,
         "graph_closure": _q_closure,
-        "dedup_exact": _q_dedup_exact,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "dedup_exact": _q_dedup_exact,
         "version_latest": _q_version_latest,
         "knn_cosine": _q_knn,
         "semi_join": _q_semi_join,
@@ -2280,6 +2290,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents
+            )
+            SELECT doc_id, source FROM ranked
+            WHERE rn <= ceil(n * 0.2)
         """,
         "oov_rate": """
             WITH toks AS (

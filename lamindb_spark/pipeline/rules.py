@@ -257,3 +257,33 @@ def hash_split(
     return df.withColumn("bucket", bucket).withColumn(
         "split", expr.otherwise(F.lit(last))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic exact-quota stratified sampling: every stratum
+    contributes ``ceil(fraction * n_stratum)`` rows, chosen in
+    md5-hash order — so the sample is reproducible across engines,
+    runs and row orders (``df.sampleBy`` is probabilistic per-row:
+    quotas drift and re-runs disagree), and re-sampling a GROWN
+    stratum keeps previously-chosen rows with high probability (hash
+    order is stable; only the quota boundary moves).
+
+    One shuffle on the stratum key; the per-stratum count and the
+    rank share the same window partition. The md5-of-id ordering is
+    the same engine-portable trick as :func:`hash_split`.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .drop("__rn", "__n")
+    )

@@ -108,6 +108,8 @@ _MAX_EXCHANGES = {
                            # (stats/dropped-ids); kmeans passes are map-side
     "oov_rate": 0,         # scoring is a pure map pass (vocab is a literal
                            # array fetched at build time, like kmeans cents)
+    "stratified_sample": 1,  # one shuffle on the stratum key; count and
+                             # rank share the window partition
 }
 
 

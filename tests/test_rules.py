@@ -13,6 +13,7 @@ from lamindb_spark.pipeline.rules import (
     top_bigram_frac,
 )
 from lamindb_spark.pipeline.similarity import kmeans_assign, kmeans_fit
+from lamindb_spark.sources.literals import literal_table
 
 GOOD = (
     "the quick brown fox jumps over the lazy dog and then runs back home "
@@ -210,3 +211,30 @@ def test_hash_split_deterministic_and_grouped(spark):
     # zero-shuffle plan
     plan = hash_split(df, "source")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from lamindb_spark.pipeline.rules import stratified_sample
+
+    rows = [(i, "a" if i < 30 else "b") for i in range(40)]  # strata 30 + 10
+    df = literal_table(spark, rows, ["doc_id", "source"])
+    s1 = stratified_sample(df, "source", 0.3)
+    got = s1.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"a": 9, "b": 3}  # ceil(30*0.3), ceil(10*0.3)
+    # deterministic: second run picks the identical rows
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(df, "source", 0.3).collect())
+    assert ids1 == ids2
+    # growing a stratum keeps the earlier picks stable in hash order:
+    # the 30%-sample of the first 30 'a' rows is a PREFIX of the hash
+    # order, so all of them remain chosen at the same fraction when
+    # only the quota boundary moves outward with new rows
+    grown = literal_table(
+        spark, rows + [(100 + i, "a") for i in range(30)], ["doc_id", "source"]
+    )
+    ids_grown = {r["doc_id"] for r in stratified_sample(grown, "source", 0.3).collect()}
+    # hash order is stable, so every previously-chosen row stays chosen
+    # when the stratum grows (the quota boundary only moves outward:
+    # 'a' quota 9 -> 18)
+    assert set(ids1) <= ids_grown
