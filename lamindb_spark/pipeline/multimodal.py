@@ -114,15 +114,20 @@ def _decode_image(content: bytes) -> list[float]:
 
 
 def _decode_audio(content: bytes) -> list[float]:
-    """Audio decode: REAL pure-python WAV decode (``wav.py``) for
-    RIFF/WAVE PCM payloads — actual samples in [-1, 1], channels
-    interleaved — falling back to the declared stub for formats that
-    need codec libs (mp3/ogg/flac); IMA ADPCM decodes real."""
+    """Audio decode: REAL pure-python decoders for RIFF/WAVE (PCM,
+    G.711, IMA ADPCM — ``wav.py``) and FLAC (all subframe types —
+    ``flac.py``) payloads — actual samples in [-1, 1], channels
+    interleaved — falling back to the declared stub only for formats
+    that need codec libs (mp3/ogg)."""
+    from .flac import decode_flac, is_flac
     from .wav import decode_wav, is_wav
 
     if content and is_wav(bytes(content)):
         samples, _rate = decode_wav(bytes(content))
         return samples.ravel().tolist()
+    if content and is_flac(bytes(content)):
+        pcm, _rate, bps = decode_flac(bytes(content))
+        return (pcm.astype("float64") / float(1 << (bps - 1))).ravel().tolist()
     return _fake_decode(content)
 
 

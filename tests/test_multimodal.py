@@ -583,3 +583,25 @@ def test_extract_and_resize_real_tiff(spark):
     assert is_tiff(out)
     arr, w, h, _ = decode_tiff(out)
     assert (w, h) == (4, 3) and (arr == resize_nearest(px, 4, 3)).all()
+
+
+def test_extract_features_real_flac(spark):
+    """A FLAC payload routes through the real lossless decode in the
+    Arrow audio stage — feature stats equal the source PCM exactly."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, extract_features
+    from lamindb_spark.pipeline.flac import encode_flac
+
+    rng = np.random.default_rng(5)
+    pcm = np.clip(np.cumsum(rng.integers(-60, 61, 600)), -32000, 32000).astype(
+        np.int32
+    )
+    data = encode_flac(pcm, 16000)
+    expect = pcm.astype("float64") / 32768.0
+    rows = [Row(media_id=42, kind="audio", content=bytearray(data),
+                mime="audio/flac", width=None, height=None, duration_ms=None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_features(media).collect()[0]
+    assert abs(got["feat_mean"] - expect.mean()) < 1e-12
+    assert abs(got["feat_std"] - expect.std()) < 1e-12
