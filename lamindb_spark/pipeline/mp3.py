@@ -1,0 +1,115 @@
+"""MPEG audio (mp3 family) frame-header metadata parser.
+
+Full sample decode of Layer III needs the spec's Huffman tables and
+IMDCT filterbank and stays a declared stub in `multimodal.py` — but
+what a training-data pipeline actually filters and samples on is the
+METADATA: duration, bitrate, sample rate, channel layout. That parse
+is pure frame-header arithmetic (ISO 11172-3 §2.4.1) and is REAL
+here: ID3v2 skip, frame walk (so VBR duration is exact, no Xing
+header trust), MPEG-1/2/2.5 and Layer I/II/III tables.
+"""
+
+from __future__ import annotations
+
+_BITRATES_KBPS = {
+    # (version_group, layer) → index 1..14 table; version_group: 1=MPEG1, 2=MPEG2/2.5
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_RATES = {
+    3: [44100, 48000, 32000],   # MPEG-1 (version bits 11)
+    2: [22050, 24000, 16000],   # MPEG-2 (10)
+    0: [11025, 12000, 8000],    # MPEG-2.5 (00)
+}
+_VERSION_NAME = {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}
+
+
+def _id3v2_size(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    # syncsafe 28-bit size, excluding the 10-byte header
+    sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    return 10 + sz
+
+
+def is_mp3(data: bytes) -> bool:
+    data = bytes(data)
+    p = _id3v2_size(data)
+    return _parse_header(data, p) is not None
+
+
+def _parse_header(data: bytes, p: int):
+    if p + 4 > len(data):
+        return None
+    b0, b1, b2, _b3 = data[p : p + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (b1 >> 3) & 3
+    layer_bits = (b1 >> 1) & 3
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 3→Layer I, 2→II, 1→III
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if version_bits == 3 else 2
+    bitrate = _BITRATES_KBPS[(vgroup, layer)][br_idx - 1] * 1000
+    rate = _RATES[version_bits][sr_idx]
+    padding = (b2 >> 1) & 1
+    mode = (data[p + 3] >> 6) & 3
+    if layer == 1:
+        frame_len = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    else:
+        samples = 1152 if (layer == 2 or vgroup == 1) else 576
+        frame_len = samples * (bitrate // 8) // rate + padding
+    return {
+        "version": _VERSION_NAME[version_bits],
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": rate,
+        "channels": 1 if mode == 3 else 2,
+        "frame_len": frame_len,
+        "samples_per_frame": samples,
+    }
+
+
+def mp3_info(data: bytes) -> dict:
+    """Walk every frame: exact frame count and duration (robust to
+    VBR — no Xing/VBRI header is trusted), first-frame bitrate/layout.
+    Raises ValueError when no MPEG audio frame is found."""
+    data = bytes(data)
+    p = _id3v2_size(data)
+    first = None
+    n_frames = 0
+    total_samples = 0
+    br_sum = 0
+    while p + 4 <= len(data):
+        h = _parse_header(data, p)
+        if h is None:
+            if first is None:
+                p += 1  # resync until the first valid frame
+                continue
+            break
+        if first is None:
+            first = h
+        n_frames += 1
+        total_samples += h["samples_per_frame"]
+        br_sum += h["bitrate"]
+        p += max(h["frame_len"], 4)
+    if first is None:
+        raise ValueError("no MPEG audio frame found")
+    return {
+        "version": first["version"],
+        "layer": first["layer"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "duration_ms": int(round(total_samples * 1000 / first["sample_rate"])),
+        "avg_bitrate": br_sum // max(n_frames, 1),
+    }

@@ -118,7 +118,8 @@ def _decode_audio(content: bytes) -> list[float]:
     G.711, IMA ADPCM — ``wav.py``) and FLAC (all subframe types —
     ``flac.py``) payloads — actual samples in [-1, 1], channels
     interleaved — falling back to the declared stub only for formats
-    that need codec libs (mp3/ogg)."""
+    that need codec libs (mp3/ogg sample decode; mp3 METADATA —
+    duration/bitrate/layout — parses real via ``mp3.py``)."""
     from .flac import decode_flac, is_flac
     from .wav import decode_wav, is_wav
 

@@ -605,3 +605,66 @@ def test_extract_features_real_flac(spark):
     got = extract_features(media).collect()[0]
     assert abs(got["feat_mean"] - expect.mean()) < 1e-12
     assert abs(got["feat_std"] - expect.std()) < 1e-12
+
+
+def _mp3_frame(version_bits, layer, br_idx, sr_idx, padding=0, mode=0):
+    """Build one syntactically-valid MPEG audio frame (zero payload)."""
+    from lamindb_spark.pipeline.mp3 import _parse_header
+
+    b1 = 0xE0 | (version_bits << 3) | ((4 - layer) << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = mode << 6
+    hdr = bytes([0xFF, b1, b2, b3])
+    h = _parse_header(hdr, 0)
+    return hdr + b"\x00" * (h["frame_len"] - 4)
+
+
+def test_mp3_info_cbr_walk():
+    from lamindb_spark.pipeline.mp3 import is_mp3, mp3_info
+
+    # MPEG-1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+    frames = b"".join(_mp3_frame(3, 3, 9, 0) for _ in range(38))
+    assert is_mp3(frames)
+    info = mp3_info(frames)
+    assert info["version"] == "MPEG-1" and info["layer"] == 3
+    assert info["sample_rate"] == 44100 and info["channels"] == 2
+    assert info["n_frames"] == 38
+    # 38 * 1152 / 44100 s ≈ 992.7 ms
+    assert info["duration_ms"] == 993
+    assert info["avg_bitrate"] == 128000
+
+
+def test_mp3_info_vbr_and_id3():
+    from lamindb_spark.pipeline.mp3 import mp3_info
+
+    # ID3v2 tag (syncsafe size 100) + mixed bitrates → exact VBR stats
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x64" + b"\x00" * 100
+    body = _mp3_frame(3, 3, 9, 0) + _mp3_frame(3, 3, 14, 0) + _mp3_frame(3, 3, 1, 0)
+    info = mp3_info(id3 + body)
+    assert info["n_frames"] == 3
+    assert info["avg_bitrate"] == (128000 + 320000 + 32000) // 3
+
+
+def test_mp3_info_layer2_and_mpeg2():
+    from lamindb_spark.pipeline.mp3 import mp3_info
+
+    # MPEG-2 Layer III: 576 samples/frame at 22050 Hz
+    frames = b"".join(_mp3_frame(2, 3, 5, 0) for _ in range(10))
+    info = mp3_info(frames)
+    assert info["version"] == "MPEG-2"
+    assert info["duration_ms"] == int(round(10 * 576 * 1000 / 22050))
+    # Layer II stays 1152 samples/frame
+    frames = b"".join(_mp3_frame(3, 2, 5, 1) for _ in range(4))
+    info = mp3_info(frames)
+    assert info["layer"] == 2 and info["n_frames"] == 4
+    assert info["duration_ms"] == int(round(4 * 1152 * 1000 / 48000))
+
+
+def test_mp3_info_rejects_garbage():
+    import pytest as _pytest
+
+    from lamindb_spark.pipeline.mp3 import is_mp3, mp3_info
+
+    assert not is_mp3(b"\x00" * 64)
+    with _pytest.raises(ValueError):
+        mp3_info(b"\x12\x34" * 100)
