@@ -9,10 +9,12 @@ Decoders dispatch per format, and each modality has a REAL pure-
 python/numpy codec path tested on actual pixels/samples/frames: PNG
 (``png.py``), baseline JPEG (``jpeg.py``), GIF (``gif.py``), BMP
 (``bmp.py``) and uncompressed TIFF (``tiff.py``) for images, PCM,
-G.711 mu-law/A-law and IMA ADPCM WAV (``wav.py``) for audio, MJPEG-AVI (``avi.py``)
-for video. Formats that require a codec library (webp, compressed
-TIFF, mp3/ogg/flac, inter-frame video like H.264) fall back to the
-declared deterministic stub, so
+G.711 mu-law/A-law and IMA ADPCM WAV (``wav.py``) plus lossless FLAC
+(``flac.py``) for audio, MJPEG-AVI (``avi.py``) for video; mp3
+METADATA (exact VBR duration/bitrate/layout) parses real via
+``mp3.py``. Formats that require a codec library (webp, compressed
+TIFF, mp3/ogg sample decode, inter-frame video like H.264) fall back
+to the declared deterministic stub, so
 the Spark-side plumbing — schema, batching, partition sizing — is
 exercised end-to-end either way, and swapping in another real codec
 is a one-function change.
