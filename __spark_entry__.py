@@ -1897,6 +1897,94 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_logreg_weights(spark, sf):
+    """Distributed logistic-regression quality classifier: 5 full-batch
+    GD iterations on md5-hashed presence features (128 buckets), weak
+    label = document mentions 'spark'. Returns the learned fixed-point
+    weight table (bias at bucket -1) — integer-exact, so the oracle's
+    unrolled CTE replay of the SAME training must hash-match."""
+    from lamindb_spark.pipeline.classifier import featurize, train_logreg
+    from lamindb_spark.sources.literals import literal_table
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    feats = featurize(d, F.array_contains(toks, "spark"), n_buckets=128)
+    w, bias = train_logreg(feats, n_buckets=128, iters=5)
+    rows = [(b, int(x)) for b, x in enumerate(w)] + [(-1, int(bias))]
+    out = literal_table(spark, rows, ["bucket", "weight"])
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("long").alias("weight"),
+    ).orderBy("bucket")
+
+
+def _logreg_oracle_sql(n_buckets: int = 128, iters: int = 5,
+                       lr_num: int = 1, lr_den: int = 2) -> str:
+    """The full training replayed in SQL: one CTE block per GD
+    iteration — probability quantized to fixed-point BEFORE the
+    integer gradient sums, floor-div weight updates via the
+    (a - pymod(a,b)) // b identity. See pipeline/classifier.py."""
+    md5b = (
+        "CAST(list_sum(list_transform(list_zip("
+        "list_transform(range(1, 9), i -> strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1), "
+        "[268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]), "
+        f"p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) % {n_buckets}"
+    )
+
+    def fld(a: str, b: str) -> str:
+        return f"(({a}) - ((((({a}) % ({b})) + ({b})) % ({b})))) // ({b})"
+
+    parts = [
+        f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(list_contains(t, 'spark') AS INTEGER) AS y,
+                   list_distinct(list_transform(t, tok -> CAST({md5b} AS INTEGER))) AS buckets
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents)
+        ), nn AS (SELECT count(*) AS n FROM feats),
+        w0 AS (SELECT CAST(b AS INTEGER) AS b, CAST(0 AS BIGINT) AS w FROM range({n_buckets}) t(b)),
+        bs0 AS (SELECT CAST(0 AS BIGINT) AS bw)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", p{r} AS (
+            SELECT f.buckets,
+                   CAST(round(1000000.0 / (1.0 + exp(-least(greatest(
+                       ((SELECT bw FROM bs{r-1})
+                        + COALESCE((SELECT sum(w.w) FROM w{r-1} w
+                                    WHERE list_contains(f.buckets, w.b)), 0)
+                       ) / 1000000.0, -30.0), 30.0))), 0) AS BIGINT)
+                   - f.y * 1000000 AS r
+            FROM feats f
+        ), g{r} AS (
+            SELECT u.b AS b, SUM(p.r) AS g
+            FROM p{r} p, unnest(p.buckets) AS u(b) GROUP BY u.b
+        ), gb{r} AS (SELECT SUM(r) AS g FROM p{r}),
+        w{r} AS (
+            SELECT w.b,
+                   CAST(w.w - ({fld(f'{lr_num} * COALESCE(g.g, 0)', f'{lr_den} * nn.n')}) AS BIGINT) AS w
+            FROM w{r-1} w LEFT JOIN g{r} g ON w.b = g.b, nn
+        ), bs{r} AS (
+            SELECT CAST(bs.bw - ({fld(f'{lr_num} * gb.g', f'{lr_den} * nn.n')}) AS BIGINT) AS bw
+            FROM bs{r-1} bs, gb{r} gb, nn
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT * FROM (
+            SELECT b AS bucket, w AS weight FROM w{iters}
+            UNION ALL SELECT -1 AS bucket, bw AS weight FROM bs{iters}
+        ) ORDER BY bucket"""
+    )
+    return "".join(parts)
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup: k-means cells as the blocking key, drop any vector
     with a ≥0.35-cosine lower-id neighbour in its cell. Composition of
@@ -1967,13 +2055,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "bpe_merges": _q_bpe_merges,
         "stratified_sample": _q_stratified_sample,
+        "logreg_weights": _q_logreg_weights,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "eav_filter": _q_eav_filter,
-        "graph_closure": _q_closure,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "graph_closure": _q_closure,
         "dedup_exact": _q_dedup_exact,
         "version_latest": _q_version_latest,
         "knn_cosine": _q_knn,
@@ -2086,6 +2175,7 @@ _GOPHER_PASS_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle_sql(8),
+        "logreg_weights": _logreg_oracle_sql(128, 5),
         "split_by_source": """
             WITH h AS (
                 SELECT doc_id, source,
