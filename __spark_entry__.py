@@ -1999,13 +1999,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
     Ordering is deliberate: the correctness driver value-checks the FIRST 50
-    entries, so the 32 queries that rounds 1-4 only certified locally (ANN,
-    portable dedup twins, streaming batch twins, M2M include, as-of join, ...)
-    lead, followed by 18 representative previously-driver-certified queries.
-    The r1-r4 driver runs already certified the remainder (see
-    CORRECTNESS_r0{1..4}.json); together the windows cover all 82.
-    The two seeded-xxhash64 rows-only entries (minhash_pairs, simhash) sit
-    past the cap on purpose — their value-checked *_portable twins are inside.
+    entries, so queries never driver-certified lead — the 32 that rounds 1-4
+    only certified locally (ANN, portable dedup twins, streaming batch twins,
+    M2M include, as-of join, ...), then the new-in-r5 block (corpus rules,
+    packing, k-means, span dedup, BM25, SemDeDup, OOV, BPE, stratified
+    sampling, the logreg classifier) — followed by representative
+    previously-driver-certified queries. The r1-r4 driver runs already
+    certified the remainder (see CORRECTNESS_r0{1..4}.json); together the
+    windows cover every entry. The two seeded-xxhash64 rows-only entries
+    (minhash_pairs, simhash) sit past the cap on purpose — their
+    value-checked *_portable twins are inside. Every other entry has a
+    DuckDB oracle in ``oracle_sql()``, including the iterative trainers
+    (bpe_merges, logreg_weights) whose oracles REPLAY the training as
+    unrolled CTE chains rather than settling for rows-only checks.
     """
     return {
         # -- block A: locally-certified-only until r4; driver window now --
