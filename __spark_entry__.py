@@ -1897,6 +1897,15 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_lm_perplexity(spark, sf):
+    """Self-trained bigram-LM fluency scores (CCNet-style filter):
+    two count aggregations + a scoring join, per-doc mean NLL."""
+    from lamindb_spark.pipeline.corpus import bigram_lm_scores
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d)
+
+
 def _q_logreg_weights(spark, sf):
     """Distributed logistic-regression quality classifier: 5 full-batch
     GD iterations on md5-hashed presence features (128 buckets), weak
@@ -2062,12 +2071,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "stratified_sample": _q_stratified_sample,
         "logreg_weights": _q_logreg_weights,
+        "lm_perplexity": _q_lm_perplexity,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
-        "eav_filter": _q_eav_filter,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "eav_filter": _q_eav_filter,
         "graph_closure": _q_closure,
         "dedup_exact": _q_dedup_exact,
         "version_latest": _q_version_latest,
@@ -2386,6 +2396,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, z[1] AS w1, z[2] AS w2
+                FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+                      FROM toks WHERE len(t) >= 2)
+            ), uni AS (
+                SELECT w1, count(*) AS c1
+                FROM (SELECT doc_id, unnest(t) AS w1 FROM toks)
+                GROUP BY w1
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+            ), vocab AS (SELECT count(*) AS v FROM uni)
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(-log2((coalesce(b.c2, 0) + 1.0) / (u.c1 + 1.0 * vocab.v))), 6) AS avg_nll
+            FROM pairs p
+            LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+            LEFT JOIN uni u ON p.w1 = u.w1, vocab
+            GROUP BY p.doc_id
         """,
         "stratified_sample": """
             WITH ranked AS (

@@ -54,9 +54,23 @@ def main() -> None:
     except Exception:
         pass
 
+    def release_persistent_rdds() -> None:
+        """Drop localCheckpoint blocks left by iterative operators
+        (BPE/logreg/dup-groups/...): each invocation pins RDD blocks
+        in the block manager for the life of the session, and 3 runs x
+        96 queries of that is exactly the creeping memory pressure
+        behind the late-suite consecutive-block slowdowns (r3-r5)."""
+        try:
+            it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        release_persistent_rdds()
         gc.collect()
         if jvm_gc is not None:
             jvm_gc()

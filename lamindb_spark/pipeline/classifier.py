@@ -96,7 +96,12 @@ def train_logreg(
         z = F.least(F.greatest(zi / float(SCALE), F.lit(-30.0)), F.lit(30.0))
         p_int = F.round(F.lit(float(SCALE)) / (1.0 + F.exp(-z)), 0).cast("long")
         resid = (p_int - F.col("y") * SCALE).alias("r")
-        rows = feats.select(resid, "buckets")
+        # bucket -1 rides along as the bias feature so the whole
+        # gradient (weights + bias) is ONE aggregation job
+        rows = feats.select(
+            resid,
+            F.concat(F.array(F.lit(-1)), F.col("buckets")).alias("buckets"),
+        )
         grad = {
             int(r["b"]): int(r["g"])
             for r in rows.select(F.explode("buckets").alias("b"), "r")
@@ -104,10 +109,11 @@ def train_logreg(
             .agg(F.sum("r").alias("g"))
             .collect()
         }
-        g_bias = int(rows.agg(F.sum("r")).first()[0])
         for b, g in grad.items():
-            w[b] -= _fld(lr_num * g, lr_den * n_docs)
-        bias -= _fld(lr_num * g_bias, lr_den * n_docs)
+            if b == -1:
+                bias -= _fld(lr_num * g, lr_den * n_docs)
+            else:
+                w[b] -= _fld(lr_num * g, lr_den * n_docs)
     return w, bias
 
 

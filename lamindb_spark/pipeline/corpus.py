@@ -317,3 +317,65 @@ def vocab_coverage(
         .otherwise(F.round(n_oov.cast("double") / n, 6))
         .alias("oov_ratio"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 1.0,
+) -> DataFrame:
+    """Perplexity-style fluency scoring with a corpus-trained bigram
+    language model (the CCNet filtering idea, self-trained): P(w2|w1)
+    with add-k smoothing, documents scored by mean negative log2
+    probability over their interior bigrams — high = improbable word
+    sequences = noise/garble candidates.
+
+    Fully distributed, no driver-side model: bigram and unigram count
+    tables are map-side-combined aggregations (two shuffles); scoring
+    re-joins the exploded doc bigrams against both count tables (the
+    unigram side is the natural broadcast candidate — Catalyst/AQE
+    promotes it when small) and averages per document. Vocabulary size
+    enters as a 1-row broadcast scalar. Docs with fewer than two
+    tokens have no bigrams and are excluded (both engines agree by
+    construction)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    pairs = base.filter(F.size("__t") >= 2).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        base.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .join(F.broadcast(vocab_n))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + k_smooth)
+                    / (F.col("c1") + k_smooth * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

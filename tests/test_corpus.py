@@ -206,3 +206,29 @@ def test_vocab_coverage_oov_ratio(spark):
     assert out[1]["oov_ratio"] == 0.0 and out[1]["n_tokens"] == 4
     assert out[2]["oov_ratio"] == 0.5
     assert out[3]["oov_ratio"] == 1.0
+
+
+def test_bigram_lm_scores_hand_math(spark):
+    import math
+
+    docs = literal_table(
+        spark,
+        [(1, "a b a b"), (2, "a b"), (3, "b zz"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    from lamindb_spark.pipeline.corpus import bigram_lm_scores
+
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus: unigrams a:3 b:4 zz:1 solo:1 → V=4
+    # bigrams: (a,b):3 (b,a):1 (b,zz):1
+    def p(c2, c1):
+        return (c2 + 1.0) / (c1 + 4.0)
+
+    # doc 1: bigrams (a,b),(b,a),(a,b) → nll = mean(-log2 p)
+    want1 = -(2 * math.log2(p(3, 3)) + math.log2(p(1, 4))) / 3
+    assert abs(out[1]["avg_nll"] - round(want1, 6)) < 1e-9
+    assert out[1]["n_bigrams"] == 3
+    # doc 3: (b,zz) rare → higher nll than doc 2's common (a,b)
+    assert out[3]["avg_nll"] > out[2]["avg_nll"]
+    # doc 4: single token → no bigrams → absent
+    assert 4 not in out
