@@ -1897,6 +1897,24 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_dup_representatives(spark, sf):
+    """Quality-keeper election: within each exact-dup group keep the
+    highest-quality copy (tie → lowest id). One content-hash shuffle."""
+    from lamindb_spark.pipeline.corpus import elect_representatives
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return elect_representatives(d)
+
+
+def _q_profile_events(spark, sf):
+    """ANALYZE-style profile of the events table: nulls/distincts/
+    min/max for three columns in ONE aggregation pass."""
+    from lamindb_spark.curation.profile import profile
+
+    ev = load_table(spark, sf, "events")
+    return profile(ev, ["user_id", "value", "event_type"])
+
+
 def _q_lm_perplexity(spark, sf):
     """Self-trained bigram-LM fluency scores (CCNet-style filter):
     two count aggregations + a scoring join, per-doc mean NLL."""
@@ -2072,11 +2090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "logreg_weights": _q_logreg_weights,
         "lm_perplexity": _q_lm_perplexity,
+        "dup_representatives": _q_dup_representatives,
+        "profile_events": _q_profile_events,
         # -- block B: representative driver-certified (r1-r4) queries --
         "tpch_q1": _q_tpch_q1,
+        # ---- driver cap (50) reached; below certified in r1-r4 windows ----
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
-        # ---- driver cap (50) reached; below certified in r1-r4 windows ----
         "eav_filter": _q_eav_filter,
         "graph_closure": _q_closure,
         "dedup_exact": _q_dedup_exact,
@@ -2396,6 +2416,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "dup_representatives": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), q AS (
+                SELECT doc_id, fp,
+                       round((
+                         least(length(text) / 200.0, 1.0)
+                         + (1.0 - least(n_punct / greatest(length(text), 1) * 5.0, 1.0))
+                         + (CASE WHEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                                  / greatest(len(toks), 1) BETWEEN 3 AND 10
+                            THEN 1.0 ELSE 0.5 END)
+                       ) / 3.0, 6) AS quality
+                FROM t
+            )
+            SELECT doc_id, quality, n_copies FROM (
+                SELECT doc_id, quality,
+                       row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn,
+                       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+                FROM q
+            ) WHERE rn = 1
+        """,
+        "profile_events": """
+            WITH a AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_u,
+                       count(DISTINCT user_id) AS dist_u,
+                       CAST(min(user_id) AS VARCHAR) AS min_u,
+                       CAST(max(user_id) AS VARCHAR) AS max_u,
+                       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_v,
+                       count(DISTINCT value) AS dist_v,
+                       CAST(min(value) AS VARCHAR) AS min_v,
+                       CAST(max(value) AS VARCHAR) AS max_v,
+                       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_e,
+                       count(DISTINCT event_type) AS dist_e,
+                       CAST(min(event_type) AS VARCHAR) AS min_e,
+                       CAST(max(event_type) AS VARCHAR) AS max_e
+                FROM events
+            )
+            SELECT 'user_id' AS column, CAST(n AS BIGINT) AS n_rows,
+                   CAST(null_u AS BIGINT) AS n_null, CAST(dist_u AS BIGINT) AS n_distinct,
+                   min_u AS min_val, max_u AS max_val FROM a
+            UNION ALL
+            SELECT 'value', CAST(n AS BIGINT), CAST(null_v AS BIGINT), CAST(dist_v AS BIGINT),
+                   min_v, max_v FROM a
+            UNION ALL
+            SELECT 'event_type', CAST(n AS BIGINT), CAST(null_e AS BIGINT), CAST(dist_e AS BIGINT),
+                   min_e, max_e FROM a
         """,
         "lm_perplexity": """
             WITH toks AS (

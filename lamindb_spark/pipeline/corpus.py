@@ -379,3 +379,34 @@ def bigram_lm_scores(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+def elect_representatives(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keeper election by QUALITY: within each exact-duplicate group
+    (normalized-content fingerprint), keep the highest-quality copy
+    (tie → lowest id) — the refinement over :func:`curate_corpus`'s
+    lowest-id keeper that real pipelines use (the copies differ in
+    trailing boilerplate; keep the cleanest). One shuffle on the
+    content hash; quality and fingerprint are zero-shuffle expressions.
+    Output: (id, quality, n_copies) for the elected keepers only."""
+    enriched = df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        # rounded BEFORE the ordering so an independent engine's sub-ulp
+        # quality differences cannot flip the election
+        F.round(quality_score(F.col(text_col)), 6).alias("q"),
+    )
+    w = Window.partitionBy("__fp").orderBy(F.desc("q"), F.asc(id_col))
+    wc = Window.partitionBy("__fp")
+    return (
+        enriched.select(
+            id_col,
+            F.col("q").alias("quality"),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("n_copies"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

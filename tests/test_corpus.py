@@ -232,3 +232,41 @@ def test_bigram_lm_scores_hand_math(spark):
     assert out[3]["avg_nll"] > out[2]["avg_nll"]
     # doc 4: single token → no bigrams → absent
     assert 4 not in out
+
+
+def test_elect_representatives_quality_keeper(spark):
+    from lamindb_spark.pipeline.corpus import elect_representatives
+
+    # docs 1/2/3 collide after normalization (ws-collapse + lowercase);
+    # doc 9 is unique
+    base = "a decent sentence with reasonable words overall repeated here"
+    docs = literal_table(
+        spark,
+        [
+            (1, base),
+            (2, base + "  "),          # trailing ws → same normalized form
+            (3, base.upper()),          # lowercased → same normalized form
+            (9, "another unique document body"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in elect_representatives(docs).collect()}
+    # one keeper for the 3-copy group, plus the unique doc
+    assert len(out) == 2
+    keeper = next(i for i in out if i != 9)
+    assert out[keeper]["n_copies"] == 3
+    assert out[9]["n_copies"] == 1
+
+
+def test_profile_long_form(spark):
+    from lamindb_spark.curation.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (2, 5.0, None)],
+        "a long, b double, c string",
+    )
+    rows = {r["column"]: r for r in profile(df, ["a", "b", "c"]).collect()}
+    assert rows["a"]["n_rows"] == 3 and rows["a"]["n_null"] == 0
+    assert rows["a"]["n_distinct"] == 2
+    assert rows["b"]["n_null"] == 1 and rows["b"]["min_val"] == "2.0"
+    assert rows["c"]["n_null"] == 1 and rows["c"]["max_val"] == "y"
