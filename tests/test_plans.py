@@ -110,6 +110,12 @@ _MAX_EXCHANGES = {
                            # array fetched at build time, like kmeans cents)
     "stratified_sample": 1,  # one shuffle on the stratum key; count and
                              # rank share the window partition
+    "dup_representatives": 1,  # one content-hash shuffle (rank + count
+                               # share the window partition)
+    "profile_events": 2,     # the multi-distinct expand-aggregate pair;
+                             # still one scan of the data
+    "lm_perplexity": 8,      # bigram/unigram count aggs + scoring joins
+                             # (3 of the 8 are broadcasts at this size)
 }
 
 
