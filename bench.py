@@ -54,23 +54,16 @@ def main() -> None:
     except Exception:
         pass
 
-    def release_persistent_rdds() -> None:
-        """Drop localCheckpoint blocks left by iterative operators
-        (BPE/logreg/dup-groups/...): each invocation pins RDD blocks
-        in the block manager for the life of the session, and 3 runs x
-        96 queries of that is exactly the creeping memory pressure
-        behind the late-suite consecutive-block slowdowns (r3-r5)."""
-        try:
-            it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-            while it.hasNext():
-                it.next().unpersist(False)
-        except Exception:
-            pass
+    from lamindb_spark.session import release_checkpoints
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        release_persistent_rdds()
+        # drop localCheckpoint blocks left by iterative operators —
+        # 3 runs x ~100 queries of pinned blocks is exactly the
+        # creeping memory pressure behind the late-suite
+        # consecutive-block slowdowns (r3-r5)
+        release_checkpoints(spark)
         gc.collect()
         if jvm_gc is not None:
             jvm_gc()

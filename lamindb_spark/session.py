@@ -84,3 +84,23 @@ def get_spark(app_name: str = "lamindb-spark", cpus: int | None = None) -> Spark
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
+
+
+def release_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD — in particular the
+    ``localCheckpoint`` blocks left behind by iterative operators
+    (graph closure, dup groups, BPE, logreg): each invocation pins
+    its blocks in the block manager for the life of the session, so a
+    long-lived service (or a benchmark loop) should sweep between
+    units of work or memory pressure creeps. Returns the number of
+    RDDs released. Call BETWEEN units of work only: localCheckpoint
+    truncates lineage, so frames still referencing a swept checkpoint
+    cannot recompute — release when prior results are consumed."""
+    n = 0
+    try:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+            n += 1
+    except Exception:
+        pass
+    return n

@@ -233,3 +233,15 @@ def test_read_payload_arrow_ipc(spark, tmp_path):
     feather.write_feather(t, p)
     got = sorted((int(r["id"]), r["s"]) for r in read_payload(spark, p, ".feather").collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_release_checkpoints_sweeps_blocks(spark):
+    from lamindb_spark.session import release_checkpoints
+
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert df.count() == 100
+    n = release_checkpoints(spark)
+    assert n >= 1
+    # nothing persistent remains; fresh work is unaffected
+    assert release_checkpoints(spark) == 0
+    assert spark.range(10).count() == 10
