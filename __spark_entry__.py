@@ -1897,6 +1897,16 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_mix_sources(spark, sf):
+    """Deterministic dataset mixing: per-source sampling rates (60% of
+    src0, 40% of src1, 20% of src2, everything else dropped) in
+    portable md5 order; one shuffle."""
+    from lamindb_spark.pipeline.rules import mix_corpora
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return mix_corpora(d, "source", {"src0": 0.6, "src1": 0.4, "src2": 0.2})
+
+
 def _q_dup_representatives(spark, sf):
     """Quality-keeper election: within each exact-dup group keep the
     highest-quality copy (tie → lowest id). One content-hash shuffle."""
@@ -2092,9 +2102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "dup_representatives": _q_dup_representatives,
         "profile_events": _q_profile_events,
+        "mix_sources": _q_mix_sources,
         # -- block B: representative driver-certified (r1-r4) queries --
-        "tpch_q1": _q_tpch_q1,
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
         "eav_filter": _q_eav_filter,
@@ -2416,6 +2427,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "mix_sources": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n,
+                       CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.4
+                                   WHEN 'src2' THEN 0.2 ELSE 0.0 END AS f
+                FROM documents
+            )
+            SELECT doc_id, source FROM ranked WHERE rn <= ceil(n * f)
         """,
         "dup_representatives": """
             WITH t AS (

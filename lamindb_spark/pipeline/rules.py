@@ -287,3 +287,42 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
         .drop("__rn", "__n")
     )
+
+
+def mix_corpora(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic dataset mixing — the pretraining data-mixture
+    step: each stratum (source/domain/language) contributes exactly
+    ``ceil(fraction * n_stratum)`` rows per the mixing spec, selected
+    in the same portable md5 order as :func:`stratified_sample` (so a
+    re-mix with adjusted weights KEEPS previously selected rows
+    wherever quotas allow — incremental mixture tuning doesn't churn
+    the corpus). Strata absent from the spec get ``default_fraction``
+    (0 = dropped). One shuffle on the stratum key.
+    """
+    frac = None
+    for name, f in fractions.items():
+        cond = F.col(strata_col) == name
+        frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(
+            cond, F.lit(float(f))
+        )
+    frac = (
+        frac.otherwise(F.lit(float(default_fraction)))
+        if frac is not None
+        else F.lit(float(default_fraction))
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
+        .drop("__rn", "__n")
+    )

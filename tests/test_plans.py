@@ -116,6 +116,7 @@ _MAX_EXCHANGES = {
                              # still one scan of the data
     "lm_perplexity": 8,      # bigram/unigram count aggs + scoring joins
                              # (3 of the 8 are broadcasts at this size)
+    "mix_sources": 1,        # one shuffle on the stratum key
 }
 
 

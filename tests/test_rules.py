@@ -238,3 +238,31 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     # when the stratum grows (the quota boundary only moves outward:
     # 'a' quota 9 -> 18)
     assert set(ids1) <= ids_grown
+
+
+def test_mix_corpora_quotas_and_stability(spark):
+    from lamindb_spark.pipeline.rules import mix_corpora, stratified_sample
+
+    rows = [(i, "a" if i < 20 else "b" if i < 40 else "c") for i in range(60)]
+    df = literal_table(spark, rows, ["doc_id", "source"])
+    out = mix_corpora(df, "source", {"a": 0.5, "b": 0.25}).collect()
+    counts = {}
+    for r in out:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    assert counts == {"a": 10, "b": 5}  # 'c' unlisted → dropped
+    # mixture retuning keeps prior picks: the 25% 'b' sample is a
+    # subset of the 50% 'b' sample (same hash order, bigger quota)
+    small = {r["doc_id"] for r in out if r["source"] == "b"}
+    big = {
+        r["doc_id"]
+        for r in mix_corpora(df, "source", {"b": 0.5}).collect()
+    }
+    assert small <= big
+    # and agrees with stratified_sample at the same fraction
+    strat = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.filter("source = 'b'"), "source", 0.25
+        ).collect()
+    }
+    assert small == strat
