@@ -1897,6 +1897,15 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_span_novelty(spark, sf):
+    """Novelty scoring: fraction of each doc's 5-token spans that are
+    corpus-unique — the inverse of contamination. Two narrow shuffles."""
+    from lamindb_spark.pipeline.corpus import span_novelty
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return span_novelty(d, span_tokens=5)
+
+
 def _q_mix_sources(spark, sf):
     """Deterministic dataset mixing: per-source sampling rates (60% of
     src0, 40% of src1, 20% of src2, everything else dropped) in
@@ -2081,7 +2090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": _q_search_synonyms,
         "multi_set_agg": _q_multi_set_agg,
         "union_by_name": _q_union_by_name,
-        "case_coalesce": _q_case_coalesce,
         "length_order": _q_length_order,
         "json_object": _q_json_object,
         # -- block A2: new in r5, never driver-certified --
@@ -2103,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_representatives": _q_dup_representatives,
         "profile_events": _q_profile_events,
         "mix_sources": _q_mix_sources,
+        "span_novelty": _q_span_novelty,
         # -- block B: representative driver-certified (r1-r4) queries --
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
         "tpch_q1": _q_tpch_q1,
@@ -2116,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "search_rank": _q_search,
+        "case_coalesce": _q_case_coalesce,
         "tpch_q3": _q_tpch_q3,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -2427,6 +2437,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "span_novelty": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), segs AS (
+                SELECT doc_id,
+                       array_to_string(t[(CAST(s AS INTEGER)*5+1):(CAST(s AS INTEGER)*5+5)], ' ') AS seg
+                FROM toks, unnest(range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) u(s)
+                WHERE len(t) > 0
+            ), flagged AS (
+                SELECT doc_id, (count(*) OVER (PARTITION BY seg) = 1) AS uniq
+                FROM segs
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   round(sum(CASE WHEN uniq THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+            FROM flagged GROUP BY doc_id
         """,
         "mix_sources": """
             WITH ranked AS (

@@ -410,3 +410,46 @@ def elect_representatives(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def span_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 5,
+) -> DataFrame:
+    """Novelty scoring: the fraction of a document's fixed token spans
+    that occur NOWHERE else in the corpus — the inverse signal of
+    contamination/duplication, used to up-weight genuinely new content
+    in mixture building. Same segmentation as
+    :func:`dedup_token_spans`; one shuffle on the span text (count
+    window) + one on the doc id (re-aggregation)."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+    segs = staged.filter(F.col("__n") > 0).select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(F.col("__n") / span_tokens).cast("int") - 1, F.lit(1)
+            )
+        ).alias("seg_idx"),
+        "__toks",
+    ).select(
+        id_col,
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("seg_idx") * span_tokens + 1, span_tokens)
+        ).alias("seg"),
+    )
+    w = Window.partitionBy("seg")
+    flagged = segs.select(
+        id_col, (F.count(F.lit(1)).over(w) == 1).alias("__uniq")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.round(
+            F.sum(F.col("__uniq").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("novelty"),
+    )

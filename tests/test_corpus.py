@@ -270,3 +270,18 @@ def test_profile_long_form(spark):
     assert rows["a"]["n_distinct"] == 2
     assert rows["b"]["n_null"] == 1 and rows["b"]["min_val"] == "2.0"
     assert rows["c"]["n_null"] == 1 and rows["c"]["max_val"] == "y"
+
+
+def test_span_novelty_fractions(spark):
+    from lamindb_spark.pipeline.corpus import span_novelty
+
+    docs = literal_table(
+        spark,
+        [(1, "p q r s"), (2, "p q t u"), (3, "v w")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_novelty(docs, span_tokens=2).collect()}
+    # "p q" occurs in docs 1 and 2 → not novel; all other spans unique
+    assert out[1]["n_spans"] == 2 and out[1]["novelty"] == 0.5
+    assert out[2]["novelty"] == 0.5
+    assert out[3]["novelty"] == 1.0

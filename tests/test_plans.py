@@ -117,6 +117,7 @@ _MAX_EXCHANGES = {
     "lm_perplexity": 8,      # bigram/unigram count aggs + scoring joins
                              # (3 of the 8 are broadcasts at this size)
     "mix_sources": 1,        # one shuffle on the stratum key
+    "span_novelty": 2,       # span-count window + doc re-aggregation
 }
 
 
