@@ -306,13 +306,16 @@ def resample_audio(media: DataFrame, sample_rate: int, batch_size: int = 64) -> 
     """Resample stage for audio rows via ``mapInPandas`` — identical
     batch shape to :func:`resize_images`.
 
-    WAV payloads take the REAL kernel: decode → nearest-neighbor
-    resample → re-encode (``wav.py``, stdlib only). Other formats fall
-    back to the declared passthrough stub (their codecs don't ship
-    here); Spark-side schema/batching is identical either way.
+    WAV and FLAC payloads take the REAL kernel: decode →
+    nearest-neighbor resample → re-encode in the SAME container
+    (``wav.py`` / ``flac.py``, stdlib only; the FLAC leg is
+    sample-exact end to end). Other formats fall back to the declared
+    passthrough stub (their codecs don't ship here); Spark-side
+    schema/batching is identical either way.
     """
 
     def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import decode_flac, encode_flac, is_flac
         from .wav import decode_wav, encode_wav, is_wav, resample_nearest
 
         for pdf in batches:
@@ -324,6 +327,13 @@ def resample_audio(media: DataFrame, sample_rate: int, batch_size: int = 64) -> 
                     resampled = resample_nearest(samples, src_rate, sample_rate)
                     body = encode_wav(resampled, sample_rate)
                     n_frames = resampled.shape[0]
+                elif is_flac(bytes(content)):
+                    pcm, src_rate, bps = decode_flac(bytes(content))
+                    res = resample_nearest(
+                        pcm.astype("float64"), src_rate, sample_rate
+                    ).astype("int64")
+                    body = encode_flac(res, sample_rate, bps=bps)
+                    n_frames = res.shape[0]
                 else:
                     body, n_frames = bytes(content), 0
                 out.append(

@@ -31,18 +31,32 @@ def main() -> None:
     spark = get_spark("scale-corpus")
     docs1 = load_table(spark, sf, "documents")
 
+    from pyspark.sql import functions as F
+
     from lamindb_spark.pipeline.bpe import _word_table, bpe_train
+    from lamindb_spark.pipeline.classifier import featurize, train_logreg
     from lamindb_spark.pipeline.corpus import (
+        bigram_lm_scores,
         bm25_rank,
         dedup_token_spans,
         vocab_coverage,
     )
+
+    def _logreg(d):
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda x: x != "",
+        )
+        feats = featurize(d, F.array_contains(toks, "spark"), n_buckets=128)
+        return len(train_logreg(feats, n_buckets=128, iters=5)[0])
 
     kernels = {
         "dedup_spans": lambda d: dedup_token_spans(d).count(),
         "bm25": lambda d: bm25_rank(d, ["spark", "shuffle", "merge"]).count(),
         "oov_rate": lambda d: vocab_coverage(d).count(),
         "bpe_8merges": lambda d: len(bpe_train(d, n_merges=8)),
+        "lm_perplexity": lambda d: bigram_lm_scores(d).count(),
+        "logreg_5iters": _logreg,
     }
     out = {"rows_1x": docs1.count(), "vocab_1x": _word_table(docs1, "text").count()}
     for name, fn in kernels.items():

@@ -668,3 +668,30 @@ def test_mp3_info_rejects_garbage():
     assert not is_mp3(b"\x00" * 64)
     with _pytest.raises(ValueError):
         mp3_info(b"\x12\x34" * 100)
+
+
+def test_resample_audio_real_flac(spark):
+    """FLAC payloads resample through the real lossless codec pair and
+    come back as valid FLAC at the target rate, sample-exact for the
+    nearest-neighbor selection."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.flac import decode_flac, encode_flac
+    from lamindb_spark.pipeline.multimodal import MEDIA_SCHEMA, resample_audio
+    from lamindb_spark.pipeline.wav import resample_nearest
+
+    rng = np.random.default_rng(9)
+    pcm = np.clip(np.cumsum(rng.integers(-50, 51, 800)), -30000, 30000).astype(
+        np.int32
+    )
+    data = encode_flac(pcm, 16000)
+    rows = [Row(media_id=77, kind="audio", content=bytearray(data),
+                mime="audio/flac", width=None, height=None, duration_ms=None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = resample_audio(media, 8000).collect()[0]
+    assert got["sample_rate"] == 8000
+    out_pcm, rate, _ = decode_flac(bytes(got["content"]))
+    assert rate == 8000
+    want = resample_nearest(pcm.astype("float64"), 16000, 8000).astype(np.int64)
+    assert got["n_frames"] == len(want)
+    assert np.array_equal(out_pcm[:, 0], want.ravel())
