@@ -1897,6 +1897,54 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_top_docs_per_source(spark, sf):
+    """Per-group top-k: the 3 highest-quality docs of every source
+    (dense ranking over the group window; tie → lowest id). One
+    shuffle on the group key — the standard 'best n per category'."""
+    from pyspark.sql import Window
+
+    from lamindb_spark.functions.text import quality_score
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    q = F.round(quality_score(F.col("text")), 6)
+    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", q.alias("q"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "source", F.col("q").alias("quality"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _q_length_outliers(spark, sf):
+    """IQR outlier flag on document token counts: exact corpus
+    quartiles from ONE percentile aggregate (1-row broadcast), then a
+    zero-shuffle flag pass — the data-quality screen run before
+    training-length decisions."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    base = d.select("doc_id", toks.alias("n_tokens"))
+    qs = base.agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("q1"),
+        F.expr("percentile(n_tokens, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        base.join(F.broadcast(qs))
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("n_tokens") < lo) | (F.col("n_tokens") > hi)).alias("is_outlier"),
+        )
+    )
+
+
 def _q_span_novelty(spark, sf):
     """Novelty scoring: fraction of each doc's 5-token spans that are
     corpus-unique — the inverse of contamination. Two narrow shuffles."""
@@ -2090,8 +2138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": _q_search_synonyms,
         "multi_set_agg": _q_multi_set_agg,
         "union_by_name": _q_union_by_name,
-        "length_order": _q_length_order,
-        "json_object": _q_json_object,
         # -- block A2: new in r5, never driver-certified --
         "gopher_rules": _q_gopher_rules,
         "top_bigram": _q_top_bigram,
@@ -2112,6 +2158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "mix_sources": _q_mix_sources,
         "span_novelty": _q_span_novelty,
+        "top_docs_per_source": _q_top_docs_per_source,
+        "length_outliers": _q_length_outliers,
         # -- block B: representative driver-certified (r1-r4) queries --
         # ---- driver cap (50) reached; below certified in r1-r4 windows ----
         "tpch_q1": _q_tpch_q1,
@@ -2126,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "search_rank": _q_search,
         "case_coalesce": _q_case_coalesce,
+        "json_object": _q_json_object,
+        "length_order": _q_length_order,
         "tpch_q3": _q_tpch_q3,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -2437,6 +2487,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "top_docs_per_source": """
+            WITH t AS (
+                SELECT doc_id, source, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), q AS (
+                SELECT doc_id, source,
+                       round((
+                         least(length(text) / 200.0, 1.0)
+                         + (1.0 - least(n_punct / greatest(length(text), 1) * 5.0, 1.0))
+                         + (CASE WHEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                                  / greatest(len(toks), 1) BETWEEN 3 AND 10
+                            THEN 1.0 ELSE 0.5 END)
+                       ) / 3.0, 6) AS quality
+                FROM t
+            )
+            SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk FROM (
+                SELECT doc_id, source, quality,
+                       row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+                FROM q
+            ) WHERE rk <= 3
+        """,
+        "length_outliers": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), qs AS (
+                SELECT quantile_cont(n_tokens, 0.25) AS q1,
+                       quantile_cont(n_tokens, 0.75) AS q3
+                FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   (n_tokens < q1 - 1.5 * (q3 - q1) OR n_tokens > q3 + 1.5 * (q3 - q1)) AS is_outlier
+            FROM base, qs
         """,
         "span_novelty": """
             WITH toks AS (

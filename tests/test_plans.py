@@ -118,6 +118,9 @@ _MAX_EXCHANGES = {
                              # (3 of the 8 are broadcasts at this size)
     "mix_sources": 1,        # one shuffle on the stratum key
     "span_novelty": 2,       # span-count window + doc re-aggregation
+    "top_docs_per_source": 1,  # one shuffle on the group key
+    "length_outliers": 2,    # 1-row percentile agg (SinglePartition) +
+                             # its broadcast; the flag pass is map-only
 }
 
 
