@@ -1897,6 +1897,17 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_embedding_cov(spark, sf):
+    """Distributed covariance of the embedding distribution: double
+    posexplode → (i, j) partial-aggregated sums — at most dim² running
+    sums per mapper cross the shuffle regardless of corpus size. The
+    input to driver-side exact PCA (pipeline.similarity.pca_fit)."""
+    from lamindb_spark.pipeline.similarity import embedding_covariance
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_covariance(emb)
+
+
 def _q_top_docs_per_source(spark, sf):
     """Per-group top-k: the 3 highest-quality docs of every source
     (dense ranking over the group window; tie → lowest id). One
@@ -2161,7 +2172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_source": _q_top_docs_per_source,
         "length_outliers": _q_length_outliers,
         # -- block B: representative driver-certified (r1-r4) queries --
-        # ---- driver cap (50) reached; below certified in r1-r4 windows ----
+        # ---- driver cap (50) reached; below: certified in r1-r4 windows,
+        # ---- or (embedding_cov) locally certified awaiting an r6 slot ----
+        "embedding_cov": _q_embedding_cov,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2487,6 +2500,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "embedding_cov": """
+            WITH e AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), u AS (
+                SELECT v, CAST(zi[2] AS INTEGER) - 1 AS i, CAST(zi[1] AS DOUBLE) AS vi
+                FROM (SELECT v, unnest(list_zip(v, range(1, len(v) + 1))) AS zi FROM e)
+            ), p AS (
+                SELECT i, CAST(zj[2] AS INTEGER) - 1 AS j, vi, CAST(zj[1] AS DOUBLE) AS vj
+                FROM (SELECT i, vi, unnest(list_zip(v, range(1, len(v) + 1))) AS zj FROM u)
+            )
+            SELECT i, j,
+                   round((sum(vi * vj) - sum(vi) * sum(vj) / count(*)) / (count(*) - 1), 6) + 0.0 AS cov
+            FROM p GROUP BY i, j
         """,
         "top_docs_per_source": """
             WITH t AS (

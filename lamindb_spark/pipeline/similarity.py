@@ -513,3 +513,111 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Covariance matrix of the embedding distribution, computed
+    distributed: explode each vector to (i, v_i), self-pair within the
+    row via a second posexplode — (i, j, v_i*v_j) partial-aggregated
+    map-side, so the shuffle carries at most dim² running sums per
+    mapper regardless of corpus size. Means come from the same pass.
+    Output: (i, j, cov) with the unbiased (n-1) denominator, rounded
+    for cross-engine comparison.
+
+    dim² stays small for embedding dims (64² = 4096 cells here;
+    even 1024² = 1M cells is a trivial shuffle) — the classic
+    "covariance is cheap, data is big" decomposition that makes
+    driver-side eigendecomposition (see :func:`pca_fit`) exact and
+    free."""
+    pairs = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select("i", "vi", F.posexplode("__v").alias("j", "vj"))
+    stats = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("si"),
+        F.sum("vj").alias("sj"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sij"),
+    )
+    cov = (F.col("sij") - F.col("si") * F.col("sj") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (an engine that rounds -1e-9
+    # to -0.0 would otherwise string-mismatch a +0.0)
+    return stats.select("i", "j", (F.round(cov, 6) + 0.0).alias("cov"))
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """PCA for embedding compression/whitening: the covariance comes
+    from the distributed pass above (dim² aggregates — the only thing
+    that ever leaves the executors), the eigendecomposition runs on
+    the driver's dim×dim matrix (exact, numpy), mirroring the k-means
+    trainer's driver-traffic contract. Returns (means, components)
+    with deterministic sign convention (first nonzero coordinate of
+    each component is positive)."""
+    import numpy as np
+
+    rows = embedding_covariance(embeddings, id_col, vec_col).collect()
+    dim = max(int(r["i"]) for r in rows) + 1
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[int(r["i"]), int(r["j"])] = float(r["cov"])
+    means_rows = (
+        embeddings.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    means = [0.0] * dim
+    for r in means_rows:
+        means[int(r["i"])] = float(r["m"])
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for k in order:
+        v = vecs[:, k]
+        nz = np.flatnonzero(np.abs(v) > 1e-12)
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return means, comps
+
+
+def pca_project(
+    embeddings: DataFrame,
+    means: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project onto the fitted components: mean-center then one codegen
+    dot product per output dimension — zero shuffle, the same literal-
+    matrix shape as :func:`random_projection`."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in means]),
+        lambda v, m: v - m,
+    )
+    outs = []
+    for comp in components:
+        clit = F.array(*[F.lit(float(x)) for x in comp])
+        outs.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(centered, clit, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+        )
+    return embeddings.select(F.col(id_col), F.array(*outs).alias("proj"))

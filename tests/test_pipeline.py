@@ -240,3 +240,43 @@ def test_cosine_neardup_pairs_blocked(spark):
     ).select("vec_id", "blk", F.array("x", "y").alias("embedding"))
     got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vecs, "blk", 0.9).collect()}
     assert got == {(1, 2)}  # 3 dissimilar; 4 in another block never compared
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    import numpy as np
+
+    from lamindb_spark.pipeline.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(13)
+    # anisotropic cloud: variance concentrated along two known axes
+    base = rng.standard_normal((200, 2)) * np.array([5.0, 2.0])
+    mix = np.array([[1.0, 0.0, 0.5, 0.0], [0.0, 1.0, 0.0, 0.25]])
+    data = base @ mix + rng.standard_normal((200, 4)) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    means, comps = pca_fit(emb, n_components=2)
+    # reference PCA on the driver
+    X = data - data.mean(axis=0)
+    C = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:2]
+    for got, k in zip(comps, order):
+        ref = vecs[:, k]
+        nz = np.flatnonzero(np.abs(ref) > 1e-12)
+        if ref[nz[0]] < 0:
+            ref = -ref
+        # covariance was rounded to 6dp before eigh → small tolerance
+        assert np.allclose(got, ref, atol=1e-3), (got, ref)
+    proj = pca_project(emb, means, comps)
+    P = np.array(
+        [r["proj"] for r in proj.orderBy("vec_id").collect()]
+    )
+    # variance ordering holds and matches the reference projection
+    assert P[:, 0].var() > P[:, 1].var()
+    ref_proj = X @ np.array(comps).T
+    assert np.allclose(P, ref_proj, atol=1e-3)
+    # projection plan is a pure map pass
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0

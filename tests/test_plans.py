@@ -121,6 +121,7 @@ _MAX_EXCHANGES = {
     "top_docs_per_source": 1,  # one shuffle on the group key
     "length_outliers": 2,    # 1-row percentile agg (SinglePartition) +
                              # its broadcast; the flag pass is map-only
+    "embedding_cov": 1,      # one (i,j) shuffle of dim^2 partial sums
 }
 
 
