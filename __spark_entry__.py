@@ -1933,12 +1933,9 @@ def _q_length_outliers(spark, sf):
     zero-shuffle flag pass — the data-quality screen run before
     training-length decisions."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    toks = F.size(
-        F.filter(
-            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
-            lambda x: x != "",
-        )
-    ).cast("long")
+    from lamindb_spark.functions.text import ws_tokens
+
+    toks = F.size(ws_tokens(F.col("text"))).cast("long")
     base = d.select("doc_id", toks.alias("n_tokens"))
     qs = base.agg(
         F.expr("percentile(n_tokens, 0.25)").alias("q1"),
@@ -2012,10 +2009,9 @@ def _q_logreg_weights(spark, sf):
     from lamindb_spark.sources.literals import literal_table
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
-        lambda x: x != "",
-    )
+    from lamindb_spark.functions.text import ws_tokens
+
+    toks = ws_tokens(F.col("text"), lowercase=True)
     feats = featurize(d, F.array_contains(toks, "spark"), n_buckets=128)
     w, bias = train_logreg(feats, n_buckets=128, iters=5)
     rows = [(b, int(x)) for b, x in enumerate(w)] + [(-1, int(bias))]

@@ -175,3 +175,18 @@ def with_lang_id(
     for lang, name in (hits_cols or {}).items():
         out = out.withColumn(name, F.col(f"__hits_{lang}"))
     return out.drop("__toks", *[f"__hits_{lang}" for lang in LANG_MARKERS])
+
+
+def ws_tokens(col: Column, lowercase: bool = False) -> Column:
+    """THE whitespace tokenizer of the corpus pipeline: trim,
+    optionally lowercase, split on runs of whitespace, drop empties,
+    null-safe (null text → empty token array, never NULL — the
+    explicit-null rule from ADVICE r4). Every operator that tokenizes
+    this way (BM25, OOV, BPE, span dedup, LM, classifier, …) uses this
+    single definition so the corresponding oracle SQL has exactly one
+    cross-engine contract: list_filter(string_split_regex(
+    [lower(]trim(coalesce(text, ''))[)], '\\s+'), x -> x <> '')."""
+    base = F.trim(F.coalesce(col, F.lit("")))
+    if lowercase:
+        base = F.lower(base)
+    return F.filter(F.split(base, r"\s+"), lambda x: x != "")

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import ws_tokens
+
 SENTINEL = "\x1f"
 END_WORD = "</w>"
 
@@ -42,12 +44,8 @@ def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     The one corpus-sized job — tokenize + hash-aggregate (map-side
     partial counts). Everything after runs on this table.
     """
-    toks = F.explode(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-    ).alias("word")
-    words = df.select(toks).filter(F.col("word") != "").groupBy("word").agg(
-        F.count(F.lit(1)).alias("freq")
-    )
+    toks = F.explode(ws_tokens(F.col(text_col), lowercase=True)).alias("word")
+    words = df.select(toks).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     chars = F.expr(
         "array_join(transform(sequence(1, length(word)), "
         f"i -> concat('{SENTINEL}', substring(word, i, 1))), ' ')"
@@ -139,10 +137,7 @@ def bpe_encode(
         f"i -> concat('{SENTINEL}', substring(w, i, 1))), ' '), "
         f"' {SENTINEL}{END_WORD}')), ' ')"
     )
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = ws_tokens(F.col(text_col), lowercase=True)
     rendered = df.select(
         F.col(id_col), toks.alias("tokens")
     ).select(F.col(id_col), F.concat(chars, F.lit(" ")).alias("vstr"))

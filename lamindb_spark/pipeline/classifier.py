@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import ws_tokens
+
 SCALE = 1_000_000
 
 
@@ -58,10 +60,7 @@ def featurize(
 ) -> DataFrame:
     """(id, y, buckets): distinct presence buckets per document.
     Zero-shuffle map pass."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = ws_tokens(F.col(text_col), lowercase=True)
     return df.select(
         F.col(id_col),
         label.cast("int").alias("y"),

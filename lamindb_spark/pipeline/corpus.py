@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, quality_score, token_count, with_lang_id
+from ..functions.text import (
+    fingerprint,
+    quality_score,
+    token_count,
+    with_lang_id,
+    ws_tokens,
+)
 
 
 def curate_corpus(
@@ -179,10 +185,7 @@ def dedup_token_spans(
     non-overlapping ``span_tokens``-token segments as the unit, for
     corpora without line structure. Tokenize → slice → the shared
     two-shuffle dedup/reassembly core."""
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = ws_tokens(F.col(text_col))
     staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
     segs = staged.filter(F.col("__n") > 0).select(
         id_col,
@@ -304,10 +307,7 @@ def vocab_coverage(
         for r in token_frequencies(df, text_col, k=vocab_size).select("token").collect()
     ]
     vlit = F.array(*[F.lit(t) for t in vocab])
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = ws_tokens(F.col(text_col), lowercase=True)
     n = F.size(toks)
     n_oov = F.size(F.filter(toks, lambda x: ~F.array_contains(vlit, x)))
     return df.select(
@@ -339,10 +339,7 @@ def bigram_lm_scores(
     enters as a 1-row broadcast scalar. Docs with fewer than two
     tokens have no bigrams and are excluded (both engines agree by
     construction)."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = ws_tokens(F.col(text_col), lowercase=True)
     base = df.select(F.col(id_col), toks.alias("__t"))
     pairs = base.filter(F.size("__t") >= 2).select(
         id_col,
@@ -424,10 +421,7 @@ def span_novelty(
     in mixture building. Same segmentation as
     :func:`dedup_token_spans`; one shuffle on the span text (count
     window) + one on the doc id (re-aggregation)."""
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
-    )
+    toks = ws_tokens(F.col(text_col))
     staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
     segs = staged.filter(F.col("__n") > 0).select(
         id_col,
