@@ -1897,6 +1897,20 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_pagerank(spark, sf):
+    """Distributed PageRank, 5 damped power iterations over the
+    deterministic residue-star part graph (the dup_groups edge set).
+    Per-iteration round-6 makes the SQL oracle replay exact."""
+    from lamindb_spark.operators.graph import pagerank
+
+    p = load_table(spark, sf, "part")
+    edges = p.filter(F.col("p_partkey") >= 97).select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") % 97).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, iters=5)
+
+
 def _q_embedding_cov(spark, sf):
     """Distributed covariance of the embedding distribution: double
     posexplode → (i, j) partial-aggregated sums — at most dim² running
@@ -2169,8 +2183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": _q_length_outliers,
         # -- block B: representative driver-certified (r1-r4) queries --
         # ---- driver cap (50) reached; below: certified in r1-r4 windows,
-        # ---- or (embedding_cov) locally certified awaiting an r6 slot ----
+        # ---- or (embedding_cov, pagerank) locally certified, r6 slots ----
         "embedding_cov": _q_embedding_cov,
+        "pagerank": _q_pagerank,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2496,6 +2511,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "pagerank": """
+            WITH e AS (
+                SELECT p_partkey AS src, p_partkey % 97 AS dst
+                FROM part WHERE p_partkey >= 97
+            ), nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            g AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+            r0 AS (SELECT node, round(1.0 / nn.n, 6) AS rank FROM nodes, nn),
+            c1 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r0 r ON g.src = r.node GROUP BY g.dst),
+            r1 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c1 c USING (node), nn),
+            c2 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r1 r ON g.src = r.node GROUP BY g.dst),
+            r2 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c2 c USING (node), nn),
+            c3 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r2 r ON g.src = r.node GROUP BY g.dst),
+            r3 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c3 c USING (node), nn),
+            c4 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r3 r ON g.src = r.node GROUP BY g.dst),
+            r4 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c4 c USING (node), nn),
+            c5 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r4 r ON g.src = r.node GROUP BY g.dst),
+            r5 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c5 c USING (node), nn)
+            SELECT node, rank FROM r5
         """,
         "embedding_cov": """
             WITH e AS (

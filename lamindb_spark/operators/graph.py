@@ -241,3 +241,61 @@ def creates_cycle(
     )
     reached = closure(edges, seeds, src=src, dst=dst, id_col="id", max_hops=max_hops)
     return reached.filter(F.col("id") == new_child).limit(1).count() > 0
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed PageRank (power iteration with damping) — the
+    classic importance measure for lineage/citation/link graphs the
+    reference's DAGs imply but never score.
+
+    Each iteration is the canonical two-step: contributions
+    ``r(u)/outdeg(u)`` flow along edges (one join on src — broadcast
+    while ranks are small, sort-merge at scale), then a per-dst
+    aggregation and the damped update. Ranks round to ``round_to``
+    each iteration — the same determinism trick as the k-means
+    trainer, which is what lets an independent SQL engine replay the
+    whole computation to identical values. ``localCheckpoint`` per
+    iteration keeps the plan flat (lineage O(1) in iters).
+
+    Dangling-node convention: lost mass is NOT redistributed (ranks
+    need not sum to 1) — documented, portable, and the common choice
+    for filtering-oriented uses where only the ordering matters.
+    Output: (node, rank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    graph = e.join(outdeg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), round_to).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            graph.join(ranks, graph["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, ["node"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -207,3 +207,22 @@ def test_feature_isnull_presence_absence(spark):
     absent = {r["id"] for r in feature_isnull(ents, ann, "id", pred, isnull=True).collect()}
     present = {r["id"] for r in feature_isnull(ents, ann, "id", pred, isnull=False).collect()}
     assert absent == {2, 3} and present == {1}
+
+
+def test_pagerank_hand_computed_iteration(spark):
+    from lamindb_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    # N=3, outdeg 1 each, r0 = round(1/3) = 0.333333
+    # r(3) = 0.05 + 0.85*(0.333333*2) = 0.616666 (round-6)
+    # r(1) = 0.05 + 0.85*0.333333   = 0.333333
+    # r(2) = 0.05 (no in-edges)
+    assert out[3] == 0.616666
+    assert out[1] == 0.333333
+    assert out[2] == 0.05
+    # more iterations keep the hub ordering
+    out5 = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert out5[3] > out5[1] > out5[2]
