@@ -15,8 +15,14 @@ Layout
 - ``functions``   scalar helpers: ids (base62), text metrics, vectors
 - ``curation``    validate / inspect / standardize / schema checks
 - ``lineage``     track/finish runs, provenance traversal
-- ``pipeline``    training-data ops: dedup, similarity, text, multimodal
-- ``streaming``   Structured Streaming ingestion of event streams
+- ``pipeline``    training-data ops: dedup (exact/MinHash/SimHash/C4
+                  spans/SemDeDup), similarity & ANN (LSH/IVF/k-means/
+                  PCA/JL), corpus rules (Gopher, packing, mixing,
+                  sampling, BM25, LM perplexity, OOV), tokenizers
+                  (BPE), classifier (hashed logreg), multimodal codecs
+                  (PNG/JPEG/GIF/BMP/TIFF/WAV/ADPCM/FLAC/MJPEG-AVI)
+- ``streaming``   Structured Streaming ingestion of event streams,
+                  exactly-once commit-log sink
 """
 
 from .session import get_spark  # noqa: F401

@@ -470,3 +470,29 @@ def test_ima_adpcm_decode_is_deterministic_and_padded():
     b, _ = decode_wav(wav)
     assert np.array_equal(a, b)
     assert len(a) >= 20
+
+
+# --- sampling quotas --------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+def test_stratified_sample_quota_property(spark, strata, fraction):
+    import math
+
+    from lamindb_spark.pipeline.rules import stratified_sample
+
+    rows = [(i, s) for i, s in enumerate(strata)]
+    df = literal_table(spark, rows, ["doc_id", "source"])
+    out = stratified_sample(df, "source", fraction).collect()
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    want = {}
+    for s in strata:
+        want[s] = want.get(s, 0) + 1
+    want = {s: math.ceil(n * fraction) for s, n in want.items()}
+    assert got == {s: n for s, n in want.items() if n > 0}
