@@ -365,3 +365,62 @@ def merge_into(
             "n_pruned": len(untouched),
         },
     )
+
+
+def vacuum(
+    table_path: str,
+    retain_versions: int = 0,
+    min_age_sec: float = 0.0,
+) -> dict:
+    """Garbage-collect a commit-log table: delete data files that are
+    (a) referenced by NO retained snapshot — removed by compaction/
+    merge and outside the ``retain_versions`` time-travel horizon — or
+    (b) staged orphans from crashed writers, once older than
+    ``min_age_sec`` (the grace period that keeps an in-flight writer's
+    stage safe; object-store deployments use the same age heuristic).
+
+    Never touches the log itself, so history stays auditable; only
+    unreferenced bytes go. Returns {"data_files": n, "orphan_dirs": m}.
+
+    Concurrency note: files referenced by ANY retained snapshot are
+    kept, and a live writer's stage directory survives via the age
+    grace — the same safety contract as Delta's VACUUM.
+    """
+    log = CommitLog(table_path)
+    versions = log.versions()
+    keep_from = versions[-1 - retain_versions] if retain_versions < len(versions) else (versions[0] if versions else 0)
+    referenced: set[str] = set()
+    for v in versions:
+        if v >= keep_from:
+            _, files = log.snapshot(v)
+            referenced.update(os.path.relpath(p, table_path) for p in files)
+    ever_added: set[str] = set()
+    for _v, body in _commit_bodies(log):
+        ever_added.update(body.get("add", []))
+    now = time.time()
+    n_files = 0
+    for rel in sorted(ever_added - referenced):
+        p = os.path.join(table_path, rel)
+        if os.path.isfile(p) and now - os.path.getmtime(p) >= min_age_sec:
+            os.unlink(p)
+            n_files += 1
+    # staged orphans: stage-*/merge-*/compact-* dirs whose files were
+    # never published in any commit
+    n_orphans = 0
+    staged_dirs = {rel.split("/", 1)[0] for rel in ever_added if "/" in rel}
+    for entry in os.listdir(table_path):
+        full = os.path.join(table_path, entry)
+        if (
+            os.path.isdir(full)
+            and entry.split("-")[0] in ("stage", "merge", "compact")
+            and entry not in staged_dirs
+            and now - os.path.getmtime(full) >= min_age_sec
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            n_orphans += 1
+    # prune now-empty published stage dirs
+    for entry in staged_dirs:
+        full = os.path.join(table_path, entry)
+        if os.path.isdir(full) and not os.listdir(full):
+            os.rmdir(full)
+    return {"data_files": n_files, "orphan_dirs": n_orphans}

@@ -191,3 +191,30 @@ def test_merge_into_upsert_with_file_pruning(spark, tmp_path):
     after = {p for p in out.inputFiles()}
     # the pruned files are literally the same paths as before
     assert len(before & after) >= 6
+
+
+def test_vacuum_collects_unreferenced_and_orphans(spark, tmp_path):
+    from lamindb_spark.catalog.commitlog import vacuum
+
+    t = str(tmp_path / "tbl")
+    append_dataframe(spark.range(0, 10), t)
+    append_dataframe(spark.range(10, 30), t)
+    compact(spark, t, target_files=1)          # removes the 2 appends' files
+    # crashed writer's orphan stage
+    spark.range(99).write.parquet(os.path.join(t, "stage-deadbeef0000"))
+    before = read_committed(spark, t).count()
+
+    # retain full history → nothing referenced may go, orphan goes
+    got = vacuum(t, retain_versions=10, min_age_sec=0)
+    assert got["orphan_dirs"] == 1
+    assert got["data_files"] == 0
+    assert read_committed(spark, t).count() == before
+
+    # retain only the latest snapshot → pre-compaction files collected
+    got = vacuum(t, retain_versions=0, min_age_sec=0)
+    assert got["data_files"] >= 2
+    assert read_committed(spark, t).count() == before
+    # time travel BEYOND the horizon now fails on missing bytes — the
+    # documented trade; the latest snapshot is fully intact
+    with pytest.raises(Exception):
+        read_committed(spark, t, version=CommitLog(t).versions()[0]).count()

@@ -127,3 +127,29 @@ def test_flac_decodes_mid_side():
     out, _, _ = decode_flac(data)
     assert out[:, 0].tolist() == [10, 11]
     assert out[:, 1].tolist() == [4, 5]
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(1, 3000),
+    n_ch=st.integers(1, 2),
+    scale=st.sampled_from([3, 300, 30000]),
+    block=st.sampled_from([192, 576, 4096]),
+    seed=st.integers(0, 2**31),
+)
+def test_flac_round_trip_property(n, n_ch, scale, block, seed):
+    """decode(encode(x)) is BIT-EXACT for any length/channels/amplitude
+    /blocksize — partial tail blocks, 1-sample streams, constant and
+    noisy content all included."""
+    rng = np.random.default_rng(seed)
+    sig = np.clip(
+        np.cumsum(rng.integers(-scale, scale + 1, (n, n_ch)), axis=0),
+        -32768,
+        32767,
+    ).astype(np.int32)
+    out, rate, bps = decode_flac(encode_flac(sig, 22050, block=block))
+    assert rate == 22050 and bps == 16
+    assert np.array_equal(out, sig)
