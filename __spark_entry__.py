@@ -1897,6 +1897,24 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_corpus_stats(spark, sf):
+    """Corpus dashboard rollup: per-(source, lang) and per-source
+    subtotals + grand total of doc count and mean quality — one
+    ROLLUP aggregation with map-side partials."""
+    from lamindb_spark.functions.text import quality_score
+
+    d = load_table(spark, sf, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    return (
+        d.select("source", "lang", q.alias("q"))
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+    )
+
+
 def _q_pagerank(spark, sf):
     """Distributed PageRank, 5 damped power iterations over the
     deterministic residue-star part graph (the dup_groups edge set).
@@ -2186,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- or (embedding_cov, pagerank) locally certified, r6 slots ----
         "embedding_cov": _q_embedding_cov,
         "pagerank": _q_pagerank,
+        "corpus_stats": _q_corpus_stats,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2511,6 +2530,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id ASC
             LIMIT 15
+        """,
+        "corpus_stats": """
+            WITH t AS (
+                SELECT source, lang, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), q AS (
+                SELECT source, lang,
+                       round((
+                         least(length(text) / 200.0, 1.0)
+                         + (1.0 - least(n_punct / greatest(length(text), 1) * 5.0, 1.0))
+                         + (CASE WHEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                                  / greatest(len(toks), 1) BETWEEN 3 AND 10
+                            THEN 1.0 ELSE 0.5 END)
+                       ) / 3.0, 6) AS qual
+                FROM t
+            )
+            SELECT source, lang, count(*) AS n_docs, round(avg(qual), 6) AS mean_quality
+            FROM q GROUP BY ROLLUP (source, lang)
         """,
         "pagerank": """
             WITH e AS (
