@@ -2200,8 +2200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_source": _q_top_docs_per_source,
         "length_outliers": _q_length_outliers,
         # -- block B: representative driver-certified (r1-r4) queries --
-        # ---- driver cap (50) reached; below: certified in r1-r4 windows,
-        # ---- or (embedding_cov, pagerank) locally certified, r6 slots ----
+        # ---- driver cap (50) reached; below: certified in r1-r4 windows, or
+        # ---- (embedding_cov, pagerank, corpus_stats) locally certified — the
+        # ---- r6 rotation should move those three into the window ----
         "embedding_cov": _q_embedding_cov,
         "pagerank": _q_pagerank,
         "corpus_stats": _q_corpus_stats,
