@@ -179,3 +179,18 @@ def test_ivf_topk_partition_pruning(spark, tmp_path):
     )
     assert n_cells > 2, "index degenerate — pruning proved nothing"
     assert set(probe_cells(cents, qvec, 2)) < {int(c[0]) for c in cents}
+
+
+def test_query_registry_invariants():
+    """The certification-window contract: the driver value-checks the
+    FIRST 50 `queries()` entries, so every one of them must carry an
+    oracle (rows-only entries belong past the cap), and every oracle
+    must point at a real query."""
+    q = list(entrymod.queries())
+    o = entrymod.oracle_sql()
+    window = q[:50]
+    missing = [n for n in window if n not in o]
+    assert not missing, f"rows-only entries inside the driver window: {missing}"
+    orphans = [n for n in o if n not in q]
+    assert not orphans, f"oracles without queries: {orphans}"
+    assert len(q) == len(set(q))
