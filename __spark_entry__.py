@@ -1748,11 +1748,15 @@ def _q_kmeans(spark, sf):
 def _q_random_proj(spark, sf):
     """JL dimensionality reduction: 64-dim embeddings → 8 integer
     projections against a deterministic ±1 matrix. Exact integer
-    arithmetic (quantize-then-project), zero shuffle."""
+    arithmetic (quantize-then-project), zero shuffle. ``flat=True``
+    emits scalar proj_0..proj_7 columns (not array<long>) so the
+    driver's pandas-sort canonicalizer can hash the rows — r5's only
+    red row was this output-shape incompatibility, not a wrong
+    answer."""
     from lamindb_spark.pipeline.similarity import random_projection
 
     emb = load_table(spark, sf, "embeddings")
-    return random_projection(emb, dim=64, out_dim=8)
+    return random_projection(emb, dim=64, out_dim=8, flat=True)
 
 
 def _q_curated_packing(spark, sf):
@@ -2121,33 +2125,52 @@ def _logreg_oracle_sql(n_buckets: int = 128, iters: int = 5,
 def _q_semantic_dedup(spark, sf):
     """SemDeDup: k-means cells as the blocking key, drop any vector
     with a ≥0.35-cosine lower-id neighbour in its cell. Composition of
-    the kmeans trainer and the blocked near-dup kernel."""
+    the kmeans trainer and the blocked near-dup kernel. The ORACLE-
+    CHECKED entry point pins kernel="expr" so the cosine's rounding
+    matches the SQL replay bit-for-bit (ADVICE r5: numpy accumulation
+    order could flip a threshold-boundary cosine and flake the
+    certification); production callers keep the default Arrow/GEMM
+    kernel."""
     from lamindb_spark.pipeline.similarity import semantic_dedup
 
     emb = load_table(spark, sf, "embeddings")
-    return semantic_dedup(emb, k=8, iters=2, threshold=0.35)
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.35, kernel="expr")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
     Ordering is deliberate: the correctness driver value-checks the FIRST 50
-    entries, so queries never driver-certified lead — the 32 that rounds 1-4
-    only certified locally (ANN, portable dedup twins, streaming batch twins,
-    M2M include, as-of join, ...), then the new-in-r5 block (corpus rules,
-    packing, k-means, span dedup, BM25, SemDeDup, OOV, BPE, stratified
-    sampling, the logreg classifier) — followed by representative
-    previously-driver-certified queries. The r1-r4 driver runs already
-    certified the remainder (see CORRECTNESS_r0{1..4}.json); together the
-    windows cover every entry. The two seeded-xxhash64 rows-only entries
-    (minhash_pairs, simhash) sit past the cap on purpose — their
-    value-checked *_portable twins are inside. Every other entry has a
-    DuckDB oracle in ``oracle_sql()``, including the iterative trainers
-    (bpe_merges, logreg_weights) whose oracles REPLAY the training as
-    unrolled CTE chains rather than settling for rows-only checks.
+    entries. The r6 window completes the union property: the six entries no
+    earlier window ever value-checked (``embedding_cov``, ``pagerank``,
+    ``corpus_stats``, ``case_coalesce``, ``json_object``, ``length_order``)
+    now lead, plus ``random_proj`` re-certifying with its flat (pandas-
+    sortable) output shape after the r5 canonicalizer incompatibility. Six
+    r5-green entries ceded their slots (``quantiles``, ``union_by_name``,
+    ``search_synonyms``, ``redact_pii``, ``label_filter``, ``wide_include``
+    — see CORRECTNESS_r05.json). After r6 every ``queries()`` entry has a
+    driver-green row in at least one of CORRECTNESS_r01..r06 — the union
+    invariant is asserted by ``tests/test_plans.py::
+    test_query_registry_invariants``. The two seeded-xxhash64 rows-only
+    entries (minhash_pairs, simhash) sit past the cap PERMANENTLY — their
+    per-row hashes are not reproducible in DuckDB, so they can never
+    upgrade; their value-checked *_portable twins are certified instead.
+    Every other entry has a DuckDB oracle in ``oracle_sql()``, including
+    the iterative trainers (bpe_merges, logreg_weights) whose oracles
+    REPLAY the training as unrolled CTE chains rather than settling for
+    rows-only checks.
     """
     return {
-        # -- block A: locally-certified-only until r4; driver window now --
+        # -- block A0 (r6): never driver-certified before this round --
+        "embedding_cov": _q_embedding_cov,
+        "pagerank": _q_pagerank,
+        "corpus_stats": _q_corpus_stats,
+        "case_coalesce": _q_case_coalesce,
+        "json_object": _q_json_object,
+        "length_order": _q_length_order,
+        # -- re-certify with the r6 flat output shape --
+        "random_proj": _q_random_proj,
+        # -- block A: first driver-certified r5, kept in the window --
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2159,11 +2182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "dup_groups": _q_dup_groups,
         "chunk_docs": _q_chunk_docs,
-        "redact_pii": _q_redact_pii,
         "token_freq": _q_token_freq,
         "quality_score": _q_quality_score,
         "corpus_curation": _q_corpus_curation,
-        "quantiles": _q_quantiles,
         "asof_join": _q_asof_join,
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
@@ -2172,17 +2193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gaps": _q_order_gaps,
         "cube_priority": _q_cube_priority,
         "rollup_revenue": _q_rollup_revenue,
-        "label_filter": _q_label_filter,
-        "wide_include": _q_wide_include,
-        "search_synonyms": _q_search_synonyms,
         "multi_set_agg": _q_multi_set_agg,
-        "union_by_name": _q_union_by_name,
-        # -- block A2: new in r5, never driver-certified --
+        # -- block A2: new in r5 --
         "gopher_rules": _q_gopher_rules,
         "top_bigram": _q_top_bigram,
         "pack_sequences": _q_pack_sequences,
         "kmeans_clusters": _q_kmeans,
-        "random_proj": _q_random_proj,
         "curated_packing": _q_curated_packing,
         "split_by_source": _q_split_by_source,
         "dedup_spans": _q_dedup_spans,
@@ -2199,13 +2215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_novelty": _q_span_novelty,
         "top_docs_per_source": _q_top_docs_per_source,
         "length_outliers": _q_length_outliers,
-        # -- block B: representative driver-certified (r1-r4) queries --
-        # ---- driver cap (50) reached; below: certified in r1-r4 windows, or
-        # ---- (embedding_cov, pagerank, corpus_stats) locally certified — the
-        # ---- r6 rotation should move those three into the window ----
-        "embedding_cov": _q_embedding_cov,
-        "pagerank": _q_pagerank,
-        "corpus_stats": _q_corpus_stats,
+        # -- block B: driver-certified in earlier windows (r1-r5) --
+        # ---- driver cap (50) reached ----
+        "quantiles": _q_quantiles,
+        "union_by_name": _q_union_by_name,
+        "search_synonyms": _q_search_synonyms,
+        "redact_pii": _q_redact_pii,
+        "label_filter": _q_label_filter,
+        "wide_include": _q_wide_include,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2217,9 +2234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "search_rank": _q_search,
-        "case_coalesce": _q_case_coalesce,
-        "json_object": _q_json_object,
-        "length_order": _q_length_order,
         "tpch_q3": _q_tpch_q3,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -2275,18 +2289,21 @@ _RANK_SQL = """
 def _random_proj_oracle() -> str:
     """SQL twin of _q_random_proj, generated from the SAME deterministic
     sign matrix (pipeline.similarity.hyperplane_signs) so both engines
-    project against identical literals with exact integer arithmetic."""
+    project against identical literals with exact integer arithmetic.
+    Emits scalar proj_0..proj_7 columns, mirroring the flat Spark
+    output (pandas-sortable; array columns break the driver's
+    canonicalizer)."""
     from lamindb_spark.pipeline.similarity import hyperplane_signs
 
     comps = []
-    for srow in hyperplane_signs(64, 8):
+    for i, srow in enumerate(hyperplane_signs(64, 8)):
         lit = "[" + ", ".join(str(s) for s in srow) + "]"
         comps.append(
             "CAST(list_sum(list_transform(list_zip(embedding, {lit}), "
             "p -> CAST(round(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT) * p[2])) "
-            "AS BIGINT)".format(lit=lit)
+            "AS BIGINT) AS proj_{i}".format(lit=lit, i=i)
         )
-    return "SELECT vec_id, [{}] AS proj FROM embeddings".format(", ".join(comps))
+    return "SELECT vec_id, {} FROM embeddings".format(", ".join(comps))
 
 
 _GOPHER_PASS_SQL = """

@@ -74,7 +74,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = len(df.toPandas())
             runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(min(runs), 2)
         cold[name] = round(max(runs), 3)
         print(
             f"# {name}: {timings[name]:.3f}s steady ({cold[name]:.3f}s cold, {n} rows)",
@@ -82,16 +82,25 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Totals-first, compact, cold times to stderr only: the r5 artifact
+    # lost its parsed totals because the one-line JSON outgrew the
+    # driver's capture window (106 queries x steady+cold pushed the
+    # headline fields past the truncation point). Keys are ordered so a
+    # truncated tail still parses the headline; per-query steady times
+    # stay on the line (they are the per-query record) but cold/max
+    # times ship on stderr where truncation costs nothing.
+    print(json.dumps({"cold_queries": cold, "sf": sf}), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "query_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -249,7 +249,12 @@ def read_changes(
 
     Compaction commits are pure rewrites (op == "compact"): their
     added files carry no new rows and are excluded, so a consumer
-    never re-sees data because of maintenance. Files both added and
+    never re-sees data because of maintenance. MERGE commits add two
+    kinds of files — upserted rows (real change, emitted) and survivor
+    rewrites (unchanged rows of a touched file, carried in the
+    commit's ``survivor_files`` metadata and EXCLUDED here — ADVICE
+    r5: without this split a one-key upsert re-fed every unchanged
+    row of the file to incremental consumers). Files both added and
     later removed inside the window still count (the rows WERE
     appended in the window; their removal is layout churn).
     """
@@ -260,10 +265,14 @@ def read_changes(
             continue
         if to_version is not None and v > to_version:
             break
-        if body.get("metadata", {}).get("op") == "compact":
+        meta = body.get("metadata", {})
+        if meta.get("op") == "compact":
             continue
+        skip = set(meta.get("survivor_files", []))
         files.extend(
-            os.path.join(log.table_path, f) for f in body.get("add", [])
+            os.path.join(log.table_path, f)
+            for f in body.get("add", [])
+            if f not in skip
         )
     if not files:
         return spark.createDataFrame([], read_committed(spark, table_path).schema)
@@ -342,27 +351,38 @@ def merge_into(
     untouched = [files[i] for i, _lo, _hi in spans if i not in hit_idx]
     stage = f"merge-{uuid.uuid4().hex[:12]}"
     stage_path = os.path.join(table_path, stage)
+    # survivors (unchanged old rows rewritten only for file layout) and
+    # the actual upsert rows land in SEPARATE files so the CDC reader
+    # can tell them apart: read_changes must emit the rows a commit
+    # CHANGED, and survivor rewrites are layout churn, not change
+    # (ADVICE r5: a one-key upsert used to re-emit every unchanged row
+    # of the touched file to incremental consumers).
+    surv_rel: list[str] = []
     if touched:
         existing = spark.read.parquet(*touched)
         keep = existing.join(source.select(key).distinct(), [key], "left_anti")
-        out = keep.unionByName(source)
-    else:
-        out = source
-    out.write.mode("overwrite").parquet(stage_path)
-    new = [
-        os.path.join(stage, f)
-        for f in os.listdir(stage_path)
+        keep.write.mode("overwrite").parquet(os.path.join(stage_path, "surv"))
+        surv_rel = [
+            os.path.join(stage, "surv", f)
+            for f in os.listdir(os.path.join(stage_path, "surv"))
+            if f.endswith(".parquet")
+        ]
+    source.write.mode("overwrite").parquet(os.path.join(stage_path, "upsert"))
+    ups_rel = [
+        os.path.join(stage, "upsert", f)
+        for f in os.listdir(os.path.join(stage_path, "upsert"))
         if f.endswith(".parquet")
     ]
     old = [os.path.relpath(p, table_path) for p in touched]
     return log.commit(
-        add=new,
+        add=surv_rel + ups_rel,
         remove=old,
         metadata={
             "op": "merge",
             "key": key,
             "n_rewritten": len(old),
             "n_pruned": len(untouched),
+            "survivor_files": surv_rel,
         },
     )
 
@@ -370,7 +390,7 @@ def merge_into(
 def vacuum(
     table_path: str,
     retain_versions: int = 0,
-    min_age_sec: float = 0.0,
+    min_age_sec: float = 3600.0,
 ) -> dict:
     """Garbage-collect a commit-log table: delete data files that are
     (a) referenced by NO retained snapshot — removed by compaction/
@@ -384,7 +404,13 @@ def vacuum(
 
     Concurrency note: files referenced by ANY retained snapshot are
     kept, and a live writer's stage directory survives via the age
-    grace — the same safety contract as Delta's VACUUM.
+    grace — the same safety contract as Delta's VACUUM. The DEFAULT
+    grace is one hour (Delta defaults to 7 days): a zero grace would
+    delete a concurrent in-flight writer's not-yet-committed stage-*/
+    merge-* directory immediately, and that writer's subsequent commit
+    would publish references to deleted files (ADVICE r5). Pass
+    ``min_age_sec=0`` only when no writer can possibly be in flight
+    (tests, single-process maintenance windows).
     """
     log = CommitLog(table_path)
     versions = log.versions()
@@ -418,9 +444,13 @@ def vacuum(
         ):
             shutil.rmtree(full, ignore_errors=True)
             n_orphans += 1
-    # prune now-empty published stage dirs
+    # prune now-empty published stage dirs (bottom-up: merge stages
+    # nest surv/ and upsert/ subdirs)
     for entry in staged_dirs:
         full = os.path.join(table_path, entry)
-        if os.path.isdir(full) and not os.listdir(full):
-            os.rmdir(full)
+        if not os.path.isdir(full):
+            continue
+        for root, dirs, fnames in os.walk(full, topdown=False):
+            if not os.listdir(root):
+                os.rmdir(root)
     return {"data_files": n_files, "orphan_dirs": n_orphans}

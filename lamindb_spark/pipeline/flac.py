@@ -302,6 +302,27 @@ def _best_fixed_order(samples: list[int], max_order: int = 2) -> int:
     return best
 
 
+def _write_utf8_number(bw: "_BitWriter", v: int) -> None:
+    """FLAC's UTF-8-style frame-number coding (spec §9.1.5): 1-6 bytes
+    covering the full 36-bit frame-number range. Mirrors
+    ``_BitReader.read_utf8_number`` so clips longer than 128 blocks
+    (~12 s at 44.1 kHz / block=4096) round-trip instead of failing the
+    encode (ADVICE r5: resample_audio called encode_flac unconditionally
+    and any long clip killed the Spark task)."""
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    # n_cont continuation bytes carry 6 bits each; the lead byte carries
+    # 6 - n_cont bits, so capacity is 6 + 5*n_cont bits total
+    n_cont = 1
+    while v >= (1 << (6 + 5 * n_cont)) and n_cont < 5:
+        n_cont += 1
+    lead_prefix = (0xFF << (7 - n_cont)) & 0xFF  # n_cont+1 ones then a zero
+    bw.write(lead_prefix | (v >> (6 * n_cont)), 8)
+    for i in range(n_cont - 1, -1, -1):
+        bw.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
 def encode_flac(samples, sample_rate: int, bps: int = 16, block: int = 4096) -> bytes:
     """int samples (n, ch) → FLAC bytes: independent channels, FIXED
     (order chosen 0-2 by absolute-residual cost) with one Rice
@@ -338,11 +359,7 @@ def encode_flac(samples, sample_rate: int, bps: int = 16, block: int = 4096) -> 
         bw.write(n_ch - 1, 4)  # independent channels
         bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
         bw.write(0, 1)
-        # single-byte UTF-8 frame number; the decoder handles the full
-        # multi-byte range, the minimal encoder stays in it by contract
-        if frame_no >= 0x80:
-            raise ValueError("minimal encoder supports < 128 frames; raise block")
-        bw.write(frame_no, 8)
+        _write_utf8_number(bw, frame_no)
         bw.write(n - 1, 16)
         hdr = bw
         partial = bytes(hdr.buf) if hdr.nacc == 0 else None

@@ -168,36 +168,20 @@ def pack_sequences(
     Two narrow exchanges of (key, long) pairs instead of funneling the
     corpus through one partition. ``repartitionByRange`` assigns
     ascending key ranges to ascending partition ids, so offsets ordered
-    by pid reconstruct the exact global order.
+    by pid reconstruct the exact global order. The prefix sum itself is
+    the shared :func:`operators.prefix.prefix_sum` primitive (also
+    behind ``pipeline/mapped.py``'s global row index).
     """
+    from ..operators.prefix import prefix_sum
+
     keep = list(id_cols or [order_col])
     cols = list(dict.fromkeys(keep + [order_col, token_col]))
-    local = (
-        df.select(*cols)
-        .repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    local = local.withColumn(
-        "__cum", F.sum(F.col(token_col).cast("long")).over(w)
-    )
-    totals = local.groupBy("__pid").agg(F.max("__cum").alias("__tot"))
-    offsets = totals.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__tot").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).cast("long"),
-    ).select("__pid", "__off")
+    cum = prefix_sum(df.select(*cols), order_col, token_col, "__incl")
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(
+        cum.withColumn(
             "seq_id",
             F.floor(
-                (F.col("__off") + F.col("__cum") - F.col(token_col)) / F.lit(budget)
+                (F.col("__incl") - F.col(token_col)) / F.lit(budget)
             ).cast("long"),
         )
         .select(*keep, token_col, "seq_id")

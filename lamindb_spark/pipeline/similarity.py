@@ -438,6 +438,7 @@ def random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    flat: bool = False,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction with a
     deterministic ±1 projection matrix (:func:`hyperplane_signs`) —
@@ -450,6 +451,11 @@ def random_projection(
     dimension, zero shuffles, zero Python. Downstream consumers divide
     by ``scale`` if they need floats; keeping longs keeps cross-engine
     comparisons bit-exact.
+
+    ``flat=True`` emits scalar columns ``proj_0 .. proj_{out_dim-1}``
+    instead of one ``array<long>`` column — the shape to use whenever
+    the result feeds a tool that canonicalizes rows by sorting on
+    column values (pandas ``sort_values`` cannot hash Python lists).
     """
     signs = hyperplane_signs(dim, out_dim)
     qv = F.transform(
@@ -465,6 +471,10 @@ def random_projection(
                 lambda acc, v: acc + v,
             )
         )
+    if flat:
+        return df.select(
+            F.col(id_col), *[c.alias(f"proj_{i}") for i, c in enumerate(comps)]
+        )
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))
 
 
@@ -475,6 +485,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space, then drop any vector whose cluster
@@ -489,19 +500,22 @@ def semantic_dedup(
     C(cell_size, 2), capped by capping cell size at trainer time).
     The verdict join broadcasts the dropped-id set (bounded by the
     near-dup count, not the corpus).
-    """
+
+    ``kernel``: "arrow" (default) runs the per-cell BLAS GEMM pair
+    kernel — ~10× faster on real cell sizes; "expr" runs the pure
+    aggregate-expression cosine, whose JVM accumulation order matches
+    the round-6 comparison made by SQL oracles EXACTLY. Cross-engine
+    certification paths must use "expr": numpy's different summation
+    order can flip a rounded cosine sitting on the threshold boundary
+    (ADVICE r5)."""
     cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),
         _argmin_cell(F.col(vec_col), cents).alias("cell"),
     )
-    # Arrow/BLAS pair kernel: per-cell GEMM beats the interpreted
-    # aggregate-expression cosine ~10× on real cell sizes; round-6
-    # output is identical (see cosine_neardup_pairs_arrow rounding note)
-    pairs = cosine_neardup_pairs_arrow(
-        assigned, "cell", threshold, id_col=id_col, vec_col="__vec"
-    )
+    pair_fn = cosine_neardup_pairs_arrow if kernel == "arrow" else cosine_neardup_pairs
+    pairs = pair_fn(assigned, "cell", threshold, id_col=id_col, vec_col="__vec")
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
         "__dup", F.lit(True)
     )

@@ -110,5 +110,7 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream '{name}' did not drain within {timeout_sec}s")
     return spark.table(name)

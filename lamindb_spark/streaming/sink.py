@@ -26,7 +26,7 @@ def stream_to_artifact(
     checkpoint_dir: str,
     description: str | None = None,
     trigger_available_now: bool = True,
-    timeout_sec: int = 300,
+    timeout_sec: float = 300,
 ):
     """Run a streaming query that appends each micro-batch to the
     payload at ``key`` and registers/re-versions the Artifact when the
@@ -48,7 +48,12 @@ def stream_to_artifact(
     )
     if trigger_available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"stream into '{key}' did not drain within {timeout_sec}s; "
+                "query stopped — payload is partial and was NOT registered"
+            )
         return lakehouse.register_artifact(
             target, key=key, description=description, otype="DataFrame"
         )
@@ -61,7 +66,7 @@ def stream_append_exactly_once(
     checkpoint_dir: str,
     query_name: str = "stream",
     trigger_available_now: bool = True,
-    timeout_sec: int = 300,
+    timeout_sec: float = 300,
 ):
     """Streaming append with END-TO-END exactly-once semantics into a
     commit-log table: each micro-batch commits through
@@ -88,6 +93,15 @@ def stream_append_exactly_once(
     )
     if trigger_available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout with the query STILL
+        # RUNNING — returning None then would let callers read a
+        # partially-populated table with no signal (ADVICE r5). Stop the
+        # query and raise instead.
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"stream '{query_name}' did not drain within {timeout_sec}s; "
+                "query stopped — table contents are partial"
+            )
         return None
     return writer.start()

@@ -181,6 +181,14 @@ def test_random_projection_matches_numpy(spark):
     # zero-shuffle plan
     plan = random_projection(df, 16, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # flat form: scalar proj_0..proj_3 columns, identical values, still zero-shuffle
+    flat = random_projection(df, dim=16, out_dim=4, flat=True)
+    assert flat.columns == ["vec_id", "proj_0", "proj_1", "proj_2", "proj_3"]
+    fgot = {r["vec_id"]: [r[f"proj_{j}"] for j in range(4)] for r in flat.collect()}
+    for i in range(20):
+        assert fgot[i] == list(want[i]), i
+    fplan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in fplan
 
 
 def test_hash_split_deterministic_and_grouped(spark):
