@@ -186,18 +186,34 @@ class Lakehouse:
                 done.append(name)
         return done
 
-    def register_sql_views(self, prefix: str = "") -> list[str]:
+    def register_sql_views(self, prefix: str = "", latest_only: bool = True) -> list[str]:
         """Expose every materialized registry as a temp view WITH the
         default branch predicate baked in, so raw ``spark.sql()`` gets
         the same soft-delete/branch semantics as the QuerySet API
         (SURVEY §7.3 — the analyzer-rule alternative, done at the view
         layer where it is testable and engine-version-proof). Raw
-        unfiltered access stays available via ``read_raw``."""
+        unfiltered access stays available via ``read_raw``.
+
+        Versioned registries (artifact/transform/collection) also get
+        the per-branch version-head semantics (VERDICT r5 #10):
+        ``SELECT * FROM artifact`` returns ONE latest row per version
+        family per visible branch — the stored ``is_latest`` flag,
+        which ``_reconcile_is_latest`` maintains per (stem uid,
+        branch), is simply filtered, so the view costs no window at
+        read time. Full history stays queryable via the companion
+        ``<name>_versions`` view (branch-filtered, all versions), or
+        pass ``latest_only=False`` to keep the old all-versions
+        behavior on the main view name."""
         created = []
         for name in REGISTRY_SCHEMAS:
             if self._exists(name):
                 view = f"{prefix}{name}"
-                self.read(name).createOrReplaceTempView(view)
+                df = self.read(name)
+                if latest_only and name in VERSIONED_REGISTRIES:
+                    df.createOrReplaceTempView(f"{view}_versions")
+                    created.append(f"{view}_versions")
+                    df = df.filter(F.col("is_latest"))
+                df.createOrReplaceTempView(view)
                 created.append(view)
         return created
 
