@@ -1901,6 +1901,47 @@ def _bpe_oracle_sql(n: int = 8) -> str:
     return "".join(parts)
 
 
+def _bpe_encode_oracle_sql(n: int = 8) -> str:
+    """Training replay (same CTEs as _bpe_oracle_sql) PLUS document
+    encoding: every doc rendered to the sentinel-string form, the n
+    replayed merges applied in rank order via the same replace trick,
+    then token counts read off the final strings. One query certifies
+    the full tokenizer round trip."""
+    base = _bpe_oracle_sql(n)
+    trainer_ctes = base[: base.rindex("\n        SELECT * FROM (")]
+    parts = [
+        trainer_ctes,
+        """, d0 AS (
+            SELECT doc_id,
+                   coalesce(array_to_string(list_transform(tk, w ->
+                       array_to_string(list_transform(range(1, length(w) + 1),
+                                                      i -> chr(31) || w[i]), ' ')
+                       || ' ' || chr(31) || '</w>'), ' '), '') || ' ' AS vstr
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                     x -> x <> '') AS tk
+                  FROM documents)
+        )""",
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f""", d{r} AS (
+            SELECT d.doc_id,
+                   replace(d.vstr, t.a || ' ' || t.b || ' ',
+                           t.a || substr(t.b, 2) || ' ') AS vstr
+            FROM d{r-1} d, t{r} t
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(vstr, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(vstr, ' '), x -> x <> ''))) AS BIGINT) AS n_unique
+        FROM d{n}"""
+    )
+    return "".join(parts)
+
+
 def _q_corpus_stats(spark, sf):
     """Corpus dashboard rollup: per-(source, lang) and per-source
     subtotals + grand total of doc count and mean quality — one
@@ -2137,6 +2178,61 @@ def _q_semantic_dedup(spark, sf):
     return semantic_dedup(emb, k=8, iters=2, threshold=0.35, kernel="expr")
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    log-ratio of a target domain (sources src0-src2) vs the raw pool.
+    One bounded-output aggregation fits the 256-bucket model; scoring
+    is a zero-shuffle integer pass against the literal ratio table —
+    exact cross-engine by micro-unit quantization."""
+    from lamindb_spark.pipeline.dsir import dsir_weights
+
+    d = load_table(spark, sf, "documents")
+    return dsir_weights(
+        d, F.col("source").isin("src0", "src1", "src2"), n_buckets=256
+    )
+
+
+def _q_bpe_encode(spark, sf):
+    """Tokenizer round trip: train 8 BPE merges on the corpus, then
+    ENCODE every document with them (sentinel-string replace chain —
+    zero-shuffle map pass; see pipeline/bpe.py). Output per doc:
+    total and distinct token counts. The oracle replays training AND
+    encoding as one unrolled CTE chain."""
+    from lamindb_spark.pipeline.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe_train(d, n_merges=8)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_unique"),
+    )
+
+
+def _q_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy per document (gibberish
+    screen): integer micro-nats via per-term quantization, so the sum
+    is order-free exact. Pure expression, zero shuffle."""
+    from lamindb_spark.functions.text import char_entropy_micro
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", char_entropy_micro(F.col("text")).alias("entropy_micro")
+    )
+
+
+def _q_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail partitioning: self-trained bigram-LM
+    perplexity, ntile(3) WITHIN each language (per-language scales —
+    the published design point). Deterministic (avg_nll, doc_id)
+    ordering."""
+    from lamindb_spark.pipeline.corpus import perplexity_buckets
+
+    d = load_table(spark, sf, "documents")
+    return perplexity_buckets(d, n_tiles=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
@@ -2145,10 +2241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     earlier window ever value-checked (``embedding_cov``, ``pagerank``,
     ``corpus_stats``, ``case_coalesce``, ``json_object``, ``length_order``)
     now lead, plus ``random_proj`` re-certifying with its flat (pandas-
-    sortable) output shape after the r5 canonicalizer incompatibility. Six
-    r5-green entries ceded their slots (``quantiles``, ``union_by_name``,
-    ``search_synonyms``, ``redact_pii``, ``label_filter``, ``wide_include``
-    — see CORRECTNESS_r05.json). After r6 every ``queries()`` entry has a
+    sortable) output shape after the r5 canonicalizer incompatibility, plus
+    the four NEW r6 operators (``dsir_weights``, ``bpe_encode``,
+    ``char_entropy``, ``ppl_buckets``). Ten r5-green entries ceded their
+    slots (``quantiles``, ``union_by_name``, ``search_synonyms``,
+    ``redact_pii``, ``label_filter``, ``wide_include``, ``chunk_docs``,
+    ``token_freq``, ``quality_score``, ``corpus_curation`` — see
+    CORRECTNESS_r05.json). After r6 every ``queries()`` entry has a
     driver-green row in at least one of CORRECTNESS_r01..r06 — the union
     invariant is asserted by ``tests/test_plans.py::
     test_query_registry_invariants``. The two seeded-xxhash64 rows-only
@@ -2181,10 +2280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "contamination": _q_contamination,
         "dup_groups": _q_dup_groups,
-        "chunk_docs": _q_chunk_docs,
-        "token_freq": _q_token_freq,
-        "quality_score": _q_quality_score,
-        "corpus_curation": _q_corpus_curation,
+        # -- new in r6: DSIR, tokenizer round trip, entropy, CCNet tiers --
+        "dsir_weights": _q_dsir_weights,
+        "bpe_encode": _q_bpe_encode,
+        "char_entropy": _q_char_entropy,
+        "ppl_buckets": _q_ppl_buckets,
         "asof_join": _q_asof_join,
         "range_window": _q_range_window,
         "sessionize": _q_sessionize,
@@ -2223,6 +2323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "label_filter": _q_label_filter,
         "wide_include": _q_wide_include,
+        "chunk_docs": _q_chunk_docs,
+        "token_freq": _q_token_freq,
+        "quality_score": _q_quality_score,
+        "corpus_curation": _q_corpus_curation,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2343,6 +2447,90 @@ _GOPHER_PASS_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle_sql(8),
+        "bpe_encode": _bpe_encode_oracle_sql(8),
+        "dsir_weights": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(source IN ('src0', 'src1', 'src2') AS INTEGER) AS is_t,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), g AS (
+                SELECT doc_id, is_t,
+                       list_transform(range(1, greatest(len(tk), 1)),
+                                      i -> tk[i] || ' ' || tk[i + 1]) AS grams
+                FROM t
+            ), e AS (
+                SELECT doc_id, is_t,
+                       CAST(CAST(list_sum(list_transform(list_zip(
+                           list_transform(range(1, 9),
+                               i -> strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1),
+                           [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]),
+                           p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) % 256 AS INTEGER) AS bk
+                FROM (SELECT doc_id, is_t, unnest(grams) AS gram FROM g)
+            ), c AS (
+                SELECT bk, CAST(sum(is_t) AS BIGINT) AS ct, CAST(count(*) AS BIGINT) AS cr
+                FROM e GROUP BY bk
+            ), tot AS (
+                SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM c
+            ), lr AS (
+                SELECT bk,
+                       CAST(round((ln((ct + 1.0) / (nt + 256.0))
+                                   - ln((cr + 1.0) / (nr + 256.0))) * 1000000.0) AS BIGINT) AS lri
+                FROM c, tot
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.grams) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.sm, 0) AS BIGINT) AS score_micro
+            FROM g
+            LEFT JOIN (SELECT e.doc_id, sum(lr.lri) AS sm
+                       FROM e JOIN lr USING (bk) GROUP BY e.doc_id) s
+            USING (doc_id)
+        """,
+        "char_entropy": """
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(list_distinct(ch), c ->
+                       CAST(round(-(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / len(ch))
+                                  * ln(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / len(ch))
+                                  * 1000000.0) AS BIGINT))), 0) AS BIGINT) AS entropy_micro
+            FROM (SELECT doc_id,
+                         CASE WHEN length(coalesce(text, '')) > 0
+                              THEN list_transform(range(1, length(coalesce(text, '')) + 1),
+                                                  i -> substr(coalesce(text, ''), i, 1))
+                              ELSE CAST([] AS VARCHAR[]) END AS ch
+                  FROM documents)
+        """,
+        "ppl_buckets": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, z[1] AS w1, z[2] AS w2
+                FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+                      FROM toks WHERE len(t) >= 2)
+            ), uni AS (
+                SELECT w1, count(*) AS c1
+                FROM (SELECT doc_id, unnest(t) AS w1 FROM toks)
+                GROUP BY w1
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+            ), vocab AS (SELECT count(*) AS v FROM uni),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(-log2((coalesce(b.c2, 0) + 1.0) / (u.c1 + 1.0 * vocab.v))), 6) AS avg_nll
+                FROM pairs p
+                LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+                LEFT JOIN uni u ON p.w1 = u.w1, vocab
+                GROUP BY p.doc_id
+            )
+            SELECT s.doc_id, k.lang, s.n_bigrams, s.avg_nll,
+                   CAST(ntile(3) OVER (PARTITION BY k.lang
+                                       ORDER BY s.avg_nll ASC, s.doc_id ASC) AS INTEGER) AS tier
+            FROM scored s JOIN (SELECT doc_id, lang FROM documents) k USING (doc_id)
+        """,
         "logreg_weights": _logreg_oracle_sql(128, 5),
         "split_by_source": """
             WITH h AS (

@@ -190,3 +190,66 @@ def ws_tokens(col: Column, lowercase: bool = False) -> Column:
     if lowercase:
         base = F.lower(base)
     return F.filter(F.split(base, r"\s+"), lambda x: x != "")
+
+
+def char_entropy_micro(col: Column) -> Column:
+    """Shannon entropy of the document's character distribution, in
+    integer MICRO-nats (bigint) — the classic gibberish/boilerplate
+    screen: natural text sits ~2.5-4.5 nats, base64 blobs and
+    single-char runs fall far outside.
+
+    Engine-portable by per-term quantization: each distinct char's
+    term ``-(n_i/N) * ln(n_i/N)`` rounds to micro-units BEFORE the
+    sum, so the total is exact integer arithmetic — the set-iteration
+    order (Spark's array_distinct is first-occurrence, other engines
+    differ) cannot flip a rounding. Pure expression, zero shuffle,
+    O(distinct_chars x length) per document. Null/empty text → 0.
+    """
+    s = F.coalesce(col, F.lit(""))
+    # split-on-empty-pattern is the native chars explosion (one regex
+    # call; the transform(sequence, substring) formulation costs one
+    # interpreted HOF step per character). split('', '') yields ['']
+    # — the length guard maps that to the empty array.
+    chars = F.when(F.length(s) > 0, F.split(s, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    # transform(array(x), v -> body) is the expression-level LET
+    # binding: without it Catalyst re-evaluates the O(len) chars
+    # expression at EVERY reference inside the per-distinct-char loop
+    # (~2·distinct times per row — measured 150x slower at sf0.1).
+    def _with_sorted(sc):
+        # run-length fold over the SORTED chars: O(len) accumulator
+        # steps instead of the O(distinct·len) count-per-distinct-char
+        # loop (HOF lambdas are CodegenFallback — step count is the
+        # cost driver). Each run boundary emits its quantized term.
+        n = F.size(sc)
+
+        def term(run):
+            p = run / n
+            return F.round(-p * F.log(p) * 1_000_000.0, 0).cast("long")
+
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        )
+        return F.aggregate(
+            sc,
+            init,
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.when(x == a.prev, a.acc)
+                .otherwise(
+                    a.acc
+                    + F.when(a.run > 0, term(a.run)).otherwise(F.lit(0).cast("long"))
+                )
+                .alias("acc"),
+            ),
+            lambda a: F.when(a.run > 0, a.acc + term(a.run)).otherwise(a.acc),
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.array_sort(chars)), _with_sorted), 1
+    )

@@ -447,3 +447,39 @@ def span_novelty(
             F.sum(F.col("__uniq").cast("long")) / F.count(F.lit(1)), 6
         ).alias("novelty"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_tiles: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
+    2020): score every document with the self-trained bigram LM
+    (:func:`bigram_lm_scores`), then split each LANGUAGE into
+    ``n_tiles`` equal perplexity tiers — tier 1 ("head") is the most
+    fluent third, the slice CCNet keeps for pre-training by default.
+
+    Per-language tiling is the published design point: perplexity
+    scales differ across languages, so a global cut would keep only
+    the easiest language. One extra shuffle on ``lang`` for the ntile
+    window (partition-parallel — languages are the partition key, and
+    per-language row counts are corpus-fraction-sized, not
+    corpus-sized; a language so dominant it skews the window is
+    exactly the case for the tile boundary percentile variant, noted
+    here for 100 TB operators). Deterministic: (avg_nll, id) ordering
+    breaks ties.
+    """
+    scored = bigram_lm_scores(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("avg_nll").asc(), F.col(id_col).asc())
+    )
+    return (
+        scored.join(langs, [id_col])
+        .withColumn("tier", F.ntile(n_tiles).over(w))
+        .select(id_col, lang_col, "n_bigrams", "avg_nll", "tier")
+    )

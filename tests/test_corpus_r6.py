@@ -1,0 +1,139 @@
+"""Round-6 corpus operators: DSIR importance weights, BPE encoding,
+character entropy, CCNet perplexity tiers."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_weights_separate_domains(spark):
+    """Docs drawn from the target vocabulary must score higher than
+    off-domain docs, and scores must be exact integers."""
+    from lamindb_spark.pipeline.dsir import dsir_weights
+
+    rows = (
+        [(i, "the cat sat on the mat with the cat", "wiki") for i in range(20)]
+        + [(100 + i, "zzz qqq kkk vvv zzz qqq kkk", "web") for i in range(20)]
+        + [(200, None, "web"), (201, "single", "web")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dsir_weights(df, F.col("source") == "wiki", n_buckets=64)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 42
+    # target-domain docs beat off-domain docs
+    assert got[0]["score_micro"] > got[100]["score_micro"]
+    # no-bigram docs: n_bigrams 0, score 0
+    assert got[200]["n_bigrams"] == 0 and got[200]["score_micro"] == 0
+    assert got[201]["n_bigrams"] == 0 and got[201]["score_micro"] == 0
+    # deterministic across re-runs (literal model, md5 buckets)
+    again = {r["doc_id"]: r["score_micro"] for r in
+             dsir_weights(df, F.col("source") == "wiki", n_buckets=64).collect()}
+    assert again == {k: v["score_micro"] for k, v in got.items()}
+
+
+def test_dsir_scoring_pass_is_map_only(spark):
+    from lamindb_spark.pipeline.dsir import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "a") for i in range(10)],
+        ["doc_id", "text", "source"],
+    )
+    out = dsir_weights(df, F.col("source") == "a", n_buckets=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "scoring must be a zero-shuffle pass"
+
+
+def test_bpe_encode_matches_python_model(spark):
+    """Train on a tiny corpus, encode with the Spark replace chain,
+    compare against a direct python BPE encoder applying the same
+    merges greedily left-to-right."""
+    from lamindb_spark.pipeline.bpe import bpe_encode, bpe_train
+
+    texts = ["low lower lowest", "low low newer newest", "wider wide new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, n_merges=6)
+    assert len(merges) == 6
+
+    def py_encode(word):
+        syms = list(word) + ["</w>"]
+        for _rank, lhs, rhs, _f in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in py_encode(w)]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bpe_encode_repeated_symbol_runs(spark):
+    """The sentinel-string replace must merge runs exactly like greedy
+    left-to-right BPE: 'aaaa' with merge (a,a) → [aa, aa]."""
+    from lamindb_spark.pipeline.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "aaa"), (2, "aa a")], ["doc_id", "text"]
+    )
+    merges = [(1, "a", "a", 99)]
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, merges).collect()}
+    assert got[0] == ["aa", "aa", "</w>"]
+    assert got[1] == ["aa", "a", "</w>"]
+    assert got[2] == ["aa", "</w>", "a", "</w>"]
+
+
+def test_char_entropy_known_values(spark):
+    from lamindb_spark.functions.text import char_entropy_micro
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, ""), (3, None), (4, "abcd")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select("doc_id", char_entropy_micro(F.col("text")).alias("e")).collect()
+    }
+    assert got[0] == 0  # single symbol → zero entropy
+    assert got[2] == 0 and got[3] == 0  # empty/null → zero
+    # uniform over 2 symbols: ln 2; over 4: ln 4 (sum of per-term rounds)
+    assert abs(got[1] - round(math.log(2) * 1e6)) <= 2
+    assert abs(got[4] - round(math.log(4) * 1e6)) <= 4
+    # term-wise quantization: exact expected value for 'ab'
+    term = round(-(0.5) * math.log(0.5) * 1e6)
+    assert got[1] == 2 * term
+
+
+def test_perplexity_buckets_tiers(spark):
+    """Tiers are per-language, 1..3, balanced within each language,
+    and ordered: tier-1 docs have the lowest avg_nll."""
+    from lamindb_spark.pipeline.corpus import perplexity_buckets
+    from lamindb_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = perplexity_buckets(docs, n_tiles=3).collect()
+    assert out, "non-empty"
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        tiers = {r["tier"] for r in rows}
+        assert tiers <= {1, 2, 3}
+        if len(rows) >= 3:
+            assert tiers == {1, 2, 3}, lang
+            sizes = [sum(1 for r in rows if r["tier"] == t) for t in (1, 2, 3)]
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)  # ntile balance
+            t1 = max(r["avg_nll"] for r in rows if r["tier"] == 1)
+            t3 = min(r["avg_nll"] for r in rows if r["tier"] == 3)
+            assert t1 <= t3 + 1e-9, lang

@@ -125,6 +125,14 @@ _MAX_EXCHANGES = {
     "length_outliers": 2,    # 1-row percentile agg (SinglePartition) +
                              # its broadcast; the flag pass is map-only
     "embedding_cov": 1,      # one (i,j) shuffle of dim^2 partial sums
+    # -- r6 additions --
+    "dsir_weights": 0,       # model fits eagerly (bounded collect);
+                             # the returned scoring pass is map-only
+    "bpe_encode": 0,         # merges fetched at build; encode is a
+                             # zero-shuffle replace chain
+    "char_entropy": 0,       # pure expression
+    "ppl_buckets": 11,       # lm_perplexity's 8 + lang join + ntile
+                             # window shuffle (pinned at measured)
 }
 
 
