@@ -279,6 +279,76 @@ def read_changes(
     return spark.read.parquet(*files)
 
 
+def _file_column_spans(
+    files: list[str], col: str
+) -> tuple[list[tuple[int, object, object]], list[str]]:
+    """Per-file [min, max] of ``col`` from parquet footers — driver-side
+    metadata reads, never data bytes. Returns (spans as (index, lo, hi),
+    files with no usable stats). Shared by MERGE's rewrite pruning and
+    the stats-pruned reader."""
+    import pyarrow.parquet as pq
+
+    spans, no_stats = [], []
+    for i, f in enumerate(files):
+        md = pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None:
+            no_stats.append(f)
+        else:
+            spans.append((i, fmin, fmax))
+    return spans, no_stats
+
+
+def read_committed_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot scan with FILE-LEVEL data skipping: before Spark sees a
+    single task, the driver intersects each live file's parquet-footer
+    [min, max] span of ``col`` with the requested [lo, hi] range and
+    hands Spark ONLY the overlapping files (plus any file without
+    stats, conservatively). The residual predicate is still applied, so
+    results equal ``read_committed(...).filter(...)`` exactly.
+
+    This is the reader half of the Delta/Iceberg skipping contract —
+    the writer half is a clustered layout (``sources/zorder.py`` or any
+    sort on ``col``). At 100 TB the difference is scheduling 10^2 tasks
+    instead of 10^6: Spark's own row-group pruning only helps AFTER a
+    task opened the file.
+    """
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table_path)
+    v, files = log.snapshot(version)
+    if not files:
+        raise FileNotFoundError(f"no committed data in {table_path} (v{v})")
+    spans, no_stats = _file_column_spans(files, col)
+    keep = list(no_stats)
+    for i, fmin, fmax in spans:
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            keep.append(files[i])
+    if not keep:
+        df = spark.read.parquet(*files).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df
+
+
 def merge_into(
     spark: SparkSession,
     table_path: str,
@@ -304,27 +374,12 @@ def merge_into(
     Upsert semantics: source rows replace same-key rows; unmatched
     source rows are inserts. Returns the committed version.
     """
-    import pyarrow.parquet as pq
-
     log = CommitLog(table_path)
     _, files = log.snapshot()
     if source.isEmpty():
         return -1
-    spans, no_stats = [], []
-    for i, f in enumerate(files):
-        md = pq.ParquetFile(f).metadata
-        fmin = fmax = None
-        for rg in range(md.num_row_groups):
-            for ci in range(md.num_columns):
-                c = md.row_group(rg).column(ci)
-                if c.path_in_schema == key and c.statistics is not None:
-                    s = c.statistics
-                    fmin = s.min if fmin is None else min(fmin, s.min)
-                    fmax = s.max if fmax is None else max(fmax, s.max)
-        if fmin is None:
-            no_stats.append(f)  # unknown stats -> conservatively rewrite
-        else:
-            spans.append((i, fmin, fmax))
+    # unknown stats -> conservatively rewrite
+    spans, no_stats = _file_column_spans(files, key)
     # per-file pruning against the actual source KEY SET (a single
     # [min,max] span of the source would let one out-of-range insert
     # un-prune the whole table): broadcast the metadata-sized interval

@@ -424,10 +424,58 @@ def kmeans_assign(
     cents: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """Final cluster assignment: one zero-shuffle map pass."""
-    return embeddings.select(
-        F.col(id_col), _argmin_cell(F.col(vec_col), cents).alias("cell")
+    """Final cluster assignment — two plans, one semantics:
+
+    - ``literal`` (k ≤ 64 default): the codegen'd
+      :func:`_argmin_cell` expression against literal centroids —
+      fastest when the centroid set fits comfortably in generated
+      code. Plan SIZE grows with k·dim, so past a few hundred
+      centroids codegen hits JVM method limits and falls back to
+      interpreted expressions — the wrong regime.
+    - ``broadcast`` (k > 64 default): centroids flow as DATA — packed
+      into ONE row (array of (cid, cvec) structs), broadcast, and the
+      argmin runs as a transform over that array. Plan size is O(1)
+      regardless of k; the big side still never shuffles. This is the
+      SemDeDup/IVF scale path noted in SCALE.md: at 100 TB cell COUNT
+      grows with the corpus, and k=1000+ must not be k·dim literals
+      in the plan.
+
+    Both paths fold squared L2 in identical order and tiebreak by
+    lowest cid (array_min on (d2, cid) structs), so assignments are
+    bit-identical — pinned by a parity test.
+    """
+    if method == "auto":
+        method = "literal" if len(cents) <= 64 else "broadcast"
+    if method == "literal":
+        return embeddings.select(
+            F.col(id_col), _argmin_cell(F.col(vec_col), cents).alias("cell")
+        )
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cid int, cvec array<double>",
+    )
+    packed = cdf.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("__cents")
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c.cvec, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                c.cid.alias("c"),
+            ),
+        )
+    )["c"]
+    return embeddings.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), best.alias("cell")
     )
 
 

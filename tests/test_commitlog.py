@@ -193,6 +193,34 @@ def test_merge_into_upsert_with_file_pruning(spark, tmp_path):
     assert len(before & after) >= 6
 
 
+def test_read_committed_pruned_skips_files(spark, tmp_path):
+    """Stats-pruned snapshot read: a narrow range predicate on a
+    clustered table must scan ONLY the overlapping files (driver-side
+    footer check) and return exactly what a full scan + filter would."""
+    from lamindb_spark.catalog.commitlog import read_committed_pruned
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 800).withColumn("val", F.col("id") * 2)
+    stage = str(tmp_path / "init")
+    df.repartitionByRange(8, "id").sortWithinPartitions("id").write.parquet(stage)
+    files = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.makedirs(t, exist_ok=True)
+    for f in files:
+        os.rename(os.path.join(stage, f), os.path.join(t, f))
+    CommitLog(t).commit(add=files, metadata={"op": "append"})
+
+    pruned = read_committed_pruned(spark, t, "id", lo=100, hi=140)
+    rows = sorted(r["id"] for r in pruned.collect())
+    assert rows == list(range(100, 141))
+    # file-level skip proven by the scan's input set: ≤2 of 8 files
+    assert len(set(pruned.inputFiles())) <= 2
+    full = read_committed(spark, t).filter((F.col("id") >= 100) & (F.col("id") <= 140))
+    assert sorted(r["id"] for r in full.collect()) == rows
+    # open ranges and empty intersections behave
+    assert read_committed_pruned(spark, t, "id", lo=799).count() == 1
+    assert read_committed_pruned(spark, t, "id", lo=5000).count() == 0
+
+
 def test_vacuum_collects_unreferenced_and_orphans(spark, tmp_path):
     from lamindb_spark.catalog.commitlog import vacuum
 

@@ -115,6 +115,30 @@ def test_char_entropy_known_values(spark):
     assert got[1] == 2 * term
 
 
+def test_kmeans_assign_broadcast_parity(spark):
+    """The broadcast (data-not-literals) assignment path must agree
+    bit-for-bit with the codegen literal path, stay shuffle-free on
+    the vector side, and handle k far past the literal plan's comfort
+    zone."""
+    from lamindb_spark.pipeline.similarity import kmeans_assign, kmeans_fit
+    from lamindb_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = kmeans_fit(emb, k=16, iters=2)
+    a = {r["vec_id"]: r["cell"] for r in kmeans_assign(emb, cents, method="literal").collect()}
+    b = {r["vec_id"]: r["cell"] for r in kmeans_assign(emb, cents, method="broadcast").collect()}
+    assert a == b
+    # auto picks broadcast past 64 centroids and the plan stays O(1)-size:
+    # only the tiny packing agg + its broadcast appear as exchanges
+    big = [(i, [float((i * 7 + j) % 13) for j in range(64)]) for i in range(512)]
+    df = kmeans_assign(emb, big, method="auto")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+    assert df.count() == emb.count()
+
+
 def test_perplexity_buckets_tiers(spark):
     """Tiers are per-language, 1..3, balanced within each language,
     and ordered: tier-1 docs have the lowest avg_nll."""
