@@ -180,6 +180,63 @@ def compact(spark: SparkSession, table_path: str, target_files: int = 1) -> int:
     )
 
 
+def compact_small_files(
+    spark: SparkSession,
+    table_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE-style bin-packing compaction: rewrite ONLY files
+    smaller than ``target_bytes``, packed first-fit into ~target-sized
+    outputs; files already at target size are untouched bytes AND
+    untouched log entries. One optimistic commit publishes the swap.
+
+    This is the right maintenance shape for streaming ingest at scale:
+    micro-batches produce many small files, and :func:`compact`'s
+    full-table rewrite would grow with table size forever, while this
+    pass costs O(small-file bytes) regardless of how big the table is.
+    Returns {"version", "n_rewritten", "n_untouched", "n_bins"}.
+    """
+    log = CommitLog(table_path)
+    _, files = log.snapshot()
+    small = [(f, os.path.getsize(f)) for f in files]
+    small = [(f, s) for f, s in small if s < target_bytes]
+    untouched = len(files) - len(small)
+    if len(small) <= 1:
+        return {"version": -1, "n_rewritten": 0, "n_untouched": len(files), "n_bins": 0}
+    # first-fit-decreasing packing into target-sized bins
+    bins: list[tuple[int, list[str]]] = []
+    for f, s in sorted(small, key=lambda t: -t[1]):
+        for i, (tot, members) in enumerate(bins):
+            if tot + s <= target_bytes:
+                bins[i] = (tot + s, members + [f])
+                break
+        else:
+            bins.append((s, [f]))
+    stage = f"compact-{uuid.uuid4().hex[:12]}"
+    stage_path = os.path.join(table_path, stage)
+    new: list[str] = []
+    for i, (_tot, members) in enumerate(bins):
+        out_dir = os.path.join(stage_path, f"bin-{i}")
+        spark.read.parquet(*members).coalesce(1).write.mode("overwrite").parquet(out_dir)
+        new.extend(
+            os.path.join(stage, f"bin-{i}", f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+    old = [os.path.relpath(f, table_path) for f, _s in small]
+    version = log.commit(
+        add=new,
+        remove=old,
+        metadata={"op": "compact", "n_in": len(old), "n_bins": len(bins)},
+    )
+    return {
+        "version": version,
+        "n_rewritten": len(old),
+        "n_untouched": untouched,
+        "n_bins": len(bins),
+    }
+
+
 def _commit_bodies(log: CommitLog) -> list[tuple[int, dict]]:
     out = []
     for v in log.versions():
@@ -354,6 +411,7 @@ def merge_into(
     table_path: str,
     source: DataFrame,
     key: str,
+    extra_metadata: dict | None = None,
 ) -> int:
     """Keyed MERGE (upsert) into a commit-log table — the table-format
     write primitive behind Delta/Iceberg MERGE INTO, with FILE-LEVEL
@@ -429,17 +487,15 @@ def merge_into(
         if f.endswith(".parquet")
     ]
     old = [os.path.relpath(p, table_path) for p in touched]
-    return log.commit(
-        add=surv_rel + ups_rel,
-        remove=old,
-        metadata={
-            "op": "merge",
-            "key": key,
-            "n_rewritten": len(old),
-            "n_pruned": len(untouched),
-            "survivor_files": surv_rel,
-        },
-    )
+    meta = {
+        "op": "merge",
+        "key": key,
+        "n_rewritten": len(old),
+        "n_pruned": len(untouched),
+        "survivor_files": surv_rel,
+    }
+    meta.update(extra_metadata or {})
+    return log.commit(add=surv_rel + ups_rel, remove=old, metadata=meta)
 
 
 def vacuum(

@@ -105,3 +105,70 @@ def stream_append_exactly_once(
             )
         return None
     return writer.start()
+
+
+def stream_merge_exactly_once(
+    stream_df: DataFrame,
+    table_path: str,
+    key: str,
+    checkpoint_dir: str,
+    query_name: str = "merge-stream",
+    timeout_sec: float = 300,
+) -> None:
+    """Streaming UPSERT (CDC apply) into a commit-log table with
+    end-to-end exactly-once semantics: each micro-batch MERGEs on
+    ``key`` — later records for the same key replace earlier rows —
+    and the commit carries the ``(query_name, batch_id)`` transaction
+    identity, so a replayed batch after an unclean restart is detected
+    in the log and skipped instead of double-applying.
+
+    This is the standard change-data-capture landing pattern (Delta's
+    ``foreachBatch`` + ``MERGE`` recipe): the stream carries row-level
+    upserts, the table converges to one row per key. Within a batch,
+    duplicate keys resolve deterministically to the highest-value row
+    (max_by over the remaining columns) before the merge — foreachBatch
+    gives no intra-batch ordering guarantee, so the reduction must be
+    explicit. Scale shape per batch = :func:`catalog.commitlog.
+    merge_into`'s: footer-span file pruning, survivors rewritten
+    narrowly, one optimistic commit.
+    """
+    from pyspark.sql import functions as F
+
+    from ..catalog.commitlog import CommitLog, _commit_bodies, merge_into
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        log = CommitLog(table_path)
+        for _v, body in _commit_bodies(log):
+            m = body.get("metadata", {})
+            if m.get("txn_app") == query_name and m.get("txn_version") == batch_id:
+                return  # replayed batch — already applied
+        others = [c for c in batch_df.columns if c != key]
+        dedup = batch_df.groupBy(key).agg(
+            *[F.max_by(c, F.struct(*others)).alias(c) for c in others]
+        )
+        if not log.versions():
+            # first batch bootstraps the table (MERGE needs a snapshot)
+            from ..catalog.commitlog import append_dataframe_txn
+
+            append_dataframe_txn(dedup, table_path, query_name, batch_id)
+            return
+        merge_into(
+            batch_df.sparkSession,
+            table_path,
+            dedup,
+            key,
+            extra_metadata={"txn_app": query_name, "txn_version": batch_id},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{query_name}' did not drain within {timeout_sec}s"
+        )

@@ -130,6 +130,71 @@ def test_stream_exactly_once_replay(spark, tmp_path):
     assert len(CommitLog(table).versions()) == n_commits
 
 
+def test_compact_small_files_binpack(spark, tmp_path):
+    """Bin-packing OPTIMIZE: many small append files collapse into few
+    outputs; a file already at target size is left untouched (same
+    path before and after); rows survive exactly; CDC treats the swap
+    as maintenance (op=compact → excluded)."""
+    from lamindb_spark.catalog.commitlog import compact_small_files, read_changes
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 50, 10):
+        append_dataframe(spark.range(lo, lo + 10).coalesce(1), t)
+    got = compact_small_files(spark, t, target_bytes=10 * 1024 * 1024)
+    assert got["n_rewritten"] == 5 and got["n_bins"] >= 1
+    out = read_committed(spark, t)
+    assert sorted(r["id"] for r in out.collect()) == list(range(50))
+    assert len(set(out.inputFiles())) == got["n_bins"]
+    # second run: everything already packed → no-op
+    again = compact_small_files(spark, t, target_bytes=10 * 1024 * 1024)
+    assert again["version"] == -1 and again["n_rewritten"] == 0
+    # compaction is invisible to incremental consumers
+    v = got["version"]
+    assert read_changes(spark, t, since_version=v - 1, to_version=v).count() == 0
+
+
+def test_stream_merge_exactly_once(spark, tmp_path):
+    """Streaming CDC apply: upserts land via MERGE per micro-batch,
+    the table converges to one row per key, an incremental batch
+    applies once, and a full replay against a WIPED checkpoint is
+    recognized by its txn identity and skipped."""
+    from lamindb_spark.streaming.sink import stream_merge_exactly_once
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, 1) for i in range(10)] + [(i, 2) for i in range(5, 15)],
+        "id long, val long",
+    ).write.parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema("id long, val long").parquet(src)
+        stream_merge_exactly_once(stream, table, "id", str(tmp_path / ck), "cdc")
+
+    drain("ck1")
+    out = {r["id"]: r["val"] for r in read_committed(spark, table).collect()}
+    # one row per key; overlapping keys resolved to the max-val record
+    assert len(out) == 15
+    assert out[0] == 1 and out[5] == 2 and out[14] == 2
+    n_commits = len(CommitLog(table).versions())
+
+    # incremental upsert through the SAME checkpoint: a new batch merges
+    spark.createDataFrame([(0, 9), (99, 9)], "id long, val long").write.mode(
+        "append"
+    ).parquet(src)
+    drain("ck1")
+    out = {r["id"]: r["val"] for r in read_committed(spark, table).collect()}
+    assert out[0] == 9 and out[99] == 9 and len(out) == 16
+
+    # full replay, wiped checkpoint: batch 0 re-derives the whole dir,
+    # but txn (cdc, 0) is already in the log → skipped, nothing changes
+    n_commits = len(CommitLog(table).versions())
+    drain("ck-wiped")
+    assert len(CommitLog(table).versions()) == n_commits
+    out2 = {r["id"]: r["val"] for r in read_committed(spark, table).collect()}
+    assert out2 == out
+
+
 def test_read_changes_incremental_feed(spark, tmp_path):
     from lamindb_spark.catalog.commitlog import read_changes
 
