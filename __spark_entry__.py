@@ -2166,16 +2166,15 @@ def _logreg_oracle_sql(n_buckets: int = 128, iters: int = 5,
 def _q_semantic_dedup(spark, sf):
     """SemDeDup: k-means cells as the blocking key, drop any vector
     with a ≥0.35-cosine lower-id neighbour in its cell. Composition of
-    the kmeans trainer and the blocked near-dup kernel. The ORACLE-
-    CHECKED entry point pins kernel="expr" so the cosine's rounding
-    matches the SQL replay bit-for-bit (ADVICE r5: numpy accumulation
-    order could flip a threshold-boundary cosine and flake the
-    certification); production callers keep the default Arrow/GEMM
-    kernel."""
+    the kmeans trainer and the blocked near-dup kernel. Uses the
+    "exact" kernel (integer-quantized cosine, int64 GEMM): BLAS speed
+    AND bit-exact SQL replay — the r6 resolution of ADVICE r5's
+    speed-vs-certification dilemma (numpy float accumulation order
+    could flip a round-6 threshold boundary; int64 sums cannot)."""
     from lamindb_spark.pipeline.similarity import semantic_dedup
 
     emb = load_table(spark, sf, "embeddings")
-    return semantic_dedup(emb, k=8, iters=2, threshold=0.35, kernel="expr")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.35, kernel="exact")
 
 
 def _q_dsir_weights(spark, sf):
@@ -3023,13 +3022,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
                       FROM d1)
                 WHERE rn = 1
+            ), qv AS (
+                -- exact-kernel contract: quantize to int64, dot/norms in
+                -- exact integer arithmetic, one division + two IEEE sqrts
+                SELECT vec_id, cell,
+                       list_transform(embedding,
+                           v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+                FROM a1
             ), pairs AS (
                 SELECT y.vec_id AS ib
-                FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
-                WHERE round(
-                        list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                        / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
-                           * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))),
+                FROM qv x JOIN qv y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE list_sum(list_transform(x.q, v -> v * v)) > 0
+                  AND list_sum(list_transform(y.q, v -> v * v)) > 0
+                  AND round(
+                        CAST(list_sum(list_transform(list_zip(x.q, y.q), p -> p[1] * p[2])) AS DOUBLE)
+                        / (sqrt(CAST(list_sum(list_transform(x.q, v -> v * v)) AS DOUBLE))
+                           * sqrt(CAST(list_sum(list_transform(y.q, v -> v * v)) AS DOUBLE))),
                         6) >= 0.35
             ), dup AS (
                 SELECT DISTINCT ib AS vec_id FROM pairs

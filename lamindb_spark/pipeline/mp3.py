@@ -1,12 +1,18 @@
 """MPEG audio (mp3 family) frame-header metadata parser.
 
-Full sample decode of Layer III needs the spec's Huffman tables and
-IMDCT filterbank and stays a declared stub in `multimodal.py` — but
+Full sample decode of Layer III stays a declared stub in
+`multimodal.py` PERMANENTLY under this repo's constraints: spec
+compliance requires the Huffman code tables, the scalefactor-band
+tables and the 512-tap synthesis-window prototype from ISO 11172-3's
+annexes — numerically tabulated data that cannot be re-derived from
+formulas, so any from-scratch "decoder" here could not be validated
+bit-exactly and would risk silently wrong PCM. The honest boundary:
 what a training-data pipeline actually filters and samples on is the
-METADATA: duration, bitrate, sample rate, channel layout. That parse
-is pure frame-header arithmetic (ISO 11172-3 §2.4.1) and is REAL
-here: ID3v2 skip, frame walk (so VBR duration is exact, no Xing
-header trust), MPEG-1/2/2.5 and Layer I/II/III tables.
+METADATA — duration, bitrate, sample rate, channel layout — and that
+parse is pure frame-header arithmetic (ISO 11172-3 §2.4.1), fully
+REAL here: ID3v2 skip, frame walk (so VBR duration is exact, no Xing
+header trust), MPEG-1/2/2.5 and Layer I/II/III tables. Lossless
+audio decode lives in `flac.py`/`wav.py` (bit-exact, property-tested).
 """
 
 from __future__ import annotations

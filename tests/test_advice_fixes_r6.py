@@ -110,20 +110,65 @@ def test_stream_sink_timeout_raises(spark, tmp_path):
 
 
 def test_semantic_dedup_kernels_agree(spark):
-    """The expression kernel (oracle-checked path) and the Arrow/GEMM
-    kernel must produce identical verdicts on the test embeddings."""
+    """All three kernels — expression (float, sequential), Arrow
+    (float, BLAS) and exact (int64-quantized GEMM, the r6 default) —
+    must produce identical verdicts on the test embeddings."""
     from lamindb_spark.pipeline.similarity import semantic_dedup
     from lamindb_spark.sources.readers import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     expr = semantic_dedup(emb, k=4, iters=2, threshold=0.35, kernel="expr")
     arrow = semantic_dedup(emb, k=4, iters=2, threshold=0.35, kernel="arrow")
+    exact = semantic_dedup(emb, k=4, iters=2, threshold=0.35, kernel="exact")
     a = {(r["vec_id"], r["cell"], r["keep"]) for r in expr.collect()}
     b = {(r["vec_id"], r["cell"], r["keep"]) for r in arrow.collect()}
-    assert a == b
+    c = {(r["vec_id"], r["cell"], r["keep"]) for r in exact.collect()}
+    assert a == b == c
     # and the expr plan carries no Python stage at all
     plan = expr._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cosine_exact_kernel_matches_integer_model(spark):
+    """cosine_neardup_pairs_exact vs an independent pure-python int64
+    model: identical pair sets AND identical rounded cosines, including
+    a zero vector (matches nothing) and a threshold-boundary pair."""
+    import math
+
+    from lamindb_spark.pipeline.similarity import cosine_neardup_pairs_exact
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0, 0.0],
+        3: [0.0, 0.0, 0.0, 0.0],  # zero norm
+        4: [0.35, 0.936749, 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()], ["vec_id", "embedding", "blk"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_neardup_pairs_exact(df, "blk", 0.35, vec_col="embedding").collect()
+    }
+
+    def q(v):
+        return [int(math.copysign(math.floor(abs(x * 1e6) + 0.5), x)) for x in v]
+
+    want = {}
+    ids = sorted(vecs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = q(vecs[ids[i]]), q(vecs[ids[j]])
+            na, nb = sum(x * x for x in a), sum(x * x for x in b)
+            if na == 0 or nb == 0:
+                continue
+            cos = sum(x * y for x, y in zip(a, b)) / (math.sqrt(na) * math.sqrt(nb))
+            cos_r = math.floor(cos * 1e6 + 0.5) / 1e6
+            if cos_r >= 0.35:
+                want[(ids[i], ids[j])] = cos_r
+    assert got == want
+    assert all(k[0] != 3 and k[1] != 3 for k in got), "zero vector matched"
 
 
 def test_concurrent_merge_writers_converge(spark, tmp_path):

@@ -22,12 +22,12 @@ SF = "/root/testdata/sf0.001"
 # plan. Nothing may produce a non-broadcast CartesianProduct.
 _CARTESIAN_OK = set()
 
-# the single sanctioned Python stage: Arrow-batched applyInPandas
-# (FlatMapGroupsInPandas) in embedding_neardup / multimodal.
-# semantic_dedup left this set in r6: its oracle-checked entry point
-# pins the expression cosine kernel (ADVICE r5), so its plan is pure
-# JVM; the Arrow/GEMM kernel stays available via kernel="arrow".
-_ARROW_OK = {"embedding_neardup"}
+# the sanctioned Python stages: Arrow-batched applyInPandas
+# (FlatMapGroupsInPandas) in embedding_neardup / multimodal, and
+# semantic_dedup's "exact" kernel — integer-quantized int64 GEMM,
+# whose sums are order-free and therefore bit-replayable in SQL
+# (the r6 resolution of ADVICE r5's float-accumulation concern).
+_ARROW_OK = {"embedding_neardup", "semantic_dedup"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
