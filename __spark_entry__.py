@@ -2212,10 +2212,13 @@ def _q_bpe_encode(spark, sf):
 def _q_char_entropy(spark, sf):
     """Character-distribution Shannon entropy per document (gibberish
     screen): integer micro-nats via per-term quantization, so the sum
-    is order-free exact. Pure expression, zero shuffle."""
+    is order-free exact. Pure expression; the only exchange is the
+    CPU-spread repartition that fires when the scan under-splits the
+    cluster (no-op at real scale — see operators/spread.py)."""
     from lamindb_spark.functions.text import char_entropy_micro
+    from lamindb_spark.operators.spread import spread_for_cpu
 
-    d = load_table(spark, sf, "documents")
+    d = spread_for_cpu(load_table(spark, sf, "documents"))
     return d.select(
         "doc_id", char_entropy_micro(F.col("text")).alias("entropy_micro")
     )

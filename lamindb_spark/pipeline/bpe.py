@@ -131,6 +131,8 @@ def bpe_encode(
     word — so applying the replace chain to the whole rendered
     document cannot merge across word boundaries.
     """
+    from ..operators.spread import spread_for_cpu
+
     chars = F.expr(
         "array_join(transform(tokens, w -> concat("
         "array_join(transform(sequence(1, length(w)), "
@@ -138,9 +140,11 @@ def bpe_encode(
         f"' {SENTINEL}{END_WORD}')), ' ')"
     )
     toks = ws_tokens(F.col(text_col), lowercase=True)
-    rendered = df.select(
-        F.col(id_col), toks.alias("tokens")
-    ).select(F.col(id_col), F.concat(chars, F.lit(" ")).alias("vstr"))
+    # render + replace-chain is seconds of single-core CPU on a
+    # 1-partition scan; spread_for_cpu is a no-op at real scale
+    rendered = spread_for_cpu(df.select(F.col(id_col), toks.alias("tokens"))).select(
+        F.col(id_col), F.concat(chars, F.lit(" ")).alias("vstr")
+    )
     col = F.col("vstr")
     for _rank, lhs, rhs, _f in merges:
         pat = f"{SENTINEL}{lhs} {SENTINEL}{rhs} "

@@ -74,6 +74,10 @@ def dsir_weights(
     ratios of its bigram occurrences. Positive score ⇒ looks like the
     target domain. Docs with no bigrams score 0.
     """
+    # note: no spread_for_cpu here — feats feeds TWO passes (model fit,
+    # then scoring), so an inserted repartition would be paid twice and
+    # measured slower at sf0.1 than the single-core scan; the fit pass
+    # shuffles anyway (explode+groupBy) and parallelizes there.
     feats = df.select(
         F.col(id_col),
         bigram_buckets(F.col(text_col), n_buckets).alias("__bks"),

@@ -569,25 +569,44 @@ def random_projection(
     the result feeds a tool that canonicalizes rows by sorting on
     column values (pandas ``sort_values`` cannot hash Python lists).
     """
+    from ..operators.spread import spread_for_cpu
+
     signs = hyperplane_signs(dim, out_dim)
-    qv = F.transform(
+    df = spread_for_cpu(df)
+    qv_expr = F.transform(
         F.col(vec_col), lambda v: F.round(v.cast("double") * F.lit(float(scale))).cast("long")
     )
-    comps = []
-    for srow in signs:
-        lit = F.array(*[F.lit(int(x)) for x in srow])
-        comps.append(
-            F.aggregate(
-                F.zip_with(qv, lit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+
+    # let-binding (transform over a 1-element array) so the quantized
+    # vector is materialized ONCE per row — referenced naively, the
+    # round+cast transform re-evaluates per output dimension (HOF
+    # lambdas are CodegenFallback; out_dim× the work)
+    def _components(qv):
+        comps = []
+        for srow in signs:
+            lit = F.array(*[F.lit(int(x)) for x in srow])
+            comps.append(
+                F.aggregate(
+                    F.zip_with(qv, lit, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
             )
-        )
+        return F.array(*comps)
+
+    packed = F.element_at(F.transform(F.array(qv_expr), _components), 1)
+    out = df.select(F.col(id_col), packed.alias("proj"))
     if flat:
-        return df.select(
-            F.col(id_col), *[c.alias(f"proj_{i}") for i, c in enumerate(comps)]
+        # separate projection stage: CollapseProject keeps the packed
+        # array materialized once (non-cheap expr, multiple refs)
+        return out.select(
+            F.col(id_col),
+            *[
+                F.element_at(F.col("proj"), i + 1).alias(f"proj_{i}")
+                for i in range(out_dim)
+            ],
         )
-    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+    return out
 
 
 def semantic_dedup(

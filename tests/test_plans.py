@@ -85,7 +85,6 @@ _MAX_EXCHANGES = {
     # branch (tiny SinglePartition aggregates) and its broadcast.
     "pack_sequences": 6,
     "kmeans_clusters": 2,  # final assignment is map-side; sizes agg + sort
-    "random_proj": 0,      # JL projection is a pure map pass
     "limit_preserved": 0,  # TakeOrdered + window over the 20-row head
     "split_by_source": 0,  # md5-bucket split is a pure map pass
     "curated_packing": 6,  # map-only gate feeding the packing shape above
@@ -126,13 +125,17 @@ _MAX_EXCHANGES = {
                              # its broadcast; the flag pass is map-only
     "embedding_cov": 1,      # one (i,j) shuffle of dim^2 partial sums
     # -- r6 additions --
+    # the CPU-heavy HOF ops carry exactly one exchange at test scale:
+    # the spread_for_cpu round-robin that repairs an under-split scan
+    # (provable no-op once splits >= parallelism — operators/spread.py)
     "dsir_weights": 0,       # model fits eagerly (bounded collect);
                              # the returned scoring pass is map-only
-    "bpe_encode": 0,         # merges fetched at build; encode is a
-                             # zero-shuffle replace chain
-    "char_entropy": 0,       # pure expression
+    "bpe_encode": 1,         # spread; merges fetched at build; encode
+                             # is a shuffle-free replace chain
+    "char_entropy": 1,       # spread; otherwise pure expression
     "ppl_buckets": 11,       # lm_perplexity's 8 + lang join + ntile
                              # window shuffle (pinned at measured)
+    "random_proj": 1,        # spread; projection is a pure map pass
 }
 
 
