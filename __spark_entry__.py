@@ -2235,6 +2235,36 @@ def _q_ppl_buckets(spark, sf):
     return perplexity_buckets(d, n_tiles=3)
 
 
+def _q_knn_join(spark, sf):
+    """Batch kNN JOIN: top-3 cosine neighbours of EVERY vector, blocked
+    by its k-means cell — n·k output rows, never n² (the block bounds
+    the quadratic term). Integer-exact kernel: int64 GEMM inside the
+    per-cell Arrow stage, bit-replayable in SQL."""
+    from lamindb_spark.pipeline.similarity import (
+        _argmin_cell,
+        kmeans_fit,
+        knn_join_exact,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    assigned = emb.select(
+        "vec_id", "embedding", _argmin_cell(F.col("embedding"), cents).alias("cell")
+    )
+    return knn_join_exact(assigned, "cell", k=3)
+
+
+def _q_silhouette(spark, sf):
+    """Centroid-silhouette clustering diagnostic: s = (b−a)/max(a,b)
+    per vector against the trained k-means centroids — a pure map pass
+    (literal centroids), zero shuffle at any scale."""
+    from lamindb_spark.pipeline.similarity import kmeans_fit, silhouette_scores
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    return silhouette_scores(emb, cents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
@@ -2292,8 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "user_profiles": _q_user_profiles,
         "sliding_events": _q_sliding_events,
-        "order_gaps": _q_order_gaps,
-        "cube_priority": _q_cube_priority,
+        "knn_join": _q_knn_join,
+        "silhouette": _q_silhouette,
         "rollup_revenue": _q_rollup_revenue,
         "multi_set_agg": _q_multi_set_agg,
         # -- block A2: new in r5 --
@@ -2329,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq": _q_token_freq,
         "quality_score": _q_quality_score,
         "corpus_curation": _q_corpus_curation,
+        "order_gaps": _q_order_gaps,
+        "cube_priority": _q_cube_priority,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2380,6 +2412,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topmost_dedup": _q_topmost_dedup,
         "collect_list": _q_collect_list,
     }
+
+
+# Two-iteration kmeans replay (init = 8 lowest-id vectors, one Lloyd
+# update with round-6 centroids) — shared by the semantic_dedup,
+# knn_join and silhouette oracles; mirrors pipeline.similarity.kmeans_fit.
+_KMEANS_REPLAY = """
+            WITH c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                       embedding AS cv
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), d0 AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+                FROM embeddings e, c0 c
+            ), a0 AS (
+                SELECT vec_id, embedding, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM d0)
+                WHERE rn = 1
+            ), u1 AS (
+                SELECT cell, CAST(z[2] AS INTEGER) AS pos, CAST(z[1] AS DOUBLE) AS v
+                FROM (SELECT cell,
+                             unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
+                      FROM a0)
+            ), c1 AS (
+                SELECT cell AS cid, list(m ORDER BY pos) AS cv
+                FROM (SELECT cell, pos, round(avg(v), 6) AS m FROM u1 GROUP BY cell, pos)
+                GROUP BY cell
+            ), d1 AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+                FROM embeddings e, c1 c
+            ), a1 AS (
+                SELECT vec_id, embedding, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                      FROM d1)
+                WHERE rn = 1
+            )"""
 
 
 _RANK_SQL = """
@@ -2450,6 +2524,52 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "knn_join": _KMEANS_REPLAY + """, qv AS (
+                SELECT vec_id, cell,
+                       list_transform(embedding,
+                           v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+                FROM a1
+            ), prs AS (
+                SELECT x.vec_id, y.vec_id AS neighbour_id,
+                       CASE WHEN list_sum(list_transform(x.q, v -> v * v)) = 0
+                              OR list_sum(list_transform(y.q, v -> v * v)) = 0
+                            THEN -2.0
+                            ELSE round(
+                                CAST(list_sum(list_transform(list_zip(x.q, y.q), p -> p[1] * p[2])) AS DOUBLE)
+                                / (sqrt(CAST(list_sum(list_transform(x.q, v -> v * v)) AS DOUBLE))
+                                   * sqrt(CAST(list_sum(list_transform(y.q, v -> v * v)) AS DOUBLE))),
+                                6)
+                       END AS cos
+                FROM qv x JOIN qv y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+            )
+            SELECT vec_id, neighbour_id, CAST(rank AS INTEGER) AS rank, cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cos DESC, neighbour_id ASC) AS rank
+                  FROM prs)
+            WHERE rank <= 3
+        """,
+        "silhouette": _KMEANS_REPLAY + """, dd AS (
+                SELECT e.vec_id, c.cid,
+                       sqrt(list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS d
+                FROM embeddings e, c1 c
+            ), own AS (
+                SELECT vec_id, cid AS cell, d AS a
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                      FROM dd)
+                WHERE rn = 1
+            )
+            SELECT o.vec_id, o.cell,
+                   CASE WHEN greatest(o.a, m.b) > 0
+                        THEN round((m.b - o.a) / greatest(o.a, m.b), 6)
+                        ELSE 0.0 END AS silhouette
+            FROM own o
+            JOIN (SELECT d.vec_id, min(d.d) AS b
+                  FROM dd d JOIN own w ON d.vec_id = w.vec_id AND d.cid <> w.cell
+                  GROUP BY d.vec_id) m
+            ON o.vec_id = m.vec_id
+        """,
         "dsir_weights": """
             WITH t AS (
                 SELECT doc_id,
@@ -2989,43 +3109,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS oov_ratio
             FROM toks, vocab
         """,
-        "semantic_dedup": """
-            WITH c0 AS (
-                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-                       embedding AS cv
-                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
-            ), d0 AS (
-                SELECT e.vec_id, e.embedding, c.cid,
-                       list_sum(list_transform(list_zip(e.embedding, c.cv),
-                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
-                FROM embeddings e, c0 c
-            ), a0 AS (
-                SELECT vec_id, embedding, cid AS cell
-                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                      FROM d0)
-                WHERE rn = 1
-            ), u1 AS (
-                SELECT cell, CAST(z[2] AS INTEGER) AS pos, CAST(z[1] AS DOUBLE) AS v
-                FROM (SELECT cell,
-                             unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z
-                      FROM a0)
-            ), c1 AS (
-                SELECT cell AS cid, list(m ORDER BY pos) AS cv
-                FROM (SELECT cell, pos, round(avg(v), 6) AS m FROM u1 GROUP BY cell, pos)
-                GROUP BY cell
-            ), d1 AS (
-                SELECT e.vec_id, e.embedding, c.cid,
-                       list_sum(list_transform(list_zip(e.embedding, c.cv),
-                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-                                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
-                FROM embeddings e, c1 c
-            ), a1 AS (
-                SELECT vec_id, embedding, cid AS cell
-                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                      FROM d1)
-                WHERE rn = 1
-            ), qv AS (
+        "semantic_dedup": _KMEANS_REPLAY + """, qv AS (
                 -- exact-kernel contract: quantize to int64, dot/norms in
                 -- exact integer arithmetic, one division + two IEEE sqrts
                 SELECT vec_id, cell,

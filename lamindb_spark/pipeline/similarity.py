@@ -367,6 +367,109 @@ def cosine_neardup_pairs_exact(
     )
 
 
+def knn_join_exact(
+    embeddings: DataFrame,
+    block_col: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Batch k-NN JOIN: the top-k cosine neighbours of EVERY vector,
+    blocked by ``block_col`` (IVF cell / cluster id) — the all-vectors
+    analogue of the single-query :func:`ivf_topk`, and the kernel
+    behind kNN-graph construction (dedup graphs, label propagation,
+    embedding diagnostics).
+
+    Same exactness contract as :func:`cosine_neardup_pairs_exact`:
+    int64-quantized dot products (order-free), IEEE sqrt/division,
+    HALF-UP round-6 — bit-replayable in SQL. Per-row top-k happens
+    inside the per-block GEMM (argpartition), so the operator emits
+    n·k rows, never n² — the block bounds the quadratic term exactly
+    as in the near-dup kernel. Ties break toward the lower neighbour
+    id. Output: (id, neighbour_id, rank, cos), rank 1..k; singleton
+    blocks emit nothing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "vec_id long, neighbour_id long, rank int, cos double"
+
+    def _block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbour_id": [], "rank": [], "cos": []}
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * float(scale)
+        q = (np.sign(mat) * np.floor(np.abs(mat) + 0.5)).astype(np.int64)
+        gram = q @ q.T
+        norms2 = np.diag(gram).astype(np.float64)
+        denom = np.sqrt(norms2)[:, None] * np.sqrt(norms2)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = gram.astype(np.float64) / denom
+        cos[~np.isfinite(cos)] = -2.0
+        # HALF-UP (away from zero), sign-correct for negatives
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        np.fill_diagonal(cos, -np.inf)
+        kk = min(k, n - 1)
+        # vectorized top-k: lexsort on (-cos, neighbour_id) per row,
+        # take the first kk columns (excludes self via the -inf diag)
+        order = np.lexsort((np.broadcast_to(ids, (n, n)), -cos), axis=1)[:, :kk]
+        rows_i = np.repeat(np.arange(n), kk)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": ids[rows_i],
+                "neighbour_id": ids[cols],
+                "rank": np.tile(np.arange(1, kk + 1), n),
+                "cos": cos[rows_i, cols],
+            }
+        )
+
+    return embeddings.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
+        _block_topk, schema=out_schema
+    )
+
+
+def silhouette_scores(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per vector: ``a`` = L2
+    distance to own centroid, ``b`` = distance to the nearest OTHER
+    centroid, ``s = round((b - a) / max(a, b), 6)`` (0 when both are
+    zero) — the standard clustering-quality diagnostic, computed as a
+    pure map pass against literal centroids (zero shuffle at any
+    scale; the full-pairwise silhouette is O(n²) and the centroid form
+    is the accepted large-scale substitute). Output: (id, cell, s).
+    """
+    d2s = []
+    for cid, cv in cents:
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d2s.append(F.struct(d2.alias("d"), F.lit(int(cid)).alias("c")))
+    arr = F.array(*d2s)
+    best = F.array_min(arr)
+    # nearest OTHER centroid: min over entries whose cid differs
+    second = F.array_min(F.filter(arr, lambda s: s["c"] != best["c"]))
+    a = F.sqrt(best["d"])
+    b = F.sqrt(second["d"])
+    s = F.when(F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return embeddings.select(
+        F.col(id_col), best["c"].alias("cell"), s.alias("silhouette")
+    )
+
+
 def query_bucket(query_vec: list[float], dim: int, n_bits: int = 8) -> int:
     """The query's LSH bucket code, computed driver-side with the SAME
     deterministic hyperplanes as :func:`lsh_index` (h_j[i] sign from

@@ -139,6 +139,52 @@ def test_kmeans_assign_broadcast_parity(spark):
     assert df.count() == emb.count()
 
 
+def test_knn_join_exact_properties(spark):
+    """kNN join: every non-singleton-block vector gets min(k, n-1)
+    neighbours, ranks are dense from 1, rank-1 cosine is the block
+    maximum for that vector, and a zero vector never ranks above a
+    real neighbour."""
+    from lamindb_spark.pipeline.similarity import knn_join_exact
+
+    vecs = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 0),
+        (3, [0.0, 0.0], 0),  # zero vector
+        (10, [1.0, 1.0], 1), (11, [1.0, 0.9], 1),
+        (20, [5.0, 5.0], 2),  # singleton block
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "cell"])
+    out = knn_join_exact(df, "cell", k=2).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append((r["rank"], r["neighbour_id"], r["cos"]))
+    assert 20 not in by_vec, "singleton block emits nothing"
+    assert {len(v) for k, v in by_vec.items() if k in (0, 1, 2, 3)} == {2}
+    assert len(by_vec[10]) == 1 and len(by_vec[11]) == 1
+    # vec 0's nearest is 1 (cos ~0.9939), then 2 (0.0); zero vec 3 last
+    r0 = sorted(by_vec[0])
+    assert r0[0][1] == 1 and r0[1][1] == 2
+    # zero vector's cosines are the -2 sentinel, neighbours id-ordered
+    r3 = sorted(by_vec[3])
+    assert [x[1] for x in r3] == [0, 1] and all(x[2] == -2.0 for x in r3)
+
+
+def test_silhouette_scores_properties(spark):
+    """Well-separated clusters score near +1; a point midway between
+    centroids scores near 0; output is bounded in [-1, 1]."""
+    from lamindb_spark.pipeline.similarity import silhouette_scores
+
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.0]), (1, [9.9, 0.0]), (2, [5.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r for r in silhouette_scores(df, cents).collect()}
+    assert got[0]["cell"] == 0 and got[0]["silhouette"] > 0.97
+    assert got[1]["cell"] == 1 and got[1]["silhouette"] > 0.97
+    assert abs(got[2]["silhouette"]) < 1e-9  # equidistant
+    assert all(-1.0 <= r["silhouette"] <= 1.0 for r in got.values())
+
+
 def test_perplexity_buckets_tiers(spark):
     """Tiers are per-language, 1..3, balanced within each language,
     and ordered: tier-1 docs have the lowest avg_nll."""

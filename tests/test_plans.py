@@ -27,7 +27,7 @@ _CARTESIAN_OK = set()
 # semantic_dedup's "exact" kernel — integer-quantized int64 GEMM,
 # whose sums are order-free and therefore bit-replayable in SQL
 # (the r6 resolution of ADVICE r5's float-accumulation concern).
-_ARROW_OK = {"embedding_neardup", "semantic_dedup"}
+_ARROW_OK = {"embedding_neardup", "semantic_dedup", "knn_join"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
@@ -136,6 +136,9 @@ _MAX_EXCHANGES = {
     "ppl_buckets": 11,       # lm_perplexity's 8 + lang join + ntile
                              # window shuffle (pinned at measured)
     "random_proj": 1,        # spread; projection is a pure map pass
+    "knn_join": 1,           # one cell shuffle into the Arrow top-k
+                             # GEMM; assignment itself is map-side
+    "silhouette": 0,         # literal-centroid distances, pure map
 }
 
 
