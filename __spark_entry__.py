@@ -2235,6 +2235,26 @@ def _q_ppl_buckets(spark, sf):
     return perplexity_buckets(d, n_tiles=3)
 
 
+def _q_max_dup_spans(spark, sf):
+    """Maximal exact duplicated spans (Lee et al. 2021 detection
+    phase, relational form): overlapping 5-gram coverage → corpus-wide
+    repeat marking → gaps-and-islands per doc. Spans ≥ 8 tokens."""
+    from lamindb_spark.pipeline.corpus import duplicated_spans
+
+    d = load_table(spark, sf, "documents")
+    return duplicated_spans(d, k=5, min_tokens=8)
+
+
+def _q_tfidf_keywords(spark, sf):
+    """Per-doc top-3 tf·idf keywords; idf quantized to integer
+    micro-units before the tf multiply, so scores are exact integers
+    cross-engine. Ties break toward the smaller term."""
+    from lamindb_spark.pipeline.corpus import tfidf_keywords
+
+    d = load_table(spark, sf, "documents")
+    return tfidf_keywords(d, top_k=3)
+
+
 def _q_knn_join(spark, sf):
     """Batch kNN JOIN: top-3 cosine neighbours of EVERY vector, blocked
     by its k-means cell — n·k output rows, never n² (the block bounds
@@ -2317,8 +2337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "char_entropy": _q_char_entropy,
         "ppl_buckets": _q_ppl_buckets,
-        "asof_join": _q_asof_join,
-        "range_window": _q_range_window,
+        "max_dup_spans": _q_max_dup_spans,
+        "tfidf_keywords": _q_tfidf_keywords,
         "sessionize": _q_sessionize,
         "user_profiles": _q_user_profiles,
         "sliding_events": _q_sliding_events,
@@ -2361,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "order_gaps": _q_order_gaps,
         "cube_priority": _q_cube_priority,
+        "asof_join": _q_asof_join,
+        "range_window": _q_range_window,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2524,6 +2546,58 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "max_dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                       array_to_string(t[pos + 1: pos + 5], ' ') AS w
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS pos
+                      FROM toks WHERE len(t) >= 5)
+            ), dup AS (
+                SELECT doc_id, pos
+                FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS cnt FROM wins)
+                WHERE cnt > 1
+            ), isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, grp
+            HAVING max(pos) - min(pos) + 5 >= 8
+        """,
+        "tfidf_keywords": """
+            WITH tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                                x -> x <> '')) AS token
+                      FROM documents)
+                GROUP BY doc_id, token
+            ), dfreq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+            ), nd AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+                SELECT token,
+                       CAST(round(ln((n + 1.0) / (df + 1.0)) * 1000000.0) AS BIGINT) AS idf_micro
+                FROM dfreq, nd
+            ), scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       tf.tf * idf.idf_micro AS score_micro
+                FROM tf JOIN idf USING (token)
+            )
+            SELECT doc_id, token, tf, score_micro, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score_micro DESC, token ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
         "knn_join": _KMEANS_REPLAY + """, qv AS (
                 SELECT vec_id, cell,
                        list_transform(embedding,

@@ -483,3 +483,117 @@ def perplexity_buckets(
         .withColumn("tier", F.ntile(n_tiles).over(w))
         .select(id_col, lang_col, "n_bigrams", "avg_nll", "tier")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Maximal exact duplicated spans — the detection phase of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally: a token position is covered by a duplicate iff its
+    overlapping ``k``-gram window occurs elsewhere in the corpus;
+    maximal runs of consecutive covered positions are the duplicated
+    spans, reported when at least ``min_tokens`` long.
+
+    Scale shape: overlapping-window explode (JVM codegen) → ONE
+    shuffle on the window text (count-over-window marks repeats) →
+    ONE shuffle on the doc id where the classic gaps-and-islands
+    (pos − row_number) collapses runs into spans. Both payloads are
+    (id, pos)-narrow; no suffix array, no driver state. Output:
+    (id, span_start token offset, span_tokens), one row per maximal
+    span.
+    """
+    toks = ws_tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    wins = (
+        staged.filter(F.col("__n") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n") - k)).alias("pos"),
+            "__t",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", F.slice(F.col("__t"), F.col("pos") + 1, k)).alias("__w"),
+        )
+    )
+    wc = Window.partitionBy("__w")
+    dup = wins.withColumn("__cnt", F.count(F.lit(1)).over(wc)).filter(
+        F.col("__cnt") > 1
+    )
+    isl = dup.withColumn(
+        "__isl",
+        F.col("pos") - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(id_col, "span_start", "span_tokens")
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``top_k`` terms by
+    tf·idf, the classic corpus summarization/labeling primitive.
+
+    idf quantizes to integer micro-units (``round(ln((N+1)/(df+1))
+    * 1e6)``) BEFORE the tf multiplication, so scores are exact
+    integer arithmetic — engine-portable like every scored operator
+    here. Shuffle budget: tf aggregation on (doc, term), document
+    frequency on term (reuses the term partitioning), the scoring
+    join, and the per-doc top-k window — all payloads narrow.
+    Deterministic: ties break toward the lexicographically smaller
+    term. Output: (id, token, tf, score_micro, rank).
+    """
+    toks = ws_tokens(F.col(text_col), lowercase=True)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # document frequency as a WINDOW over the tf table, not a self-join:
+    # one scan, one (token) exchange — the join formulation computed the
+    # whole tf subtree twice (ReuseExchange does not fire pre-AQE here)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0)))
+                    * 1_000_000.0,
+                    0,
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "score_micro", F.col("rank").cast("int").alias("rank"))
+    )

@@ -115,6 +115,52 @@ def test_char_entropy_known_values(spark):
     assert got[1] == 2 * term
 
 
+def test_duplicated_spans_islands(spark):
+    """Two docs sharing a 12-token run: both report one maximal span of
+    12 tokens at the right offsets; unique text reports nothing; runs
+    under min_tokens are suppressed."""
+    from lamindb_spark.pipeline.corpus import duplicated_spans
+
+    shared = "a b c d e f g h i j k l"          # 12 tokens
+    d0 = "x1 x2 " + shared + " y1 y2"            # span at offset 2
+    d1 = shared + " z1 z2 z3"                    # span at offset 0
+    d2 = "totally unique words only here believe it or not today"
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["span_start"], r["span_tokens"])
+           for r in duplicated_spans(df, k=5, min_tokens=8).collect()}
+    assert out == {0: (2, 12), 1: (0, 12)}
+    # raise min_tokens past the run length → nothing reported
+    assert duplicated_spans(df, k=5, min_tokens=13).count() == 0
+
+
+def test_tfidf_keywords_ranking(spark):
+    """A term unique to one doc outranks corpus-wide terms; ranks are
+    dense 1..k; scores are exact integers."""
+    from lamindb_spark.pipeline.corpus import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common common zebra zebra unicorn"),
+            (1, "common common common"),
+            (2, "common words words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score_micro"]))
+    top0 = sorted(by_doc[0])
+    # zebra (tf=2, df=1) beats unicorn (tf=1, df=1) beats common (idf=0)
+    assert top0[0][1] == "zebra" and top0[1][1] == "unicorn"
+    assert all(isinstance(s, int) for _r, _t, s in top0)
+    # 'common' appears in every doc → idf = ln(4/4) = 0 → score 0
+    common = [r for r in out if r["token"] == "common"]
+    assert all(r["score_micro"] == 0 for r in common)
+
+
 def test_kmeans_assign_broadcast_parity(spark):
     """The broadcast (data-not-literals) assignment path must agree
     bit-for-bit with the codegen literal path, stay shuffle-free on
