@@ -128,9 +128,63 @@ class CommitLog:
             os.unlink(tmp)
 
 
-def append_dataframe(df: DataFrame, table_path: str) -> int:
+class SchemaMismatchError(ValueError):
+    pass
+
+
+def _snapshot_schema(spark: SparkSession, log: "CommitLog"):
+    _, files = log.snapshot()
+    if not files:
+        return None
+    return spark.read.parquet(*files).schema
+
+
+def append_dataframe(
+    df: DataFrame, table_path: str, mode: str = "enforce"
+) -> int:
     """Multi-writer-safe append: stage the DataFrame's parquet files
-    under a private directory, then publish them in one commit."""
+    under a private directory, then publish them in one commit.
+
+    Schema contract (the Delta enforcement/evolution pair):
+
+    - ``mode="enforce"`` (default): the append must carry exactly the
+      table's columns with compatible types — a renamed or retyped
+      column raises :class:`SchemaMismatchError` BEFORE any commit,
+      instead of burying a corrupt file in the table (the classic
+      data-lake failure Delta's schema enforcement exists to stop).
+    - ``mode="merge"``: columns NEW to the table are allowed (schema
+      evolution); readers see them as nulls on old files via
+      ``read_committed(..., merge_schema=True)``. Missing existing
+      columns still raise.
+    - ``mode="overwrite_schema"``: no checks (escape hatch, logged in
+      the commit metadata).
+    """
+    log = CommitLog(table_path)
+    current = _snapshot_schema(df.sparkSession, log)
+    if current is not None and mode in ("enforce", "merge"):
+        cur = {f.name: f.dataType.simpleString() for f in current.fields}
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = sorted(set(cur) - set(new))
+        extra = sorted(set(new) - set(cur))
+        retyped = sorted(
+            n for n in set(cur) & set(new) if cur[n] != new[n]
+        )
+        problems = []
+        if missing:
+            problems.append(f"missing table columns: {missing}")
+        if retyped:
+            problems.append(
+                "retyped columns: "
+                + ", ".join(f"{n} {cur[n]}->{new[n]}" for n in retyped)
+            )
+        if extra and mode == "enforce":
+            problems.append(
+                f"new columns {extra} (append with mode='merge' to evolve)"
+            )
+        if problems:
+            raise SchemaMismatchError(
+                f"append to {table_path} rejected: " + "; ".join(problems)
+            )
     log = CommitLog(table_path)
     stage = f"stage-{uuid.uuid4().hex[:12]}"
     stage_path = os.path.join(table_path, stage)
@@ -140,20 +194,30 @@ def append_dataframe(df: DataFrame, table_path: str) -> int:
         for f in os.listdir(stage_path)
         if f.endswith(".parquet")
     ]
-    return log.commit(add=files, metadata={"op": "append", "n_files": len(files)})
+    return log.commit(
+        add=files,
+        metadata={"op": "append", "n_files": len(files), "schema_mode": mode},
+    )
 
 
 def read_committed(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan exactly the published snapshot (optionally time-traveled).
     Uncommitted staged files and crashed writers' orphans are never
-    read."""
+    read. ``merge_schema=True`` unions file schemas across evolution
+    commits (columns absent in older files read as null)."""
     log = CommitLog(table_path)
     v, files = log.snapshot(version)
     if not files:
         raise FileNotFoundError(f"no committed data in {table_path} (v{v})")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def compact(spark: SparkSession, table_path: str, target_files: int = 1) -> int:

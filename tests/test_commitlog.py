@@ -130,6 +130,38 @@ def test_stream_exactly_once_replay(spark, tmp_path):
     assert len(CommitLog(table).versions()) == n_commits
 
 
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Delta-style schema contract: enforce rejects drift BEFORE any
+    commit; merge admits new columns (evolution) readable with
+    merge_schema; retypes always raise."""
+    from lamindb_spark.catalog.commitlog import SchemaMismatchError
+
+    t = str(tmp_path / "tbl")
+    append_dataframe(spark.range(5).withColumn("val", F.col("id") * 2), t)
+    n_commits = len(CommitLog(t).versions())
+
+    # extra column under enforce → rejected, log untouched
+    evolved = spark.range(5, 8).withColumn("val", F.col("id")).withColumn("tag", F.lit("x"))
+    with pytest.raises(SchemaMismatchError, match="new columns"):
+        append_dataframe(evolved, t)
+    # missing column → rejected
+    with pytest.raises(SchemaMismatchError, match="missing table columns"):
+        append_dataframe(spark.range(3), t)
+    # retyped column → rejected even under merge
+    retyped = spark.range(3).withColumn("val", F.lit("oops"))
+    with pytest.raises(SchemaMismatchError, match="retyped"):
+        append_dataframe(retyped, t, mode="merge")
+    assert len(CommitLog(t).versions()) == n_commits, "no commit on rejection"
+
+    # evolution: merge admits the new column
+    append_dataframe(evolved, t, mode="merge")
+    out = read_committed(spark, t, merge_schema=True)
+    assert set(out.columns) == {"id", "val", "tag"}
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows[6] == "x" and rows[0] is None  # old files read null
+    assert out.count() == 8
+
+
 def test_compact_small_files_binpack(spark, tmp_path):
     """Bin-packing OPTIMIZE: many small append files collapse into few
     outputs; a file already at target size is left untouched (same
