@@ -2255,6 +2255,99 @@ def _q_tfidf_keywords(spark, sf):
     return tfidf_keywords(d, top_k=3)
 
 
+def _q_ann_pq(spark, sf):
+    """IVF-PQ's compression half: train 8 subspace codebooks (k=16),
+    encode every vector to 8 one-byte codes, then ADC top-10 for the
+    query (vec 0) — integer distance tables, zero-shuffle scoring,
+    TakeOrdered. The oracle REPLAYS all 8 subspace k-means trainings,
+    the encoding argmins, and the integer ADC as one CTE chain."""
+    from lamindb_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_distance_table,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_train(emb, dim=64, m=8, k=16, iters=2)
+    enc = pq_encode(emb, books, dim=64)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    table = pq_distance_table(books, qvec)
+    return pq_adc_topk(enc, table, k=10)
+
+
+def _ann_pq_oracle_sql(m: int = 8, sub: int = 8, k: int = 16) -> str:
+    """Full IVF-PQ replay: per subspace s — init (16 lowest-id
+    subvectors), one Lloyd round (round-6 means), encode argmin, and
+    the integer ADC distance table against vec 0's quantized
+    subvector — then the 8-way code join sums table lookups."""
+    parts = ["            WITH "]
+    blocks = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        blocks.append(
+            f"""sv{s} AS (
+                SELECT vec_id, embedding[{lo}:{hi}] AS sv FROM embeddings
+            ), c0_{s} AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, sv AS cv
+                FROM (SELECT * FROM sv{s} ORDER BY vec_id LIMIT {k})
+            ), a0_{s} AS (
+                SELECT vec_id, sv, cid AS cell
+                FROM (SELECT e.vec_id, e.sv, c.cid,
+                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                                 list_sum(list_transform(list_zip(e.sv, c.cv),
+                                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.cid) AS rn
+                      FROM sv{s} e, c0_{s} c)
+                WHERE rn = 1
+            ), c1_{s} AS (
+                SELECT cell AS cid, list(mv ORDER BY pos) AS cv
+                FROM (SELECT cell, CAST(z[2] AS INTEGER) AS pos, round(avg(CAST(z[1] AS DOUBLE)), 6) AS mv
+                      FROM (SELECT cell, unnest(list_zip(sv, range(1, {sub} + 1))) AS z FROM a0_{s})
+                      GROUP BY cell, pos)
+                GROUP BY cell
+            ), code_{s} AS (
+                SELECT vec_id, cid AS code
+                FROM (SELECT e.vec_id, c.cid,
+                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                                 list_sum(list_transform(list_zip(e.sv, c.cv),
+                                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.cid) AS rn
+                      FROM sv{s} e, c1_{s} c)
+                WHERE rn = 1
+            ), q{s} AS (
+                SELECT list_transform(embedding[{lo}:{hi}],
+                                      v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+                FROM embeddings WHERE vec_id = 0
+            ), dt_{s} AS (
+                SELECT c.cid,
+                       list_sum(list_transform(list_zip(q.q, c.cv),
+                           p -> (p[1] - CAST(round(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT))
+                                * (p[1] - CAST(round(CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))) AS d
+                FROM c1_{s} c, q{s} q
+            )"""
+        )
+    parts.append(", ".join(blocks))
+    joins = "".join(
+        f"\n            JOIN code_{s} USING (vec_id)" for s in range(1, m)
+    )
+    dt_joins = "".join(
+        f"\n            JOIN dt_{s} ON dt_{s}.cid = code_{s}.code" for s in range(m)
+    )
+    score = " + ".join(f"dt_{s}.d" for s in range(m))
+    parts.append(
+        f"""
+            SELECT code_0.vec_id, CAST({score} AS BIGINT) AS adc_d2
+            FROM code_0{joins}{dt_joins}
+            ORDER BY adc_d2 ASC, code_0.vec_id ASC
+            LIMIT 10"""
+    )
+    return "".join(parts)
+
+
 def _q_knn_join(spark, sf):
     """Batch kNN JOIN: top-3 cosine neighbours of EVERY vector, blocked
     by its k-means cell — n·k output rows, never n² (the block bounds
@@ -2341,7 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "sessionize": _q_sessionize,
         "user_profiles": _q_user_profiles,
-        "sliding_events": _q_sliding_events,
+        "ann_pq": _q_ann_pq,
         "knn_join": _q_knn_join,
         "silhouette": _q_silhouette,
         "rollup_revenue": _q_rollup_revenue,
@@ -2383,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_priority": _q_cube_priority,
         "asof_join": _q_asof_join,
         "range_window": _q_range_window,
+        "sliding_events": _q_sliding_events,
         "tpch_q1": _q_tpch_q1,
         "tpch_q21": _q_tpch_q21,
         "star_revenue": _q_star_revenue,
@@ -2546,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_encode_oracle_sql(8),
+        "ann_pq": _ann_pq_oracle_sql(),
         "max_dup_spans": """
             WITH toks AS (
                 SELECT doc_id,

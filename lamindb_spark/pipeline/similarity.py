@@ -470,6 +470,183 @@ def silhouette_scores(
     )
 
 
+def _argmin_cell_sql(vec_sql: str, centroid_rows: list[tuple[int, list[float]]]) -> str:
+    """SQL-string twin of :func:`_argmin_cell` — semantically identical
+    expression, assembled as ONE text for ONE py4j/parser round trip.
+    At m·k ≈ 128 centroids the Column-API assembly costs seconds of
+    pure driver-side plan construction (the claims-ledger finding:
+    SQL-string analysis ~7× faster build); the parsed tree and the
+    executed arithmetic are the same."""
+    structs = ", ".join(
+        "struct(aggregate(zip_with({v}, array({lits}), (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (a, v) -> a + v) AS d, {cid} AS c)".format(
+            v=vec_sql,
+            lits=", ".join(f"cast({float(x)!r} as double)" for x in cv),
+            cid=int(cid),
+        )
+        for cid, cv in centroid_rows
+    )
+    return f"array_min(array({structs}))['c']"
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` subspaces of ``dim//m`` components and train an independent
+    ``k``-centroid k-means codebook per subspace — the compression
+    that makes billion-vector ANN memory-resident (m·log2(k) bits per
+    vector instead of dim·32).
+
+    Semantics are EXACTLY m independent :func:`kmeans_fit` runs on
+    sliced views (deterministic init = k lowest-id subvectors, round-6
+    centroids — the engine-replayable contract), but the execution is
+    FUSED: one init fetch and, per Lloyd round, ONE job assigns all m
+    subspaces map-side (m literal argmins) and ONE posexplode
+    aggregation computes every (subspace, cell, position) mean —
+    instead of m separate trainings, m× fewer jobs against the same
+    scan. Driver traffic: m·k·(dim/m) doubles — the codebooks.
+    """
+    from ..operators.spread import spread_for_cpu
+
+    sub = dim // m
+    init = (
+        embeddings.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    # m·k interpreted argmin folds per row — repair under-split scans
+    # (no-op at real scale; see operators/spread.py)
+    embeddings = spread_for_cpu(embeddings)
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (j, [float(x) for x in row[0][s * sub : (s + 1) * sub]])
+            for j, row in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(max(iters - 1, 0)):
+        cells = [
+            F.expr(
+                _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", books[s])
+            ).alias(f"__c{s}")
+            for s in range(m)
+        ]
+        assigned = embeddings.select(F.col(vec_col).alias("__v"), *cells)
+        cell_arr = F.array(*[F.col(f"__c{s}") for s in range(m)])
+        exploded = assigned.select(
+            F.posexplode("__v").alias("__pos", "__val"), cell_arr.alias("__ca")
+        ).select(
+            (F.col("__pos") / sub).cast("int").alias("__s"),
+            (F.col("__pos") % sub).alias("__within"),
+            F.element_at(F.col("__ca"), (F.col("__pos") / sub).cast("int") + 1).alias(
+                "__cell"
+            ),
+            "__val",
+        )
+        means = (
+            exploded.groupBy("__s", "__cell", "__within")
+            .agg(F.round(F.avg("__val"), 6).alias("__m"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((int(r["__s"]), int(r["__cell"])), {})[
+                int(r["__within"])
+            ] = float(r["__m"])
+        books = [
+            [
+                (cell, [dims[p] for p in sorted(dims)])
+                for (s2, cell), dims in sorted(by_key.items())
+                if s2 == s
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: per subspace, the nearest codebook centroid id —
+    ``m`` literal argmins over slices, one zero-shuffle map pass.
+    Output: (id, code_0..code_{m-1} int columns) — scalar columns so
+    results stay sortable/hashable downstream."""
+    from ..operators.spread import spread_for_cpu
+
+    m = len(codebooks)
+    sub = dim // m
+    cols = [F.col(id_col)]
+    for s, book in enumerate(codebooks):
+        cols.append(
+            F.expr(
+                _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", book)
+            ).alias(f"code_{s}")
+        )
+    return spread_for_cpu(embeddings).select(*cols)
+
+
+def _quant_half_up(x: float, scale: int = 1_000_000) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x) * scale + 0.5), x))
+
+
+def pq_distance_table(
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    scale: int = 1_000_000,
+) -> list[list[int]]:
+    """ADC lookup table in integer micro² units: entry [s][j] is the
+    exact int64 squared L2 between the QUANTIZED query subvector and
+    QUANTIZED centroid j of subspace s. All-integer, so the per-row
+    ADC sum is summation-order-free and bit-replayable in SQL (the
+    same exactness contract as :func:`cosine_neardup_pairs_exact`)."""
+    m = len(codebooks)
+    sub = len(query_vec) // m
+    table = []
+    for s, book in enumerate(codebooks):
+        q = [_quant_half_up(x, scale) for x in query_vec[s * sub : (s + 1) * sub]]
+        row = []
+        for _cid, cv in book:
+            c = [_quant_half_up(x, scale) for x in cv]
+            row.append(sum((a - b) * (a - b) for a, b in zip(q, c)))
+        table.append(row)
+    return table
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    table: list[list[int]],
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per row, the score is
+    ``Σ_s table[s][code_s]`` — m integer lookups into literal arrays,
+    zero shuffle, then TakeOrdered for the top-k (score asc, id asc).
+    At scale this is the memory-resident re-rank stage that scans
+    codes instead of vectors (32× less IO at m=8, k=16, dim=64)."""
+    m = len(table)
+    score = F.lit(0).cast("long")
+    for s in range(m):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in table[s]])
+        score = score + F.element_at(arr, F.col(f"code_{s}") + 1)
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def query_bucket(query_vec: list[float], dim: int, n_bits: int = 8) -> int:
     """The query's LSH bucket code, computed driver-side with the SAME
     deterministic hyperplanes as :func:`lsh_index` (h_j[i] sign from

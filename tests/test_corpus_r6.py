@@ -231,6 +231,61 @@ def test_silhouette_scores_properties(spark):
     assert all(-1.0 <= r["silhouette"] <= 1.0 for r in got.values())
 
 
+def test_pq_roundtrip_matches_numpy_model(spark):
+    """PQ train/encode/ADC vs an independent numpy model: fused
+    training must equal per-subspace Lloyd's; codes must be the
+    argmin centroid; ADC scores must be the exact integer table sums."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.similarity import (
+        _quant_half_up,
+        pq_adc_topk,
+        pq_distance_table,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1, 1, (40, 16)).astype(np.float64).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    m, sub, k = 4, 4, 4
+    books = pq_train(df, dim=16, m=m, k=k, iters=2)
+
+    # numpy replay: same init (k lowest ids), one Lloyd round, round-6
+    np_books = []
+    for s in range(m):
+        X = vecs[:, s * sub : (s + 1) * sub]
+        C = X[:k].copy()
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)  # ties -> lowest cid, argmin matches
+        C2 = np.stack([
+            np.round(X[assign == j].mean(0), 6) if (assign == j).any() else None
+            for j in range(k) if (assign == j).any()
+        ])
+        np_books.append(C2)
+    for s in range(m):
+        got = np.array([cv for _c, cv in books[s]])
+        assert np.allclose(got, np_books[s], atol=1e-9), s
+
+    enc = {r["vec_id"]: [r[f"code_{s}"] for s in range(m)]
+           for r in pq_encode(df, books, dim=16).collect()}
+    q = [float(x) for x in vecs[0]]
+    table = pq_distance_table(books, q)
+    top = pq_adc_topk(pq_encode(df, books, dim=16), table, k=5).collect()
+    # scores replay exactly in python ints
+    for r in top:
+        want = sum(table[s][enc[r["vec_id"]][s]] for s in range(m))
+        assert r["adc_d2"] == want
+    # the query's own code cell should rank it at/near the top
+    assert any(r["vec_id"] == 0 for r in top)
+    # quantizer is half-up away from zero
+    assert _quant_half_up(1.2345665) == 1234567 or _quant_half_up(1.2345665) == 1234566
+    assert _quant_half_up(-0.0000005) == -1 and _quant_half_up(0.0000005) == 1
+
+
 def test_perplexity_buckets_tiers(spark):
     """Tiers are per-language, 1..3, balanced within each language,
     and ordered: tier-1 docs have the lowest avg_nll."""

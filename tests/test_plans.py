@@ -139,6 +139,8 @@ _MAX_EXCHANGES = {
     "knn_join": 1,           # one cell shuffle into the Arrow top-k
                              # GEMM; assignment itself is map-side
     "silhouette": 0,         # literal-centroid distances, pure map
+    "ann_pq": 2,             # spread + TakeOrdered gather; codebooks
+                             # fetched at build, ADC itself map-only
     "max_dup_spans": 2,      # window-text repeat marking + per-doc
                              # gaps-and-islands — both narrow
     "tfidf_keywords": 6,     # tf agg + token window + n_docs 1-row
