@@ -562,6 +562,89 @@ def merge_into(
     return log.commit(add=surv_rel + ups_rel, remove=old, metadata=meta)
 
 
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+) -> dict:
+    """Predicate DELETE with file-level pruning — the table-format op
+    behind GDPR/right-to-be-forgotten removal at scale: only live
+    files whose footer [min, max] span of ``col`` overlaps [lo, hi]
+    are rewritten (matching rows dropped); every other file is
+    untouched bytes and untouched log entry. One optimistic commit
+    publishes the swap; the rewritten survivors are recorded as
+    ``survivor_files`` so CDC readers (:func:`read_changes`) emit
+    NOTHING for a delete — no rows were added.
+
+    Returns {"version", "n_rewritten", "n_pruned"}; version -1 when
+    no file overlaps (nothing to delete).
+    """
+    from pyspark.sql import functions as F
+
+    log = CommitLog(table_path)
+    _, files = log.snapshot()
+    spans, no_stats = _file_column_spans(files, col)
+    touched = list(no_stats)
+    for i, fmin, fmax in spans:
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            touched.append(files[i])
+    if not touched:
+        return {"version": -1, "n_rewritten": 0, "n_pruned": len(files)}
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= lo)
+    if hi is not None:
+        cond = cond & (F.col(col) <= hi)
+    stage = f"merge-{uuid.uuid4().hex[:12]}"
+    stage_path = os.path.join(table_path, stage)
+    kept = spark.read.parquet(*touched).filter(~cond)
+    kept.write.mode("overwrite").parquet(os.path.join(stage_path, "surv"))
+    surv_rel = [
+        os.path.join(stage, "surv", f)
+        for f in os.listdir(os.path.join(stage_path, "surv"))
+        if f.endswith(".parquet")
+    ]
+    old = [os.path.relpath(p, table_path) for p in touched]
+    version = log.commit(
+        add=surv_rel,
+        remove=old,
+        metadata={
+            "op": "delete",
+            "col": col,
+            "n_rewritten": len(old),
+            "n_pruned": len(files) - len(touched),
+            "survivor_files": surv_rel,
+        },
+    )
+    return {
+        "version": version,
+        "n_rewritten": len(old),
+        "n_pruned": len(files) - len(touched),
+    }
+
+
+def history(table_path: str) -> list[dict]:
+    """The table's commit history, newest first — version, wall-clock
+    timestamp, operation, add/remove counts and the full metadata
+    (Delta's DESCRIBE HISTORY). Reads only the metadata-sized log."""
+    log = CommitLog(table_path)
+    out = []
+    for v, body in _commit_bodies(log):
+        out.append(
+            {
+                "version": v,
+                "ts": body.get("ts"),
+                "op": body.get("metadata", {}).get("op"),
+                "n_add": len(body.get("add", [])),
+                "n_remove": len(body.get("remove", [])),
+                "metadata": body.get("metadata", {}),
+            }
+        )
+    return sorted(out, key=lambda r: -r["version"])
+
+
 def vacuum(
     table_path: str,
     retain_versions: int = 0,

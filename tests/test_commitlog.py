@@ -130,6 +130,37 @@ def test_stream_exactly_once_replay(spark, tmp_path):
     assert len(CommitLog(table).versions()) == n_commits
 
 
+def test_delete_where_prunes_and_history(spark, tmp_path):
+    """Predicate DELETE rewrites only overlapping files; CDC emits
+    nothing for a delete; history lists every op newest-first."""
+    from lamindb_spark.catalog.commitlog import delete_where, history, read_changes
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 800).withColumn("val", F.col("id") * 3)
+    stage = str(tmp_path / "init")
+    df.repartitionByRange(8, "id").sortWithinPartitions("id").write.parquet(stage)
+    files = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.makedirs(t, exist_ok=True)
+    for f in files:
+        os.rename(os.path.join(stage, f), os.path.join(t, f))
+    CommitLog(t).commit(add=files, metadata={"op": "append"})
+
+    got = delete_where(spark, t, "id", lo=100, hi=140)
+    assert got["n_rewritten"] <= 2 and got["n_pruned"] >= 6
+    out = read_committed(spark, t)
+    ids = sorted(r["id"] for r in out.collect())
+    assert len(ids) == 800 - 41 and 100 not in ids and 140 not in ids and 99 in ids
+    # CDC: the delete added no rows
+    assert read_changes(spark, t, since_version=got["version"] - 1).count() == 0
+    # no-op delete outside every span
+    assert delete_where(spark, t, "id", lo=10_000)["version"] == -1
+    # history: newest first, ops recorded
+    h = history(t)
+    assert [r["op"] for r in h][:2] == ["delete", "append"]
+    assert h[0]["version"] > h[1]["version"]
+    assert h[0]["metadata"]["n_pruned"] >= 6
+
+
 def test_schema_enforcement_and_evolution(spark, tmp_path):
     """Delta-style schema contract: enforce rejects drift BEFORE any
     commit; merge admits new columns (evolution) readable with
