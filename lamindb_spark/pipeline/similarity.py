@@ -447,6 +447,9 @@ def silhouette_scores(
     scale; the full-pairwise silhouette is O(n²) and the centroid form
     is the accepted large-scale substitute). Output: (id, cell, s).
     """
+    from ..operators.spread import spread_for_cpu
+
+    embeddings = spread_for_cpu(embeddings)
     d2s = []
     for cid, cv in cents:
         lit = F.array(*[F.lit(float(x)) for x in cv])
@@ -743,6 +746,10 @@ def kmeans_fit(
         .collect()
     )
     cents = [(i, [float(x) for x in row[0]]) for i, row in enumerate(init)]
+    # NOT spread_for_cpu here: at k≤16 the assignment fold is light and
+    # the extra stage per Lloyd round costs more than it saves (r6
+    # measured: kmeans_clusters 1.6→2.8 s WITH spread); pq_train's
+    # m·k=128-fold assignment is the regime where spreading wins.
     for _ in range(max(iters - 1, 0)):
         assigned = embeddings.withColumn(
             "__cell", _argmin_cell(F.col(vec_col), cents)

@@ -138,7 +138,8 @@ _MAX_EXCHANGES = {
     "random_proj": 1,        # spread; projection is a pure map pass
     "knn_join": 1,           # one cell shuffle into the Arrow top-k
                              # GEMM; assignment itself is map-side
-    "silhouette": 0,         # literal-centroid distances, pure map
+    "silhouette": 1,         # spread; literal-centroid distances are
+                             # otherwise a pure map pass
     "ann_pq": 2,             # spread + TakeOrdered gather; codebooks
                              # fetched at build, ADC itself map-only
     "max_dup_spans": 2,      # window-text repeat marking + per-doc
