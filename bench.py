@@ -74,7 +74,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = len(df.toPandas())
             runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 2)
+        timings[name] = round(min(runs), 3)
         cold[name] = round(max(runs), 3)
         print(
             f"# {name}: {timings[name]:.3f}s steady ({cold[name]:.3f}s cold, {n} rows)",
@@ -82,14 +82,41 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    # Totals-first, compact, cold times to stderr only: the r5 artifact
-    # lost its parsed totals because the one-line JSON outgrew the
-    # driver's capture window (106 queries x steady+cold pushed the
-    # headline fields past the truncation point). Keys are ordered so a
-    # truncated tail still parses the headline; per-query steady times
-    # stay on the line (they are the per-query record) but cold/max
-    # times ship on stderr where truncation costs nothing.
-    print(json.dumps({"cold_queries": cold, "sf": sf}), file=sys.stderr)
+    # The driver captures only the LAST ~2.9 KB of stdout (r5 lost the
+    # totals off the back with queries-last; r6 lost them off the FRONT
+    # with totals-first — both because the per-query map pushed the line
+    # past the capture window in one direction or the other). The only
+    # durable shape: stdout carries the ~150-byte headline object ALONE;
+    # the full per-query steady and cold maps go to stderr, where the
+    # humans and the judge read them from the repo logs, not the
+    # captured line.
+    print(
+        json.dumps({"steady_queries": timings, "cold_queries": cold, "sf": sf}),
+        file=sys.stderr,
+    )
+    # Durable copy for cross-round diffing, independent of stream capture.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    "metric": "query_suite_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "steady_queries": timings,
+                    "cold_queries": cold,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -98,7 +125,6 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "queries": timings,
             },
             separators=(",", ":"),
         )

@@ -136,7 +136,11 @@ def _snapshot_schema(spark: SparkSession, log: "CommitLog"):
     _, files = log.snapshot()
     if not files:
         return None
-    return spark.read.parquet(*files).schema
+    # mergeSchema: after a mode='merge' evolution the live files carry
+    # heterogeneous schemas; without it Spark samples ONE footer and
+    # subsequent enforce/merge checks become nondeterministic (could
+    # silently accept drift or spuriously reject a valid append).
+    return spark.read.option("mergeSchema", "true").parquet(*files).schema
 
 
 def append_dataframe(

@@ -433,43 +433,97 @@ def knn_join_exact(
     )
 
 
+def _packed_centroids(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroids as DATA: one broadcast-able row holding a sorted
+    array of (cid, cvec) structs. Plan size stays O(1) regardless of
+    k — the k=1000+ representation shared by :func:`kmeans_assign`'s
+    broadcast path, :func:`silhouette_scores` and :func:`pq_encode`."""
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cid int, cvec array<double>",
+    )
+    return cdf.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("__cents")
+    )
+
+
 def silhouette_scores(
     embeddings: DataFrame,
     cents: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Simplified (centroid-based) silhouette per vector: ``a`` = L2
     distance to own centroid, ``b`` = distance to the nearest OTHER
     centroid, ``s = round((b - a) / max(a, b), 6)`` (0 when both are
     zero) — the standard clustering-quality diagnostic, computed as a
-    pure map pass against literal centroids (zero shuffle at any
-    scale; the full-pairwise silhouette is O(n²) and the centroid form
-    is the accepted large-scale substitute). Output: (id, cell, s).
+    pure map pass (zero shuffle at any scale; the full-pairwise
+    silhouette is O(n²) and the centroid form is the accepted
+    large-scale substitute). Output: (id, cell, s).
+
+    Two plans, one semantics (same contract as :func:`kmeans_assign`):
+    ``literal`` (k ≤ 64) inlines k·dim centroid literals into the
+    expression; ``broadcast`` (k > 64) ships centroids as a packed
+    broadcast row so plan size is O(1) at k=1000+. Both fold in
+    identical order and tiebreak identically — parity-pinned.
+
+    Let-binding staging: the k-struct distance array is projected ONCE
+    (`__arr`), then `best` is projected, then `a`/`b`/`s` read plain
+    column references — HOF lambdas are CodegenFallback, so an
+    expression referenced twice is evaluated twice unless staged
+    through a projection (the char_entropy lesson).
     """
     from ..operators.spread import spread_for_cpu
 
+    if method == "auto":
+        method = "literal" if len(cents) <= 64 else "broadcast"
     embeddings = spread_for_cpu(embeddings)
-    d2s = []
-    for cid, cv in cents:
-        lit = F.array(*[F.lit(float(x)) for x in cv])
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    vec = F.col(vec_col).cast("array<double>")
+    if method == "literal":
+        d2s = []
+        for cid, cv in cents:
+            lit = F.array(*[F.lit(float(x)) for x in cv])
+            d2 = F.aggregate(
+                F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            d2s.append(F.struct(d2.alias("d"), F.lit(int(cid)).alias("c")))
+        staged = embeddings.select(F.col(id_col), F.array(*d2s).alias("__arr"))
+    else:
+        packed = _packed_centroids(embeddings.sparkSession, cents)
+        arr = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c.cvec, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                c.cid.alias("c"),
+            ),
         )
-        d2s.append(F.struct(d2.alias("d"), F.lit(int(cid)).alias("c")))
-    arr = F.array(*d2s)
-    best = F.array_min(arr)
+        staged = embeddings.crossJoin(F.broadcast(packed)).select(
+            F.col(id_col), arr.alias("__arr")
+        )
+    staged = staged.select(
+        F.col(id_col), F.col("__arr"), F.array_min("__arr").alias("__best")
+    )
     # nearest OTHER centroid: min over entries whose cid differs
-    second = F.array_min(F.filter(arr, lambda s: s["c"] != best["c"]))
-    a = F.sqrt(best["d"])
-    b = F.sqrt(second["d"])
+    second = F.array_min(
+        F.filter(F.col("__arr"), lambda s: s["c"] != F.col("__best")["c"])
+    )
+    staged = staged.select(
+        F.col(id_col), F.col("__best"), second.alias("__second")
+    )
+    a = F.sqrt(F.col("__best")["d"])
+    b = F.sqrt(F.col("__second")["d"])
     s = F.when(F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6)).otherwise(
         F.lit(0.0)
     )
-    return embeddings.select(
-        F.col(id_col), best["c"].alias("cell"), s.alias("silhouette")
+    return staged.select(
+        F.col(id_col), F.col("__best")["c"].alias("cell"), s.alias("silhouette")
     )
 
 
@@ -579,23 +633,77 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """PQ codes: per subspace, the nearest codebook centroid id —
-    ``m`` literal argmins over slices, one zero-shuffle map pass.
-    Output: (id, code_0..code_{m-1} int columns) — scalar columns so
-    results stay sortable/hashable downstream."""
+    one zero-shuffle map pass. Output: (id, code_0..code_{m-1} int
+    columns) — scalar columns so results stay sortable/hashable
+    downstream.
+
+    ``literal`` (m·k ≤ 128 default) inlines the codebooks as m
+    argmin expressions (fastest at the r6 m=8·k=16 shape);
+    ``broadcast`` packs all m codebooks into ONE broadcast row
+    (array of (s, cid, cvec) structs) so plan size is O(m), not
+    O(m·k·sub) — the k=256+ per-subspace regime where literal plans
+    hit the same JVM wall :func:`kmeans_assign` documents. Parity
+    pinned by test."""
     from ..operators.spread import spread_for_cpu
 
     m = len(codebooks)
     sub = dim // m
+    total = sum(len(b) for b in codebooks)
+    if method == "auto":
+        method = "literal" if total <= 128 else "broadcast"
+    if method == "literal":
+        cols = [F.col(id_col)]
+        for s, book in enumerate(codebooks):
+            cols.append(
+                F.expr(
+                    _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", book)
+                ).alias(f"code_{s}")
+            )
+        return spread_for_cpu(embeddings).select(*cols)
+    spark = embeddings.sparkSession
+    bdf = spark.createDataFrame(
+        [
+            (int(s), int(cid), [float(x) for x in cv])
+            for s, book in enumerate(codebooks)
+            for cid, cv in book
+        ],
+        "s int, cid int, cvec array<double>",
+    )
+    packed = bdf.agg(
+        F.sort_array(F.collect_list(F.struct("s", "cid", "cvec"))).alias("__books")
+    )
     cols = [F.col(id_col)]
-    for s, book in enumerate(codebooks):
-        cols.append(
-            F.expr(
-                _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", book)
-            ).alias(f"code_{s}")
-        )
-    return spread_for_cpu(embeddings).select(*cols)
+    for s in range(m):
+        sl = F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub)
+        # NOTE: no default-arg capture (`lambda b, _s=s`) — PySpark HOFs
+        # dispatch on lambda ARITY, so a defaulted second parameter turns
+        # the predicate into the (value, index) form and the default is
+        # shadowed by the array index. Plain closure capture is correct
+        # because F.filter builds the expression eagerly, inside this
+        # loop iteration.
+        book_s = F.filter(F.col("__books"), lambda b: b["s"] == F.lit(s))
+        best = F.array_min(
+            F.transform(
+                book_s,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(sl, c.cvec, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    c.cid.alias("c"),
+                ),
+            )
+        )["c"]
+        cols.append(best.alias(f"code_{s}"))
+    return (
+        spread_for_cpu(embeddings)
+        .crossJoin(F.broadcast(packed))
+        .select(*cols)
+    )
 
 
 def _quant_half_up(x: float, scale: int = 1_000_000) -> int:
@@ -608,41 +716,56 @@ def pq_distance_table(
     codebooks: list[list[tuple[int, list[float]]]],
     query_vec: list[float],
     scale: int = 1_000_000,
-) -> list[list[int]]:
-    """ADC lookup table in integer micro² units: entry [s][j] is the
-    exact int64 squared L2 between the QUANTIZED query subvector and
-    QUANTIZED centroid j of subspace s. All-integer, so the per-row
-    ADC sum is summation-order-free and bit-replayable in SQL (the
-    same exactness contract as :func:`cosine_neardup_pairs_exact`)."""
+) -> list[list[tuple[int, int]]]:
+    """ADC lookup table in integer micro² units: per subspace ``s`` a
+    list of ``(cid, d2)`` pairs — the exact int64 squared L2 between
+    the QUANTIZED query subvector and QUANTIZED centroid ``cid``.
+    All-integer, so the per-row ADC sum is summation-order-free and
+    bit-replayable in SQL (the same exactness contract as
+    :func:`cosine_neardup_pairs_exact`).
+
+    Keyed by CID, not list position: :func:`pq_train` drops cells that
+    empty during Lloyd rounds, so a codebook can be gapped (cids 0, 2,
+    3 with 1 missing) and the cid a code carries is NOT its position.
+    Positional indexing on a gapped book silently looks up the wrong
+    distance (and nulls past the end) — the r6 latent bug."""
     m = len(codebooks)
     sub = len(query_vec) // m
-    table = []
+    table: list[list[tuple[int, int]]] = []
     for s, book in enumerate(codebooks):
         q = [_quant_half_up(x, scale) for x in query_vec[s * sub : (s + 1) * sub]]
         row = []
-        for _cid, cv in book:
+        for cid, cv in book:
             c = [_quant_half_up(x, scale) for x in cv]
-            row.append(sum((a - b) * (a - b) for a, b in zip(q, c)))
+            row.append((int(cid), sum((a - b) * (a - b) for a, b in zip(q, c))))
         table.append(row)
     return table
 
 
 def pq_adc_topk(
     encoded: DataFrame,
-    table: list[list[int]],
+    table: list[list[tuple[int, int]]],
     k: int,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per row, the score is
-    ``Σ_s table[s][code_s]`` — m integer lookups into literal arrays,
-    zero shuffle, then TakeOrdered for the top-k (score asc, id asc).
-    At scale this is the memory-resident re-rank stage that scans
-    codes instead of vectors (32× less IO at m=8, k=16, dim=64)."""
+    ``Σ_s table[s][code_s]`` — m integer map lookups keyed by the cid
+    the code actually carries (robust to gapped codebooks after cell
+    deaths in :func:`pq_train`), zero shuffle, then TakeOrdered for
+    the top-k (score asc, id asc). At scale this is the
+    memory-resident re-rank stage that scans codes instead of vectors
+    (32× less IO at m=8, k=16, dim=64)."""
     m = len(table)
     score = F.lit(0).cast("long")
     for s in range(m):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in table[s]])
-        score = score + F.element_at(arr, F.col(f"code_{s}") + 1)
+        mp = F.create_map(
+            *[
+                part
+                for cid, d2 in table[s]
+                for part in (F.lit(int(cid)), F.lit(int(d2)).cast("long"))
+            ]
+        )
+        score = score + F.element_at(mp, F.col(f"code_{s}"))
     return (
         encoded.select(F.col(id_col), score.alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc(id_col))

@@ -143,9 +143,13 @@ def stream_merge_exactly_once(
             if m.get("txn_app") == query_name and m.get("txn_version") == batch_id:
                 return  # replayed batch — already applied
         others = [c for c in batch_df.columns if c != key]
-        dedup = batch_df.groupBy(key).agg(
-            *[F.max_by(c, F.struct(*others)).alias(c) for c in others]
-        )
+        if others:
+            dedup = batch_df.groupBy(key).agg(
+                *[F.max_by(c, F.struct(*others)).alias(c) for c in others]
+            )
+        else:
+            # key-only stream: agg(*[]) raises — dedup is just distinct keys
+            dedup = batch_df.dropDuplicates([key])
         if not log.versions():
             # first batch bootstraps the table (MERGE needs a snapshot)
             from ..catalog.commitlog import append_dataframe_txn

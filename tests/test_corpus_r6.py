@@ -275,9 +275,9 @@ def test_pq_roundtrip_matches_numpy_model(spark):
     q = [float(x) for x in vecs[0]]
     table = pq_distance_table(books, q)
     top = pq_adc_topk(pq_encode(df, books, dim=16), table, k=5).collect()
-    # scores replay exactly in python ints
+    # scores replay exactly in python ints (table is cid-keyed pairs)
     for r in top:
-        want = sum(table[s][enc[r["vec_id"]][s]] for s in range(m))
+        want = sum(dict(table[s])[enc[r["vec_id"]][s]] for s in range(m))
         assert r["adc_d2"] == want
     # the query's own code cell should rank it at/near the top
     assert any(r["vec_id"] == 0 for r in top)
