@@ -554,6 +554,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the vector into
@@ -573,6 +574,12 @@ def pq_train(
     """
     from ..operators.spread import spread_for_cpu
 
+    ck = None
+    if cache_key is not None:
+        ck = ("pq", cache_key, dim, m, k, iters, id_col, vec_col)
+        hit = _cache_get(ck)
+        if hit is not None:
+            return hit
     sub = dim // m
     init = (
         embeddings.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
@@ -624,6 +631,8 @@ def pq_train(
             ]
             for s in range(m)
         ]
+    if ck is not None:
+        _cache_put(ck, books)
     return books
 
 
@@ -832,6 +841,55 @@ def lsh_topk(
     )
 
 
+_MODEL_CACHE: dict[tuple, list] = {}
+"""Content-fingerprinted trained-model cache (kmeans_fit / pq_train).
+
+Training is deterministic (fixed init, rounded centroids), so a model
+keyed by (trainer, source fingerprint, hyperparameters) can be reused
+across queries in the same process — the r6 bench retrained the SAME
+k=8/iters=2 model inside silhouette, knn_join, semantic_dedup,
+kmeans_clusters and ann_pq separately, ~8 s of identical Lloyd rounds
+per suite run. Callers opt in by passing ``cache_key`` = a fingerprint
+of the SOURCE DATA (e.g. :func:`source_fingerprint` over the parquet
+files); a regenerated table changes the fingerprint and invalidates
+the entry instead of serving a stale model. Cache values are copied on
+both store and load so callers can never mutate a shared model.
+"""
+
+
+def source_fingerprint(path: str) -> str:
+    """Fingerprint of a data file/directory: sha256 over the sorted
+    (path, size, mtime_ns) of every file under it — cheap (stat-only)
+    and exactly as stale as the filesystem metadata, the same contract
+    the IVF index cache uses."""
+    import hashlib
+    import os
+
+    files = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(path) for f in fs
+    ) or [path]
+    stats = []
+    for p in files:
+        st = os.stat(p)
+        stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(stats).encode()).hexdigest()[:16]
+
+
+def _cache_get(key: tuple):
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        return None
+    import copy
+
+    return copy.deepcopy(hit)
+
+
+def _cache_put(key: tuple, value) -> None:
+    import copy
+
+    _MODEL_CACHE[key] = copy.deepcopy(value)
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
@@ -839,6 +897,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    cache_key: str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd's k-means: the IVF coarse-quantizer trainer.
 
@@ -862,6 +921,12 @@ def kmeans_fit(
     on in-memory arrays; this is the distributed equivalent used to
     build the IVF index at corpus scale.
     """
+    ck = None
+    if cache_key is not None:
+        ck = ("kmeans", cache_key, k, iters, id_col, vec_col, round_to)
+        hit = _cache_get(ck)
+        if hit is not None:
+            return hit
     init = (
         embeddings.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -890,6 +955,8 @@ def kmeans_fit(
             (cell, [dims[p] for p in sorted(dims)])
             for cell, dims in sorted(by_cell.items())
         ]
+    if ck is not None:
+        _cache_put(ck, cents)
     return cents
 
 
@@ -1027,6 +1094,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "exact",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space, then drop any vector whose cluster
@@ -1050,7 +1118,10 @@ def semantic_dedup(
     cosine — both kept for the original float-cosine contract, which
     ADVICE r5 flagged as certification-unsafe for the Arrow variant
     (numpy's pairwise accumulation can flip a round-6 boundary)."""
-    cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        cache_key=cache_key,
+    )
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),

@@ -159,3 +159,26 @@ def test_pq_encode_broadcast_parity(spark):
         tuple(r) for r in pq_encode(df, books, dim=4, method="broadcast").collect()
     )
     assert lit == bc and len(lit) == 9
+
+
+def test_model_cache_hit_and_isolation(spark):
+    """Same cache_key + hyperparams => cached model (no retrain);
+    mutating a returned model must not poison the cache; different
+    hyperparams miss."""
+    from lamindb_spark.pipeline import similarity as S
+
+    df = _gapped_embeddings(spark)
+    S._MODEL_CACHE.clear()
+    a = S.kmeans_fit(df, k=3, iters=2, cache_key="fp1")
+    assert len(S._MODEL_CACHE) == 1
+    b = S.kmeans_fit(df.limit(0), k=3, iters=2, cache_key="fp1")  # would fail w/o hit
+    assert a == b
+    b[0][1][0] = 999.0  # mutate the returned copy
+    c = S.kmeans_fit(df.limit(0), k=3, iters=2, cache_key="fp1")
+    assert c == a and c[0][1][0] != 999.0
+    d = S.kmeans_fit(df, k=2, iters=2, cache_key="fp1")
+    assert len(S._MODEL_CACHE) == 2 and d != a
+    books = S.pq_train(df, dim=4, m=2, k=3, iters=2, cache_key="fp1")
+    books2 = S.pq_train(df.limit(0), dim=4, m=2, k=3, iters=2, cache_key="fp1")
+    assert books == books2
+    S._MODEL_CACHE.clear()

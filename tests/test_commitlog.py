@@ -374,3 +374,72 @@ def test_vacuum_collects_unreferenced_and_orphans(spark, tmp_path):
     # documented trade; the latest snapshot is fully intact
     with pytest.raises(Exception):
         read_committed(spark, t, version=CommitLog(t).versions()[0]).count()
+
+
+def test_optimize_vs_concurrent_append_both_land(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #5: OPTIMIZE racing a writer is the first conflict
+    that actually happens at scale. A compaction whose inputs are all
+    still live must survive a concurrent append (version retry, no
+    remove-set overlap) and the append's file must NOT be swallowed by
+    the swap — both commits land, zero lost or duplicated rows."""
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 30, 10):
+        CL.append_dataframe(spark.range(lo, lo + 10).coalesce(1), t)
+    orig = CL.CommitLog.commit
+    state = {"fired": False}
+
+    def racing(self, add=None, remove=None, metadata=None, **kw):
+        # deterministic interleaving: the rival append lands AFTER the
+        # compaction planned its swap but BEFORE its commit
+        if metadata and metadata.get("op") == "compact" and not state["fired"]:
+            state["fired"] = True
+            CL.append_dataframe_txn(spark.range(100, 110).coalesce(1), t, "rival", 0)
+        return orig(self, add=add, remove=remove, metadata=metadata, **kw)
+
+    monkeypatch.setattr(CL.CommitLog, "commit", racing)
+    res = CL.compact_small_files(spark, t, target_bytes=1 << 30)
+    assert state["fired"] and res["version"] >= 0 and res["n_rewritten"] == 3
+    rows = sorted(r["id"] for r in CL.read_committed(spark, t).collect())
+    assert rows == list(range(30)) + list(range(100, 110))
+    # the rival's file survived the swap as its own live entry
+    _, live = CL.CommitLog(t).snapshot()
+    assert any("stage-" in f for f in live), "appended file still live"
+
+
+def test_delete_vs_merge_same_file_one_loser_no_lost_rows(spark, tmp_path, monkeypatch):
+    """delete_where racing merge_into over the SAME file: the merge
+    wins, the delete sees its remove target already gone and raises
+    CommitConflictError (remove-set overlap detection, not just version
+    collision); the table equals the winner's outcome exactly, and the
+    loser's re-plan then applies cleanly on the new snapshot."""
+    import pytest as _pytest
+
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 10).withColumn("val", (F.col("id") * 10).cast("long"))
+    CL.append_dataframe(df.coalesce(1), t)  # ONE file => guaranteed overlap
+    orig = CL.CommitLog.commit
+    state = {"fired": False}
+
+    def racing(self, add=None, remove=None, metadata=None, **kw):
+        if metadata and metadata.get("op") == "delete" and not state["fired"]:
+            state["fired"] = True
+            src = spark.createDataFrame([(3, 999)], ["id", "val"])
+            CL.merge_into(spark, t, src, "id")
+        return orig(self, add=add, remove=remove, metadata=metadata, **kw)
+
+    monkeypatch.setattr(CL.CommitLog, "commit", racing)
+    with _pytest.raises(CL.CommitConflictError, match="already removed"):
+        CL.delete_where(spark, t, "id", lo=5)
+    assert state["fired"]
+    # winner's state intact: upsert applied, nothing lost or duplicated
+    rows = {r["id"]: r["val"] for r in CL.read_committed(spark, t).collect()}
+    assert rows == {i: (999 if i == 3 else i * 10) for i in range(10)}
+    # loser re-plans on the fresh snapshot and succeeds
+    res = CL.delete_where(spark, t, "id", lo=5)
+    assert res["version"] >= 0
+    rows2 = {r["id"]: r["val"] for r in CL.read_committed(spark, t).collect()}
+    assert rows2 == {0: 0, 1: 10, 2: 20, 3: 999, 4: 40}
