@@ -114,6 +114,7 @@ def stream_merge_exactly_once(
     checkpoint_dir: str,
     query_name: str = "merge-stream",
     timeout_sec: float = 300,
+    order_col: str | None = None,
 ) -> None:
     """Streaming UPSERT (CDC apply) into a commit-log table with
     end-to-end exactly-once semantics: each micro-batch MERGEs on
@@ -128,7 +129,12 @@ def stream_merge_exactly_once(
     duplicate keys resolve deterministically to the highest-value row
     (max_by over the remaining columns) before the merge — foreachBatch
     gives no intra-batch ordering guarantee, so the reduction must be
-    explicit. Scale shape per batch = :func:`catalog.commitlog.
+    explicit. With ``order_col`` (e.g. the CDC feed's
+    ``_commit_version`` from :func:`streaming.source.stream_changes`),
+    duplicates resolve to the row with the HIGHEST order value — the
+    correct semantics when a batch spans several source commits, as on
+    a checkpoint-wipe replay — and the order column itself is dropped
+    before the merge. Scale shape per batch = :func:`catalog.commitlog.
     merge_into`'s: footer-span file pruning, survivors rewritten
     narrowly, one optimistic commit.
     """
@@ -143,7 +149,18 @@ def stream_merge_exactly_once(
             if m.get("txn_app") == query_name and m.get("txn_version") == batch_id:
                 return  # replayed batch — already applied
         others = [c for c in batch_df.columns if c != key]
-        if others:
+        if order_col is not None:
+            rest = [c for c in others if c != order_col]
+            # highest order wins; residual tie broken by the values
+            # themselves so the reduction stays deterministic
+            rank = F.struct(F.col(order_col), *[F.col(c) for c in rest])
+            if rest:
+                dedup = batch_df.groupBy(key).agg(
+                    *[F.max_by(c, rank).alias(c) for c in rest]
+                )
+            else:
+                dedup = batch_df.dropDuplicates([key])
+        elif others:
             dedup = batch_df.groupBy(key).agg(
                 *[F.max_by(c, F.struct(*others)).alias(c) for c in others]
             )

@@ -25,6 +25,33 @@ from lamindb_spark.sources.readers import load_table
 from scripts.scale_dedup import _replicate, best_of
 
 
+def emb_replicate(spark, emb1, mult: int, scratch: str):
+    """Embedding replication shared by the scale scripts: copy i's
+    vector is rotated by i positions so copies decorrelate (cosine
+    between different rotations of a random-ish vector ~ 0) instead of
+    forming mult-cliques of exact dups; with 64 dims, rotations repeat
+    every 64 copies, so at 120x each vector has ~1 exact twin — output
+    growth stays linear, honestly bounded."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(scratch, f"emb_{mult}x")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        copies = [
+            emb1.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, 63), j -> embedding[(j + {i}) % 64])"
+                ).alias("embedding"),
+            )
+            for i in range(mult)
+        ]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch"
@@ -97,22 +124,7 @@ def main() -> None:
     emb1 = load_table(spark, sf, "embeddings")
 
     def _emb_replicate(mult: int):
-        path = os.path.join(scratch, f"emb_{mult}x")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            copies = [
-                emb1.select(
-                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-                    F.expr(
-                        f"transform(sequence(0, 63), j -> embedding[(j + {i}) % 64])"
-                    ).alias("embedding"),
-                )
-                for i in range(mult)
-            ]
-            big = copies[0]
-            for c in copies[1:]:
-                big = big.unionByName(c)
-            big.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return emb_replicate(spark, emb1, mult, scratch)
 
     # SemDeDup's scale contract: cell count grows with the corpus so
     # cell SIZE (the quadratic term) stays bounded — k scales with mult.
