@@ -2388,21 +2388,63 @@ def _q_silhouette(spark, sf):
     return silhouette_scores(emb, cents)
 
 
+def _q_source_kl(spark, sf):
+    """Data-mixture diagnostic: per-source KL divergence of the token
+    unigram distribution vs the whole corpus — per-term micro-nat
+    quantization BEFORE the weighted integer sum (the char_entropy
+    contract), so cross-engine summation order can never flip a
+    rounding. One (source, token) agg + one token re-agg + one
+    token-keyed join."""
+    from lamindb_spark.pipeline.corpus import source_kl
+
+    d = load_table(spark, sf, "documents")
+    return source_kl(d)
+
+
+def _q_top_pc(spark, sf):
+    """Top principal direction by POWER ITERATION on the integer
+    covariance: one distributed dim²-state covariance pass, then 3
+    exact-integer iterations on the driver's model-sized matrix
+    (C·v exact, renormalize by truncating div against max|a|) — the
+    oracle replays every iteration bit-for-bit as HUGEINT CTEs."""
+    from lamindb_spark.pipeline.similarity import power_iteration_top_pc
+
+    emb = load_table(spark, sf, "embeddings")
+    pc = power_iteration_top_pc(emb, iters=3)
+    return spark.createDataFrame(pc, "dim int, loading_micro long").orderBy("dim")
+
+
+def _q_word_rank(spark, sf):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the undirected word co-occurrence graph (adjacent lowercase
+    alphabetic tokens ≥3 chars), 5 damped iterations with round-6
+    ranks (the certified pagerank kernel), top-20 words. The edge set
+    is vocab-bounded, so iteration cost stops growing once the corpus
+    covers the vocabulary — the property that makes graph-based
+    keywording viable at 100 TB."""
+    from lamindb_spark.operators.graph import pagerank
+    from lamindb_spark.pipeline.corpus import word_cooccurrence_edges
+
+    d = load_table(spark, sf, "documents")
+    edges = word_cooccurrence_edges(d, "text", min_len=3)
+    ranks = pagerank(edges, damping=0.85, iters=5)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("word"), "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
     Ordering is deliberate: the correctness driver value-checks the FIRST 50
-    entries. The r6 window completes the union property: the six entries no
-    earlier window ever value-checked (``embedding_cov``, ``pagerank``,
-    ``corpus_stats``, ``case_coalesce``, ``json_object``, ``length_order``)
-    now lead, plus ``random_proj`` re-certifying with its flat (pandas-
-    sortable) output shape after the r5 canonicalizer incompatibility, plus
-    the four NEW r6 operators (``dsir_weights``, ``bpe_encode``,
-    ``char_entropy``, ``ppl_buckets``). Ten r5-green entries ceded their
-    slots (``quantiles``, ``union_by_name``, ``search_synonyms``,
-    ``redact_pii``, ``label_filter``, ``wide_include``, ``chunk_docs``,
-    ``token_freq``, ``quality_score``, ``corpus_curation`` — see
-    CORRECTNESS_r05.json). After r6 every ``queries()`` entry has a
+    entries. The r7 window leads with the three NEW r7 operators
+    (``source_kl``, ``top_pc``, ``word_rank``) — the only entries without a
+    prior driver-green row — ceding three r6-green slots (``span_novelty``,
+    ``top_docs_per_source``, ``length_outliers``, all green in
+    CORRECTNESS_r06.json). Every other window entry keeps its r5/r6
+    position. After r6 every ``queries()`` entry has a
     driver-green row in at least one of CORRECTNESS_r01..r06 — the union
     invariant is asserted by ``tests/test_plans.py::
     test_query_registry_invariants``. The two seeded-xxhash64 rows-only
@@ -2415,6 +2457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only checks.
     """
     return {
+        # -- block R7: NEW this round (must sit inside the 50-entry
+        # driver window; three r6-green entries cede their slots) --
+        "source_kl": _q_source_kl,
+        "top_pc": _q_top_pc,
+        "word_rank": _q_word_rank,
         # -- block A0 (r6): never driver-certified before this round --
         "embedding_cov": _q_embedding_cov,
         "pagerank": _q_pagerank,
@@ -2612,6 +2659,48 @@ def _random_proj_oracle() -> str:
     return "SELECT vec_id, {} FROM embeddings".format(", ".join(comps))
 
 
+def _top_pc_oracle_sql(iters: int = 3, dim: int = 64) -> str:
+    """Bit-exact replay of power_iteration_top_pc: the integer micro
+    covariance (the embedding_cov pass quantized), then each iteration
+    as HUGEINT CTEs — C·v exact, renormalize by truncating division of
+    non-negative operands (DuckDB // == Python // here)."""
+    head = """
+            WITH e AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), u AS (
+                SELECT v, CAST(zi[2] AS INTEGER) - 1 AS i, CAST(zi[1] AS DOUBLE) AS vi
+                FROM (SELECT v, unnest(list_zip(v, range(1, len(v) + 1))) AS zi FROM e)
+            ), p AS (
+                SELECT i, CAST(zj[2] AS INTEGER) - 1 AS j, vi, CAST(zj[1] AS DOUBLE) AS vj
+                FROM (SELECT i, vi, unnest(list_zip(v, range(1, len(v) + 1))) AS zj FROM u)
+            ), cq AS (
+                SELECT i, j,
+                       CAST(CAST(round(((sum(vi * vj) - sum(vi) * sum(vj) / count(*))
+                                        / (count(*) - 1)) * 1000000) AS BIGINT) AS HUGEINT) AS c
+                FROM p GROUP BY i, j
+            ), v0 AS (
+                SELECT CAST(range AS INTEGER) AS i, CAST(1000000 AS HUGEINT) AS v
+                FROM range(0, {dim})
+            )""".format(dim=dim)
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            """, a{k} AS (
+                SELECT cq.i, sum(cq.c * v{p}.v) AS a
+                FROM cq JOIN v{p} ON cq.j = v{p}.i GROUP BY cq.i
+            ), b{k} AS (SELECT max(abs(a)) AS b FROM a{k}),
+            v{k} AS (
+                SELECT i, CAST(CASE WHEN a < 0 THEN -1 ELSE 1 END AS HUGEINT)
+                          * ((abs(a) * 1000000) // b) AS v
+                FROM a{k}, b{k}
+            )""".format(k=k, p=k - 1)
+        )
+    tail = """
+            SELECT i AS dim, CAST(v AS BIGINT) AS loading_micro
+            FROM v{it} ORDER BY dim""".format(it=iters)
+    return head + "".join(steps) + tail
+
+
 _GOPHER_PASS_SQL = """
             WITH gl AS (
                 SELECT doc_id, coalesce(text, '') AS text,
@@ -2651,6 +2740,74 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "ann_pq": _ann_pq_oracle_sql(),
+        "top_pc": _top_pc_oracle_sql(3, 64),
+        "source_kl": """
+            WITH t AS (
+                SELECT source,
+                       unnest(list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ), st AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+                FROM t GROUP BY source, tok
+            ), ct AS (
+                SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+            ), ns AS (
+                SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+            ), nt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+            term AS (
+                SELECT st.source, ns.n_s,
+                       st.c_st * CAST(round(ln(CAST(st.c_st * nt.n AS DOUBLE)
+                                               / CAST(ns.n_s * ct.c_t AS DOUBLE))
+                                            * 1000000) AS BIGINT) AS term
+                FROM st JOIN ct USING (tok) JOIN ns USING (source), nt
+            )
+            SELECT source, n_s AS n_tokens, CAST(sum(term) AS BIGINT) AS kl_microsum
+            FROM term GROUP BY source, n_s
+        """,
+        "word_rank": """
+            WITH tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> regexp_matches(x, '^[a-z]{3,}$')) AS toks
+                FROM documents
+            ), pr0 AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+                FROM tk WHERE len(toks) >= 2
+            ), e AS (
+                SELECT p.a AS src, p.b AS dst FROM pr0 WHERE p.a <> p.b
+                UNION
+                SELECT p.b AS src, p.a AS dst FROM pr0 WHERE p.a <> p.b
+            ), nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            g AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+            r0 AS (SELECT node, round(1.0 / nn.n, 6) AS rank FROM nodes, nn),
+            c1 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r0 r ON g.src = r.node GROUP BY g.dst),
+            r1 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c1 c USING (node), nn),
+            c2 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r1 r ON g.src = r.node GROUP BY g.dst),
+            r2 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c2 c USING (node), nn),
+            c3 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r2 r ON g.src = r.node GROUP BY g.dst),
+            r3 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c3 c USING (node), nn),
+            c4 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r3 r ON g.src = r.node GROUP BY g.dst),
+            r4 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c4 c USING (node), nn),
+            c5 AS (SELECT g.dst AS node, sum(r.rank / g.outdeg) AS inflow
+                   FROM g JOIN r4 r ON g.src = r.node GROUP BY g.dst),
+            r5 AS (SELECT n2.node, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0), 6) AS rank
+                   FROM nodes n2 LEFT JOIN c5 c USING (node), nn)
+            SELECT node AS word, rank FROM r5 ORDER BY rank DESC, word ASC LIMIT 20
+        """,
         "max_dup_spans": """
             WITH toks AS (
                 SELECT doc_id,

@@ -597,3 +597,102 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "token", "tf", "score_micro", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def source_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence of the token unigram distribution vs
+    the whole corpus — the data-mixture diagnostic behind domain
+    reweighting (how far each source's language drifts from the pool;
+    the distance DoReMi/DSIR-style mixture tuning consumes).
+
+    KL(s ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)). Integer-exact
+    cross-engine by the established per-term micro-nat contract
+    (char_entropy / lm_perplexity): the log-ratio of each token is
+    quantized to micro-nats BEFORE the weighted sum, and the weighted
+    sum itself stays integer (Σ_t c_st·lr_t with the n_s denominator
+    left to the caller) — summation order can never flip a rounding.
+
+    Scale shape: one (source, token) aggregation, one narrow (token)
+    re-aggregation for corpus counts, a token-keyed equi-join of the
+    two count tables, and a sources-sized final agg. The per-source
+    and corpus-total tables are model-sized and broadcast. Output:
+    (source, n_tokens, kl_microsum) — kl_microsum/n_tokens/1e6 is the
+    KL in nats.
+    """
+    from ..functions.text import ws_tokens
+
+    t = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(ws_tokens(F.col(text_col), lowercase=True)).alias("tok"),
+    )
+    # localCheckpoint: st feeds FOUR consumers (itself, ct, ns, nt) and
+    # Spark would otherwise recompute the corpus tokenize+agg subtree
+    # for each (4 corpus scans, measured as 12 exchanges in the plan).
+    # The table is vocab-bounded (sources × distinct tokens), so
+    # materializing it is the graph-op contract (pagerank/closure do
+    # the same), and the corpus is scanned exactly ONCE.
+    st = (
+        t.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    # corpus token count as a WINDOW over the checkpointed count table,
+    # not a self-join — the tfidf_keywords trick: one (token) exchange
+    # carries both the corpus count and the per-(source,token) rows
+    ct = F.sum("c_st").over(Window.partitionBy("tok")).cast("long")
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    nt = ns.agg(F.sum("n_s").cast("long").alias("n"))
+    lr = F.round(
+        F.log(
+            (F.col("c_st") * F.col("n")).cast("double")
+            / (F.col("n_s") * F.col("c_t")).cast("double")
+        )
+        * 1_000_000.0,
+        0,
+    ).cast("long")
+    return (
+        st.withColumn("c_t", ct)
+        .join(F.broadcast(ns), "source")
+        .join(F.broadcast(nt))
+        .select("source", "n_s", (F.col("c_st") * lr).alias("__term"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.sum("__term").cast("long").alias("kl_microsum"),
+        )
+    )
+
+
+def word_cooccurrence_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 3,
+) -> DataFrame:
+    """TextRank's graph (Mihalcea & Tarau 2004): lowercase alphabetic
+    tokens of ≥ ``min_len`` chars, adjacency within the FILTERED token
+    sequence, undirected (both directions emitted), distinct, no
+    self-loops. One narrow distinct — the edge set is vocab-bounded,
+    not corpus-bounded, so PageRank's per-iteration join stays small at
+    any corpus size. Output: (src, dst)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x.rlike("^[a-z]{" + str(min_len) + ",}$"),
+    )
+    # size < 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+    # of yielding empty, so 0/1-token docs must be filtered out first
+    pairs = df.select(toks.alias("__toks")).filter(F.size("__toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(element_at(__toks, i) AS a,"
+                " element_at(__toks, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).filter(F.col("p.a") != F.col("p.b"))
+    fwd = pairs.select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    rev = pairs.select(F.col("p.b").alias("src"), F.col("p.a").alias("dst"))
+    return fwd.unionByName(rev).distinct()

@@ -1252,3 +1252,70 @@ def pca_project(
             )
         )
     return embeddings.select(F.col(id_col), F.array(*outs).alias("proj"))
+
+
+def embedding_covariance_micro(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """:func:`embedding_covariance` quantized to integer micro units —
+    the exact-integer covariance that makes downstream iterative linear
+    algebra (:func:`power_iteration_top_pc`) bit-replayable in SQL.
+    Same distributed pass (dim² partial-agg state); output
+    (i, j, cov_micro bigint)."""
+    pairs = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select("i", "vi", F.posexplode("__v").alias("j", "vj"))
+    stats = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("si"),
+        F.sum("vj").alias("sj"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sij"),
+    )
+    cov = (F.col("sij") - F.col("si") * F.col("sj") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return stats.select(
+        "i", "j", F.round(cov * 1_000_000.0, 0).cast("long").alias("cov_micro")
+    )
+
+
+def power_iteration_top_pc(
+    embeddings: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int]]:
+    """Top principal direction by power iteration on the INTEGER
+    covariance — distributed where it matters, exact where it counts:
+
+    - ONE distributed covariance pass (dim² partial-agg state crosses
+      the shuffle, regardless of corpus size — the only corpus-sized
+      work);
+    - iterations run driver-side on the collected dim×dim integer
+      matrix (model-sized, the same driver-traffic contract as the
+      k-means centroids) in PURE integer arithmetic: ``a = C·v``
+      exactly, then ``v' = sign(a)·(|a|·10⁶ div max|a|)`` — truncating
+      division on non-negative operands, so an independent SQL engine
+      replays every iteration bit-for-bit (no normalization sqrt, no
+      accumulated float drift).
+
+    The returned vector is the micro-quantized direction after
+    ``iters`` rounds from the all-ones start (components in
+    [-10⁶, 10⁶], max component exactly ±10⁶). Convergence to the true
+    eigenvector is the standard power-iteration story; determinism is
+    the contract here. Returns [(dim_index, loading_micro)].
+    """
+    rows = embedding_covariance_micro(embeddings, id_col, vec_col).collect()
+    dim = max(int(r["i"]) for r in rows) + 1
+    C: dict[tuple[int, int], int] = {
+        (int(r["i"]), int(r["j"])): int(r["cov_micro"]) for r in rows
+    }
+    v = [1_000_000] * dim
+    for _ in range(iters):
+        a = [sum(C.get((i, j), 0) * v[j] for j in range(dim)) for i in range(dim)]
+        b = max(abs(x) for x in a)
+        if b == 0:
+            break
+        v = [(1 if x >= 0 else -1) * (abs(x) * 1_000_000 // b) for x in a]
+    return [(i, v[i]) for i in range(dim)]

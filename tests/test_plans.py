@@ -147,6 +147,17 @@ _MAX_EXCHANGES = {
     "tfidf_keywords": 6,     # tf agg + token window + n_docs 1-row
                              # pair (SinglePartition + broadcast) +
                              # per-doc top-k window — ONE corpus scan
+    # -- r7 additions --
+    "source_kl": 7,          # ONE corpus scan into the checkpointed
+                             # (source,token) table; corpus counts ride
+                             # a token window (no self-join); the
+                             # source/total tables are tiny broadcasts
+    "top_pc": 1,             # one (i,j) shuffle of dim^2 partial sums;
+                             # power iterations are driver-side on the
+                             # model-sized integer matrix
+    "word_rank": 0,          # TakeOrdered over checkpointed pagerank
+                             # ranks (iteration shuffles sit behind
+                             # localCheckpoint, vocab-bounded)
 }
 
 
