@@ -58,14 +58,48 @@ class CommitLog:
         return sorted(
             int(f[:-5])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json") and f[:-5].isdigit()
+            if f.endswith(".json")
+            and f[:-5].isdigit()
+            and not f.endswith(".checkpoint.json")
         )
 
+    def checkpoint_versions(self) -> list[int]:
+        """Versions with a consolidated checkpoint file, ascending."""
+        suf = ".checkpoint.json"
+        return sorted(
+            int(f[: -len(suf)])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(suf) and f[: -len(suf)].isdigit()
+        )
+
+    def _load_checkpoint(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{v:020d}.checkpoint.json")) as fh:
+            return json.load(fh)
+
     def snapshot(self, version: int | None = None) -> tuple[int, list[str]]:
-        """(latest-or-requested version, live data file paths)."""
+        """(latest-or-requested version, live data file paths).
+
+        Reads from the newest CHECKPOINT at or below the target and
+        folds only the log tail after it — the Delta `_last_checkpoint`
+        read path. Without checkpoints every snapshot replays the whole
+        JSON log; at 10^5+ commits (a year of streaming micro-batches)
+        that is the table's real read bottleneck, and it is O(tail)
+        here instead. Time travel below the oldest checkpoint still
+        works as long as the commit files are retained (see
+        :meth:`expire_log`)."""
         live: dict[str, None] = {}
         latest = -1
+        usable = [
+            c for c in self.checkpoint_versions()
+            if version is None or c <= version
+        ]
+        if usable:
+            ck = self._load_checkpoint(usable[-1])
+            latest = int(ck["version"])
+            live = dict.fromkeys(ck["live"])
         for v in self.versions():
+            if v <= latest:
+                continue
             if version is not None and v > version:
                 break
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
@@ -76,6 +110,82 @@ class CommitLog:
                 live.pop(f, None)
             latest = v
         return latest, [os.path.join(self.table_path, f) for f in live]
+
+    # -- checkpoint maintenance ----------------------------------------
+
+    def write_checkpoint(self) -> int:
+        """Consolidate the current snapshot (live file set + known txn
+        identities) into ``{v:020d}.checkpoint.json``, atomically
+        (temp + rename). Readers immediately switch to O(tail) folds;
+        the subsumed commit files become deletable via
+        :meth:`expire_log`. Returns the checkpointed version (-1 if
+        the log is empty). Txn identities ride along so exactly-once
+        dedup survives log expiry (Delta's SetTransaction retention)."""
+        v, files = self.snapshot()
+        if v < 0:
+            return -1
+        txns: list[list] = []
+        seen = set()
+        for c in self.checkpoint_versions():
+            for t in self._load_checkpoint(c).get("txns", []):
+                key = (t[0], t[1])
+                if key not in seen:
+                    seen.add(key)
+                    txns.append([t[0], t[1]])
+        for cv in self.versions():
+            if cv > v:
+                break
+            with open(os.path.join(self.log_dir, f"{cv:020d}.json")) as fh:
+                m = json.load(fh).get("metadata", {})
+            if "txn_app" in m and "txn_version" in m:
+                key = (m["txn_app"], m["txn_version"])
+                if key not in seen:
+                    seen.add(key)
+                    txns.append([m["txn_app"], m["txn_version"]])
+        body = {
+            "version": v,
+            "live": [os.path.relpath(p, self.table_path) for p in files],
+            "txns": txns,
+            "ts": time.time_ns(),
+        }
+        tmp = os.path.join(self.log_dir, f".tmp-ckpt-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, f"{v:020d}.checkpoint.json"))
+        return v
+
+    def expire_log(self) -> int:
+        """Delete commit JSONs subsumed by the newest checkpoint (the
+        Delta log-cleanup half of checkpointing). Time travel and CDC
+        below the checkpoint stop working for the expired range —
+        guarded explicitly in :func:`read_changes` — while the current
+        snapshot, later time travel, and txn dedup (identities live in
+        the checkpoint) are unaffected. Returns #files deleted."""
+        cks = self.checkpoint_versions()
+        if not cks:
+            return 0
+        horizon = cks[-1]
+        n = 0
+        for v in self.versions():
+            if v <= horizon:
+                os.unlink(os.path.join(self.log_dir, f"{v:020d}.json"))
+                n += 1
+        return n
+
+    def known_txns(self) -> set[tuple]:
+        """All (txn_app, txn_version) identities: checkpointed ones
+        plus the retained log tail."""
+        out: set[tuple] = set()
+        for c in self.checkpoint_versions():
+            out.update((t[0], t[1]) for t in self._load_checkpoint(c).get("txns", []))
+        for v in self.versions():
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                m = json.load(fh).get("metadata", {})
+            if "txn_app" in m and "txn_version" in m:
+                out.add((m["txn_app"], m["txn_version"]))
+        return out
 
     # -- write side ----------------------------------------------------
 
@@ -108,7 +218,17 @@ class CommitLog:
             os.fsync(fh.fileno())
         try:
             for _ in range(max_retries):
-                version = (self.versions() or [-1])[-1] + 1
+                # max over BOTH commit files and checkpoints: after
+                # expire_log() the newest checkpoint may be the only
+                # record of the head version, and reusing an expired
+                # version number would silently fork history
+                version = (
+                    max(
+                        (self.versions() or [-1])[-1],
+                        (self.checkpoint_versions() or [-1])[-1],
+                    )
+                    + 1
+                )
                 if remove:
                     _, live = self.snapshot()
                     live_rel = {os.path.relpath(p, self.table_path) for p in live}
@@ -329,10 +449,8 @@ def append_dataframe_txn(
     had already been applied.
     """
     log = CommitLog(table_path)
-    for _v, body in _commit_bodies(log):
-        m = body.get("metadata", {})
-        if m.get("txn_app") == txn_app and m.get("txn_version") == txn_version:
-            return None
+    if (txn_app, txn_version) in log.known_txns():
+        return None
     stage = f"stage-{uuid.uuid4().hex[:12]}"
     stage_path = os.path.join(table_path, stage)
     df.write.mode("overwrite").parquet(stage_path)
@@ -346,11 +464,9 @@ def append_dataframe_txn(
     # transaction; single-query streaming replays are sequential, so
     # the recheck before the atomic publish is exact for the intended
     # caller (foreachBatch).
-    for _v, body in _commit_bodies(log):
-        m = body.get("metadata", {})
-        if m.get("txn_app") == txn_app and m.get("txn_version") == txn_version:
-            shutil.rmtree(stage_path, ignore_errors=True)
-            return None
+    if (txn_app, txn_version) in log.known_txns():
+        shutil.rmtree(stage_path, ignore_errors=True)
+        return None
     return log.commit(
         add=files,
         metadata={
@@ -384,6 +500,17 @@ def read_changes(
     appended in the window; their removal is layout churn).
     """
     log = CommitLog(table_path)
+    retained = log.versions()
+    # expired-range guard: after write_checkpoint()+expire_log() the
+    # per-commit change data below the checkpoint is gone; silently
+    # returning a partial feed would corrupt incremental consumers
+    if retained and since_version + 1 < retained[0] and retained[0] > 0:
+        raise ValueError(
+            f"CDC window ({since_version}, ...] starts below the oldest "
+            f"retained commit v{retained[0]} of {table_path} — the range "
+            "was expired by checkpoint log cleanup; re-baseline the "
+            "consumer from a full snapshot"
+        )
     files: list[str] = []
     for v, body in _commit_bodies(log):
         if v <= since_version:

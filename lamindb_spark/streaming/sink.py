@@ -144,10 +144,8 @@ def stream_merge_exactly_once(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         log = CommitLog(table_path)
-        for _v, body in _commit_bodies(log):
-            m = body.get("metadata", {})
-            if m.get("txn_app") == query_name and m.get("txn_version") == batch_id:
-                return  # replayed batch — already applied
+        if (query_name, batch_id) in log.known_txns():
+            return  # replayed batch — already applied (survives log expiry)
         others = [c for c in batch_df.columns if c != key]
         if order_col is not None:
             rest = [c for c in others if c != order_col]

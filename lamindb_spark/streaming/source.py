@@ -61,7 +61,11 @@ def _change_files(
     if not os.path.isdir(log_dir):
         return out
     for name in sorted(os.listdir(log_dir)):
-        if not name.endswith(".json") or name.startswith(".tmp"):
+        if (
+            not name.endswith(".json")
+            or name.startswith(".tmp")
+            or not name[: -len(".json")].isdigit()  # skips *.checkpoint.json
+        ):
             continue
         v = int(name[: -len(".json")])
         if v <= start_v or v > end_v:
@@ -81,13 +85,18 @@ def _change_files(
 
 
 def _latest_version(table_path: str) -> int:
+    # checkpoint files count toward the head version: after log expiry
+    # the newest checkpoint may be the only record of it, and a
+    # regressing latestOffset would re-window the stream
     log_dir = os.path.join(table_path, "_commits")
     if not os.path.isdir(log_dir):
         return -1
     versions = [
-        int(n[: -len(".json")])
+        int(n.split(".", 1)[0])
         for n in os.listdir(log_dir)
-        if n.endswith(".json") and not n.startswith(".tmp")
+        if n.endswith(".json")
+        and not n.startswith(".tmp")
+        and n.split(".", 1)[0].isdigit()
     ]
     return max(versions) if versions else -1
 
@@ -99,14 +108,37 @@ class CommitLogStreamReader(DataSourceStreamReader):
         self._with_version = (
             str(options.get("withversioncolumn", "false")).lower() == "true"
         )
+        # admission control (Delta's maxFilesPerTrigger analogue, by
+        # commit count): cap each micro-batch at N versions past the
+        # consumer's position so commits arriving during a long-running
+        # query land as bounded batches instead of one giant replay.
+        # Best-effort by API shape: the simple Python source API gives
+        # latestOffset() no view of the CHECKPOINTED offset, so the
+        # position is learned in-run (from commit()/partitions()) and
+        # the first batch after a cold (re)start is uncapped.
+        self._max_per_batch = int(options.get("maxversionsperbatch", 0))
+        self._committed: int | None = None
+        self._planned_start: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": max(_latest_version(self._table_path), self._start)}
+        latest = max(_latest_version(self._table_path), self._start)
+        if self._max_per_batch > 0:
+            # the engine acknowledges (commit) one batch BEHIND the one
+            # it last planned (partitions), so the consumer's true
+            # position is the max of both signals
+            known = [
+                v for v in (self._committed, self._planned_start) if v is not None
+            ]
+            if known:
+                base = max(known)
+                latest = max(min(latest, base + self._max_per_batch), base)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._planned_start = int(end["version"])  # position hint for the cap
         files = _change_files(
             self._table_path, int(start["version"]), int(end["version"])
         )
@@ -132,9 +164,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
         return iter(table.to_batches())
 
     def commit(self, end: dict) -> None:
-        # offsets live in the query checkpoint; the log itself is
-        # append-only, so there is nothing to acknowledge or clean up
-        pass
+        # offsets live in the query checkpoint (nothing to acknowledge
+        # in the append-only log); remembered locally as the admission-
+        # control base for the next micro-batch's cap
+        self._committed = int(end["version"])
 
 
 class CommitLogDataSource(DataSource):
@@ -182,6 +215,7 @@ def stream_changes(
     table_path: str,
     starting_version: int = -1,
     with_version_column: bool = False,
+    max_versions_per_batch: int = 0,
 ) -> "DataFrame":
     """Open a commit-log table's change feed as a streaming DataFrame.
 
@@ -196,5 +230,6 @@ def stream_changes(
         .option("path", table_path)
         .option("startingVersion", starting_version)
         .option("withVersionColumn", str(with_version_column).lower())
+        .option("maxVersionsPerBatch", max_versions_per_batch)
         .load()
     )

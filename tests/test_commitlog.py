@@ -443,3 +443,75 @@ def test_delete_vs_merge_same_file_one_loser_no_lost_rows(spark, tmp_path, monke
     assert res["version"] >= 0
     rows2 = {r["id"]: r["val"] for r in CL.read_committed(spark, t).collect()}
     assert rows2 == {0: 0, 1: 10, 2: 20, 3: 999, 4: 40}
+
+
+def test_checkpoint_snapshot_equivalence_and_expiry(spark, tmp_path):
+    """Delta-style log checkpointing: write_checkpoint consolidates
+    the fold; snapshot() from checkpoint+tail equals the full replay;
+    expire_log() deletes subsumed commit files without changing the
+    snapshot; new commits keep monotonic versions even when the
+    checkpoint is the only record of the head."""
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 30, 10):
+        CL.append_dataframe(spark.range(lo, lo + 10).coalesce(1), t)
+    CL.merge_into(spark, t, spark.range(5, 8).coalesce(1), "id")
+    log = CL.CommitLog(t)
+    before = log.snapshot()
+    v = log.write_checkpoint()
+    assert v == before[0]
+    assert log.snapshot() == before  # checkpoint+empty tail == replay
+    # tail after checkpoint folds on top
+    CL.append_dataframe(spark.range(100, 105).coalesce(1), t)
+    full_rows = sorted(r["id"] for r in CL.read_committed(spark, t).collect())
+    assert full_rows == list(range(30)) + list(range(100, 105))
+    # expire: subsumed commit jsons gone, snapshot identical
+    n = log.expire_log()
+    assert n == 4 and log.versions() == [4]
+    assert sorted(r["id"] for r in CL.read_committed(spark, t).collect()) == full_rows
+    # version monotonicity survives even with all commits expired
+    log.write_checkpoint()
+    log.expire_log()
+    assert log.versions() == []
+    v_new = CL.append_dataframe(spark.range(200, 201).coalesce(1), t)
+    assert v_new == 5, "next version comes from the checkpoint head"
+    # time travel to the checkpointed version still works
+    assert len(CL.read_committed(spark, t, version=4).collect()) == 35
+
+
+def test_txn_dedup_survives_log_expiry(spark, tmp_path):
+    """Exactly-once txn identities ride the checkpoint: a replayed
+    transaction is still skipped after its commit json was expired."""
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    CL.append_dataframe_txn(spark.range(0, 10).coalesce(1), t, "job", 7)
+    log = CL.CommitLog(t)
+    log.write_checkpoint()
+    log.expire_log()
+    assert log.versions() == []
+    assert ("job", 7) in log.known_txns()
+    assert CL.append_dataframe_txn(spark.range(0, 10).coalesce(1), t, "job", 7) is None
+    assert CL.read_committed(spark, t).count() == 10
+
+
+def test_cdc_read_below_expired_range_raises(spark, tmp_path):
+    """read_changes must refuse a window that starts below the oldest
+    retained commit instead of silently dropping expired changes."""
+    import pytest as _pytest
+
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 30, 10):
+        CL.append_dataframe(spark.range(lo, lo + 10).coalesce(1), t)
+    log = CL.CommitLog(t)
+    log.write_checkpoint()
+    log.expire_log()
+    CL.append_dataframe(spark.range(100, 110).coalesce(1), t)
+    with _pytest.raises(ValueError, match="expired"):
+        CL.read_changes(spark, t, since_version=0)
+    # window entirely within the retained tail is fine
+    got = sorted(r["id"] for r in CL.read_changes(spark, t, since_version=2).collect())
+    assert got == list(range(100, 110))

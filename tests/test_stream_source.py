@@ -133,3 +133,75 @@ def test_starting_version_skips_history(spark, tmp_path):
     )
     got = [row for _bid, rows in batches for row in rows]
     assert got == [(2,)]
+
+
+def test_max_versions_per_batch_bounds_each_batch(spark, tmp_path):
+    """Admission control: commits arriving DURING a running query land
+    as micro-batches of at most one commit version each (the cap keys
+    off the consumer's in-run position — the simple Python source API
+    gives latestOffset no view of the checkpoint, so only a cold
+    start's first batch is uncapped, as documented). Everything still
+    arrives exactly once."""
+    import time
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, ["id"])  # noqa: E731
+    append_dataframe(df([(0,)]).coalesce(1), t)
+    batches: list = []
+
+    def sink(bdf, bid):
+        batches.append((bid, sorted(tuple(r) for r in bdf.collect())))
+
+    q = (
+        stream_changes(spark, t, with_version_column=True, max_versions_per_batch=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .queryName("rate")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while not any(rows for _b, rows in batches) and time.time() < deadline:
+            time.sleep(0.2)
+        # backlog of 3 more commits appears mid-run
+        for i in (1, 2, 3):
+            append_dataframe(df([(i,)]).coalesce(1), t)
+        seen = lambda: sorted(  # noqa: E731
+            r[0] for _b, rows in batches for r in rows
+        )
+        while seen() != [0, 1, 2, 3] and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    assert seen() == [0, 1, 2, 3], "all commits exactly once"
+    post_start = [rows for _b, rows in batches if rows and rows[0][0] != 0]
+    assert post_start, "mid-run commits observed"
+    for rows in post_start:
+        assert len({r[-1] for r in rows}) == 1, f"batch spans versions: {rows}"
+
+
+def test_stream_after_log_checkpoint_expiry(spark, tmp_path):
+    """After write_checkpoint + expire_log the source's latestOffset
+    must not regress below the checkpointed head, and a NEW consumer
+    starting at the checkpoint version sees only post-checkpoint
+    commits."""
+    from lamindb_spark.catalog.commitlog import CommitLog
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, ["id"])  # noqa: E731
+    for i in range(3):
+        append_dataframe(df([(i,)]).coalesce(1), t)
+    log = CommitLog(t)
+    head = log.write_checkpoint()
+    log.expire_log()
+    append_dataframe(df([(99,)]).coalesce(1), t)
+    batches: list = []
+    _drain(
+        stream_changes(spark, t, starting_version=head),
+        batches,
+        str(tmp_path / "ck"),
+        "postckpt",
+    )
+    got = [row for _bid, rows in batches for row in rows]
+    assert got == [(99,)]
