@@ -2289,12 +2289,49 @@ def _q_ann_pq(spark, sf):
     return pq_adc_topk(enc, table, k=10)
 
 
-def _ann_pq_oracle_sql(m: int = 8, sub: int = 8, k: int = 16) -> str:
-    """Full IVF-PQ replay: per subspace s — init (16 lowest-id
+def _ann_pq_oracle_sql(
+    m: int = 8, sub: int = 8, k: int = 16, ivf_nprobe: int = 0
+) -> str:
+    """Full PQ replay: per subspace s — init (16 lowest-id
     subvectors), one Lloyd round (round-6 means), encode argmin, and
     the integer ADC distance table against vec 0's quantized
-    subvector — then the 8-way code join sums table lookups."""
+    subvector — then the 8-way code join sums table lookups.
+
+    ``ivf_nprobe > 0`` adds the IVF-PQ composition: coarse cells are
+    the 8 lowest-id vectors, candidates are restricted to the
+    ``ivf_nprobe`` cells nearest the query (distance then cid
+    tiebreak — the _argmin_cell contract), and the ADC top-k ranks
+    only those candidates."""
     parts = ["            WITH "]
+    if ivf_nprobe > 0:
+        parts.append(
+            f"""cent AS (
+                SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), qv AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+            ), probe AS (
+                SELECT ccid FROM (
+                    SELECT c.ccid,
+                           row_number() OVER (ORDER BY
+                               list_sum(list_transform(list_zip(q.v, c.cv),
+                                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.ccid) AS rn
+                    FROM cent c, qv q)
+                WHERE rn <= {ivf_nprobe}
+            ), cellof AS (
+                SELECT vec_id, ccid AS cell
+                FROM (SELECT e.vec_id, c.ccid,
+                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                                 list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+                                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.ccid) AS rn
+                      FROM embeddings e, cent c)
+                WHERE rn = 1
+            ), cand AS (
+                SELECT vec_id FROM cellof WHERE cell IN (SELECT ccid FROM probe)
+            ), """
+        )
     blocks = []
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
@@ -2344,6 +2381,8 @@ def _ann_pq_oracle_sql(m: int = 8, sub: int = 8, k: int = 16) -> str:
     joins = "".join(
         f"\n            JOIN code_{s} USING (vec_id)" for s in range(1, m)
     )
+    if ivf_nprobe > 0:
+        joins += "\n            JOIN cand ON cand.vec_id = code_0.vec_id"
     dt_joins = "".join(
         f"\n            JOIN dt_{s} ON dt_{s}.cid = code_{s}.code" for s in range(m)
     )
@@ -2386,6 +2425,43 @@ def _q_silhouette(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     cents = kmeans_fit(emb, k=8, iters=2, cache_key=_emb_cache_key(sf))
     return silhouette_scores(emb, cents)
+
+
+def _q_ann_ivfpq(spark, sf):
+    """The production ANN composition — IVF-PQ: coarse cells (the 8
+    lowest-id vectors, ann_ivf's fixed quantizer) PRUNE the candidate
+    set to the nprobe=2 cells nearest the query, then PQ codes +
+    integer ADC rank only those candidates. Cell filtering is a
+    map-side argmin BEFORE encoding (candidates never join), training
+    rides the content-fingerprinted model cache shared with ann_pq.
+    At scale this is the memory-resident billion-vector read path:
+    IVF prunes the scan (file-level with a partitioned layout), PQ
+    makes the scored bytes 32x smaller."""
+    from lamindb_spark.pipeline.similarity import (
+        _argmin_cell,
+        pq_adc_topk,
+        pq_distance_table,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    qvec = next(v for c, v in cents if c == 0)
+
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = [c for c, _v in sorted(cents, key=lambda cv: (_d2(qvec, cv[1]), cv[0]))[:2]]
+    books = pq_train(emb, dim=64, m=8, k=16, iters=2, cache_key=_emb_cache_key(sf))
+    cand = emb.filter(
+        _argmin_cell(F.col("embedding"), cents).isin([int(p) for p in probe])
+    )
+    enc = pq_encode(cand, books, dim=64)
+    return pq_adc_topk(enc, pq_distance_table(books, qvec), k=10)
 
 
 def _q_source_kl(spark, sf):
@@ -2439,12 +2515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
     Ordering is deliberate: the correctness driver value-checks the FIRST 50
-    entries. The r7 window leads with the three NEW r7 operators
-    (``source_kl``, ``top_pc``, ``word_rank``) — the only entries without a
-    prior driver-green row — ceding three r6-green slots (``span_novelty``,
-    ``top_docs_per_source``, ``length_outliers``, all green in
-    CORRECTNESS_r06.json). Every other window entry keeps its r5/r6
-    position. After r6 every ``queries()`` entry has a
+    entries. The r7 window leads with the four NEW r7 operators
+    (``source_kl``, ``top_pc``, ``word_rank``, ``ann_ivfpq``) — the only
+    entries without a prior driver-green row — ceding four r6-green slots
+    (``mix_sources``, ``span_novelty``, ``top_docs_per_source``,
+    ``length_outliers``, all green in CORRECTNESS_r06.json). Every other
+    window entry keeps its r5/r6 position. After r6 every ``queries()`` entry has a
     driver-green row in at least one of CORRECTNESS_r01..r06 — the union
     invariant is asserted by ``tests/test_plans.py::
     test_query_registry_invariants``. The two seeded-xxhash64 rows-only
@@ -2462,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": _q_source_kl,
         "top_pc": _q_top_pc,
         "word_rank": _q_word_rank,
+        "ann_ivfpq": _q_ann_ivfpq,
         # -- block A0 (r6): never driver-certified before this round --
         "embedding_cov": _q_embedding_cov,
         "pagerank": _q_pagerank,
@@ -2740,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "ann_pq": _ann_pq_oracle_sql(),
+        "ann_ivfpq": _ann_pq_oracle_sql(ivf_nprobe=2),
         "top_pc": _top_pc_oracle_sql(3, 64),
         "source_kl": """
             WITH t AS (

@@ -695,3 +695,27 @@ def test_resample_audio_real_flac(spark):
     want = resample_nearest(pcm.astype("float64"), 16000, 8000).astype(np.int64)
     assert got["n_frames"] == len(want)
     assert np.array_equal(out_pcm[:, 0], want.ravel())
+
+
+def test_mp3_info_real_world_file():
+    """Frame-walk metadata against a REAL encoder's output (a sample
+    mp3 shipped with system tooling), not just synthetic frames —
+    gated on the file's presence in this environment."""
+    import os
+
+    import pytest as _pytest
+
+    from lamindb_spark.pipeline.mp3 import is_mp3, mp3_info
+
+    path = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+    if not os.path.exists(path):
+        _pytest.skip("no real-world mp3 sample in this environment")
+    data = open(path, "rb").read()
+    assert is_mp3(data)
+    info = mp3_info(data)
+    assert info["layer"] == 3 and info["version"] == "MPEG-2"
+    assert info["sample_rate"] == 22050 and info["channels"] == 1
+    assert info["n_frames"] == 45
+    # duration consistent with the frame walk: 45 frames x 576 samples
+    # at 22050 Hz ~= 1175 ms
+    assert abs(info["duration_ms"] - 45 * 576 * 1000 // 22050) <= 2

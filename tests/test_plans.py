@@ -158,6 +158,9 @@ _MAX_EXCHANGES = {
     "word_rank": 0,          # TakeOrdered over checkpointed pagerank
                              # ranks (iteration shuffles sit behind
                              # localCheckpoint, vocab-bounded)
+    "ann_ivfpq": 1,          # TakeOrdered gather only: cell pruning is
+                             # a map-side argmin filter BEFORE encode,
+                             # candidates never join
 }
 
 
