@@ -2464,6 +2464,23 @@ def _q_ann_ivfpq(spark, sf):
     return pq_adc_topk(enc, pq_distance_table(books, qvec), k=10)
 
 
+def _q_ann_sq8(spark, sf):
+    """Scalar-quantized ANN (SQ8): per-dim [min,max] bounds from ONE
+    integer aggregation (no Lloyd rounds), 0..255 codes, exact integer
+    dequantized-L2 surrogate, TakeOrdered top-10 for vec 0. PQ's
+    4×-compression sibling: cheaper to train, zero-shuffle to score —
+    the standard first-prune tier before exact re-rank."""
+    from lamindb_spark.pipeline.similarity import sq8_topk, sq8_train
+
+    emb = load_table(spark, sf, "embeddings")
+    bounds = sq8_train(emb)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return sq8_topk(emb, bounds, qvec, k=10)
+
+
 def _q_source_kl(spark, sf):
     """Data-mixture diagnostic: per-source KL divergence of the token
     unigram distribution vs the whole corpus — per-term micro-nat
@@ -2515,12 +2532,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
     Ordering is deliberate: the correctness driver value-checks the FIRST 50
-    entries. The r7 window leads with the four NEW r7 operators
-    (``source_kl``, ``top_pc``, ``word_rank``, ``ann_ivfpq``) — the only
-    entries without a prior driver-green row — ceding four r6-green slots
-    (``mix_sources``, ``span_novelty``, ``top_docs_per_source``,
-    ``length_outliers``, all green in CORRECTNESS_r06.json). Every other
-    window entry keeps its r5/r6 position. After r6 every ``queries()`` entry has a
+    entries. The r7 window leads with the five NEW r7 operators
+    (``source_kl``, ``top_pc``, ``word_rank``, ``ann_ivfpq``, ``ann_sq8``) —
+    the only entries without a prior driver-green row — ceding five
+    r6-green slots (``profile_events``, ``mix_sources``, ``span_novelty``,
+    ``top_docs_per_source``, ``length_outliers``, all green in
+    CORRECTNESS_r06.json). Every other window entry keeps its r5/r6
+    position. After r6 every ``queries()`` entry has a
     driver-green row in at least one of CORRECTNESS_r01..r06 — the union
     invariant is asserted by ``tests/test_plans.py::
     test_query_registry_invariants``. The two seeded-xxhash64 rows-only
@@ -2539,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pc": _q_top_pc,
         "word_rank": _q_word_rank,
         "ann_ivfpq": _q_ann_ivfpq,
+        "ann_sq8": _q_ann_sq8,
         # -- block A0 (r6): never driver-certified before this round --
         "embedding_cov": _q_embedding_cov,
         "pagerank": _q_pagerank,
@@ -2818,6 +2837,32 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "ann_pq": _ann_pq_oracle_sql(),
         "ann_ivfpq": _ann_pq_oracle_sql(ivf_nprobe=2),
+        "ann_sq8": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), u AS (
+                SELECT vec_id, CAST(z[2] AS INTEGER) AS i,
+                       CAST(round(CAST(z[1] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+                FROM (SELECT vec_id, unnest(list_zip(v, range(1, len(v) + 1))) AS z FROM e)
+            ), b AS (
+                SELECT i, min(vq) AS lo, max(vq) AS hi FROM u GROUP BY i
+            ), c AS (
+                SELECT u.vec_id, u.i,
+                       CASE WHEN b.hi = b.lo THEN 0
+                            ELSE ((u.vq - b.lo) * 255) // (b.hi - b.lo) END AS code,
+                       b.hi - b.lo AS w
+                FROM u JOIN b USING (i)
+            ), q AS (
+                SELECT i, code AS qc FROM c WHERE vec_id = 0
+            ), t AS (
+                SELECT c.vec_id, ((abs(c.code - q.qc) * c.w) // 1000) AS d
+                FROM c JOIN q USING (i)
+            )
+            SELECT vec_id, CAST(sum(d * d) AS BIGINT) AS sq8_d2
+            FROM t GROUP BY vec_id
+            ORDER BY sq8_d2 ASC, vec_id ASC
+            LIMIT 10
+        """,
         "top_pc": _top_pc_oracle_sql(3, 64),
         "source_kl": """
             WITH t AS (

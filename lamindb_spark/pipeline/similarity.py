@@ -1375,3 +1375,83 @@ def ivfpq_topk(
     table = pq_distance_table(codebooks, query_vec)
     enc = spark.read.parquet(index_path).filter(F.col(cell_col).isin(probes))
     return pq_adc_topk(enc, table, k=k, id_col=id_col)
+
+
+def sq8_train(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[int, int]]:
+    """Scalar-quantization bounds: per-dimension [min, max] of the
+    MICRO-QUANTIZED components (int64) — ONE posexplode aggregation
+    whose state is dim pairs regardless of corpus size. All-integer by
+    construction, so SQ8 encode/score replay exactly in any engine
+    (min/max of ints has no summation-order problem at all). Returns
+    [(lo_micro, hi_micro)] indexed by dimension."""
+    rows = (
+        embeddings.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v")
+        )
+        .select("i", F.round(F.col("v") * 1_000_000.0, 0).cast("long").alias("vq"))
+        .groupBy("i")
+        .agg(F.min("vq").alias("lo"), F.max("vq").alias("hi"))
+        .collect()
+    )
+    dim = max(int(r["i"]) for r in rows) + 1
+    out: list[tuple[int, int]] = [(0, 0)] * dim
+    for r in rows:
+        out[int(r["i"])] = (int(r["lo"]), int(r["hi"]))
+    return out
+
+
+def _sq8_code(vq: int, lo: int, hi: int) -> int:
+    return 0 if hi == lo else ((vq - lo) * 255) // (hi - lo)
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    bounds: list[tuple[int, int]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 approximate top-k: per dimension, components compress to a
+    0..255 code against the trained [lo, hi]; the score is the exact
+    integer Σ_i ((|c_i − qc_i| · (hi_i − lo_i)) div 1000)² — the
+    dequantized squared-L2 surrogate, scaled integer so summation
+    order can never flip a rounding and DuckDB replays it bit-for-bit
+    (abs before the truncating div keeps Spark `div` == DuckDB `//`).
+
+    Plan: zero-shuffle map pass against literal bounds/query codes
+    (model-sized, like k-means centroids) + TakeOrdered. At 100 TB
+    SQ8 is the 4×-compression sibling of PQ's 32× — cheaper to train
+    (one agg, no Lloyd rounds) and often accurate enough for a first
+    prune before exact re-rank."""
+    qvq = [_quant_half_up(x) for x in query_vec]
+    qc = [
+        _sq8_code(qvq[i], lo, hi) for i, (lo, hi) in enumerate(bounds)
+    ]
+    # flat 64-term integer sum, assembled as ONE SQL string (one parser
+    # round trip, stays inside whole-stage codegen — no HOF fallback);
+    # zero-width dims contribute 0 and are dropped from the expression
+    parts = []
+    for i, (lo, hi) in enumerate(bounds):
+        w = hi - lo
+        if w == 0:
+            continue
+        code = (
+            f"(((cast(round(cast(element_at({vec_col}, {i + 1}) as double) * 1000000.0, 0) as long)"
+            f" - {lo}L) * 255) div {w}L)"
+        )
+        parts.append(
+            f"(((abs({code} - {qc[i]}L) * {w}L) div 1000L)"
+            f" * ((abs({code} - {qc[i]}L) * {w}L) div 1000L))"
+        )
+    score = F.expr(" + ".join(parts) if parts else "0L")
+    from ..operators.spread import spread_for_cpu
+
+    return (
+        spread_for_cpu(embeddings)
+        .select(F.col(id_col), score.cast("long").alias("sq8_d2"))
+        .orderBy(F.asc("sq8_d2"), F.asc(id_col))
+        .limit(k)
+    )

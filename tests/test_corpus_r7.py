@@ -156,3 +156,48 @@ def test_ivfpq_index_prunes_files_and_matches_bruteforce(spark, tmp_path):
         ).collect()
     ]
     assert rows == want
+
+
+def test_sq8_quantization_properties(spark):
+    """SQ8: codes lie in 0..255 with the extremes hit exactly, the
+    query's own vector scores 0, and the integer score formula replays
+    in pure python."""
+    from lamindb_spark.pipeline.similarity import (
+        _quant_half_up,
+        _sq8_code,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rows = [
+        (0, [0.0, 1.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.5, 0.5]),
+        (3, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bounds = sq8_train(df)
+    assert bounds == [(0, 1_000_000), (0, 1_000_000)]
+    assert _sq8_code(0, 0, 1_000_000) == 0
+    assert _sq8_code(1_000_000, 0, 1_000_000) == 255
+    out = {r["vec_id"]: r["sq8_d2"] for r in sq8_topk(df, bounds, [0.0, 1.0], k=4).collect()}
+    assert out[0] == 0, "query's own vector at distance 0"
+    # python replay of the documented integer formula
+    def score(vec, q):
+        s = 0
+        for i, (lo, hi) in enumerate(bounds):
+            w = hi - lo
+            if w == 0:
+                continue
+            c = ((_quant_half_up(vec[i]) - lo) * 255) // w
+            qc = ((_quant_half_up(q[i]) - lo) * 255) // w
+            s += ((abs(c - qc) * w) // 1000) ** 2
+        return s
+    for vid, vec in rows:
+        assert out[vid] == score(vec, [0.0, 1.0]), vid
+    # constant dimension contributes 0, not a crash
+    dfc = spark.createDataFrame([(0, [1.0, 5.0]), (1, [1.0, 7.0])], ["vec_id", "embedding"])
+    b2 = sq8_train(dfc)
+    assert b2[0] == (1_000_000, 1_000_000)
+    got = {r["vec_id"]: r["sq8_d2"] for r in sq8_topk(dfc, b2, [1.0, 5.0], k=2).collect()}
+    assert got[0] == 0 and got[1] > 0

@@ -161,6 +161,8 @@ _MAX_EXCHANGES = {
     "ann_ivfpq": 1,          # TakeOrdered gather only: cell pruning is
                              # a map-side argmin filter BEFORE encode,
                              # candidates never join
+    "ann_sq8": 1,            # spread; the 64-term integer score is one
+                             # codegen'd expression, then TakeOrdered
 }
 
 
