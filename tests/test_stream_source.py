@@ -205,3 +205,99 @@ def test_stream_after_log_checkpoint_expiry(spark, tmp_path):
     )
     got = [row for _bid, rows in batches for row in rows]
     assert got == [(99,)]
+
+
+def test_incremental_minhash_maintenance_via_cdc(spark, tmp_path):
+    """Pipeline composition the CDC source exists for: a documents
+    table ingests batches over time; the consumer maintains a
+    PERSISTED minhash signature table incrementally — each micro-batch
+    signs ONLY the changed docs (never rescans the corpus) and MERGEs
+    them in. After two source commits and a restart, the signature
+    table equals the from-scratch signatures of the full corpus."""
+    from lamindb_spark.catalog.commitlog import append_dataframe, read_committed
+    from lamindb_spark.pipeline.dedup import minhash_signatures_portable
+    from lamindb_spark.streaming.sink import stream_merge_exactly_once
+
+    src = str(tmp_path / "docs")
+    sig = str(tmp_path / "sigs")
+    docs1 = [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "pack my box with five dozen liquor jugs")]
+    docs2 = [(3, "sphinx of black quartz judge my vow"),
+             (1, "the quick brown fox jumps over the lazy dog again")]  # update
+    append_dataframe(
+        spark.createDataFrame(docs1, ["doc_id", "text"]).coalesce(1), src
+    )
+
+    def _wide_sigs(long_df):
+        # long-form (id, hash_idx, sig) -> one row per doc so the MERGE
+        # key is doc_id alone
+        return long_df.groupBy("doc_id").agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hash_idx", "sig"))),
+                    lambda s: s["sig"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+
+    def run():
+        from lamindb_spark.streaming.source import stream_changes
+
+        stream = stream_changes(spark, src, with_version_column=True)
+        # sign only the batch's docs, then MERGE into the signature table
+        from pyspark.sql import functions as F
+
+        def sink(bdf, bid):
+            if bdf.isEmpty():
+                return
+            from lamindb_spark.catalog.commitlog import (
+                CommitLog,
+                append_dataframe_txn,
+                merge_into,
+            )
+
+            keep = bdf.groupBy("doc_id").agg(
+                F.max_by("text", F.col("_commit_version")).alias("text")
+            )
+            signed = _wide_sigs(
+                minhash_signatures_portable(keep, "text", "doc_id", n_hashes=8)
+            )
+            log = CommitLog(sig)
+            if ("sigs", bid) in log.known_txns():
+                return
+            if not log.versions():
+                append_dataframe_txn(signed, sig, "sigs", bid)
+            else:
+                merge_into(
+                    spark, sig, signed, "doc_id",
+                    extra_metadata={"txn_app": "sigs", "txn_version": bid},
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    append_dataframe(
+        spark.createDataFrame(docs2, ["doc_id", "text"]).coalesce(1), src
+    )
+    run()  # restart from checkpoint: only the second commit is signed
+
+    got = {
+        r["doc_id"]: r["sig"] for r in read_committed(spark, sig).collect()
+    }
+    # from-scratch signatures over the CURRENT corpus state
+    latest = {1: docs2[1][1], 2: docs1[1][1], 3: docs2[0][1]}
+    full = spark.createDataFrame(sorted(latest.items()), ["doc_id", "text"])
+    want = {
+        r["doc_id"]: r["sig"]
+        for r in _wide_sigs(
+            minhash_signatures_portable(full, "text", "doc_id", n_hashes=8)
+        ).collect()
+    }
+    assert got == want and len(got) == 3
