@@ -1455,3 +1455,101 @@ def sq8_topk(
         .orderBy(F.asc("sq8_d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _with_residual(
+    embeddings: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """(id, cell, residual): residual = vector − its cell's centroid.
+    Cell via the codegen'd argmin; the centroid components arrive via a
+    broadcast join against the model-sized centroid table (no HOF
+    re-evaluation, no shuffle of the vectors). Output residual column:
+    ``__res`` (array<double>)."""
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroid_rows],
+        f"{cell_col} int, __cv array<double>",
+    )
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        _argmin_cell(F.col(vec_col), centroid_rows).alias(cell_col),
+    )
+    return assigned.join(F.broadcast(cdf), cell_col).select(
+        id_col,
+        cell_col,
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda a, b: a - b).alias("__res"),
+    )
+
+
+def ivfpq_residual_build_index(
+    embeddings: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    path: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "centroid_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """RESIDUAL IVF-PQ (the actual IVF-ADC of Jégou et al. 2011 §III):
+    PQ codebooks are trained on ``v − centroid(cell(v))`` instead of
+    raw vectors — residuals concentrate around the origin, so the same
+    bit budget quantizes them far more accurately than raw vectors
+    spread across the whole space. Codes are written
+    ``partitionBy(cell)`` like :func:`ivfpq_build_index`; returns the
+    trained residual codebooks (the query side needs them)."""
+    res = _with_residual(embeddings, centroid_rows, id_col, vec_col, cell_col)
+    books = pq_train(res, dim=dim, m=m, k=k, iters=iters, id_col=id_col, vec_col="__res")
+    enc = pq_encode(res, books, dim=dim, id_col=id_col, vec_col="__res")
+    enc.join(res.select(id_col, cell_col), id_col).write.mode(
+        "overwrite"
+    ).partitionBy(cell_col).parquet(path)
+    return books
+
+
+def ivfpq_residual_topk(
+    spark,
+    index_path: str,
+    centroid_rows: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """ADC over residual codes: each probed cell gets ITS OWN distance
+    table, built from the query's residual w.r.t. that cell's centroid
+    (q − c_p) — nprobe cid-keyed integer tables, one partition-pruned
+    scan per cell, union + TakeOrdered. All the per-cell work is the
+    zero-shuffle :func:`pq_adc_topk` scoring expression; only nprobe
+    model-sized tables differ."""
+    cent_by_id = {int(c): [float(x) for x in v] for c, v in centroid_rows}
+    probes = probe_cells(centroid_rows, query_vec, nprobe)
+    scored = None
+    for p in probes:
+        cp = cent_by_id[p]
+        q_res = [q - c for q, c in zip(query_vec, cp)]
+        table = pq_distance_table(codebooks, q_res)
+        enc = spark.read.parquet(index_path).filter(F.col(cell_col) == int(p))
+        m = len(table)
+        score = F.lit(0).cast("long")
+        for s in range(m):
+            mp = F.create_map(
+                *[
+                    part
+                    for cid, d2 in table[s]
+                    for part in (F.lit(int(cid)), F.lit(int(d2)).cast("long"))
+                ]
+            )
+            score = score + F.element_at(mp, F.col(f"code_{s}"))
+        part_scored = enc.select(F.col(id_col), score.alias("adc_d2"))
+        scored = part_scored if scored is None else scored.unionByName(part_scored)
+    return scored.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(k)

@@ -515,3 +515,73 @@ def test_cdc_read_below_expired_range_raises(spark, tmp_path):
     # window entirely within the retained tail is fine
     got = sorted(r["id"] for r in CL.read_changes(spark, t, since_version=2).collect())
     assert got == list(range(100, 110))
+
+
+def test_checkpoint_model_property(tmp_path):
+    """Property (hypothesis): under ANY interleaving of add/remove
+    commits, checkpoints and log expiry, snapshot() equals a pure-
+    python fold of the same operation sequence, and versions stay
+    dense and monotonic. No Spark involved — the log is exercised
+    directly (commits reference path strings; snapshot never opens
+    data files)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lamindb_spark.catalog.commitlog import CommitLog
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("add"), st.integers(0, 30)),
+            st.tuples(st.just("swap"), st.integers(0, 30)),  # remove one live + add
+            st.tuples(st.just("checkpoint"), st.just(0)),
+            st.tuples(st.just("expire"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=ops)
+    def run(ops):
+        import shutil
+        import uuid
+
+        t = str(tmp_path / f"tbl-{uuid.uuid4().hex[:8]}")
+        log = CommitLog(t)
+        model: dict[str, None] = {}
+        head = -1
+        n_files = 0
+        for kind, arg in ops:
+            if kind == "add":
+                f = f"f{n_files}.parquet"
+                n_files += 1
+                v = log.commit(add=[f])
+                model[f] = None
+                assert v == head + 1, "dense monotonic versions"
+                head = v
+            elif kind == "swap" and model:
+                gone = sorted(model)[arg % len(model)]
+                f = f"f{n_files}.parquet"
+                n_files += 1
+                v = log.commit(add=[f], remove=[gone])
+                model.pop(gone)
+                model[f] = None
+                assert v == head + 1
+                head = v
+            elif kind == "checkpoint":
+                ck = log.write_checkpoint()
+                assert ck == head
+            elif kind == "expire":
+                log.expire_log()
+        got_v, got_files = log.snapshot()
+        assert got_v == head
+        import os
+
+        assert {os.path.relpath(p, t) for p in got_files} == set(model)
+        shutil.rmtree(t, ignore_errors=True)
+
+    run()

@@ -201,3 +201,101 @@ def test_sq8_quantization_properties(spark):
     assert b2[0] == (1_000_000, 1_000_000)
     got = {r["vec_id"]: r["sq8_d2"] for r in sq8_topk(dfc, b2, [1.0, 5.0], k=2).collect()}
     assert got[0] == 0 and got[1] > 0
+
+
+def test_residual_ivfpq_matches_numpy_and_improves_on_raw(spark, tmp_path):
+    """Residual IVF-PQ: (a) ADC scores equal a from-scratch numpy
+    replay of the same integer contract (residual train, encode,
+    per-cell tables); (b) the query's own vector ranks first; (c) on a
+    clustered fixture the residual quantization error is strictly
+    smaller than raw-vector PQ's — the reason IVF-ADC encodes
+    residuals."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.similarity import (
+        _quant_half_up,
+        ivfpq_residual_build_index,
+        ivfpq_residual_topk,
+        probe_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    # two tight clusters far apart: raw PQ wastes range on the offset
+    centers = np.array([[0.0] * 8, [10.0] * 8])
+    vecs = np.concatenate(
+        [centers[i % 2] + rng.normal(0, 0.05, 8).round(4) for i in range(30)]
+    ).reshape(30, 8)
+    vecs[0] = centers[0]
+    vecs[1] = centers[1]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    cents = [(0, list(map(float, vecs[0]))), (1, list(map(float, vecs[1])))]
+    path = str(tmp_path / "rivfpq")
+    books = ivfpq_residual_build_index(
+        df, cents, path, dim=8, m=2, k=4, iters=2
+    )
+    q = [float(x) for x in vecs[0]]
+    out = ivfpq_residual_topk(
+        spark, path, cents, books, q, k=5, nprobe=1
+    ).collect()
+    assert out[0]["vec_id"] == 0, "query's own vector first"
+    # NOTE: own-vector ADC is the quantization error of the zero
+    # residual (distance to the nearest residual CENTROID), not 0
+
+    # numpy replay: assign -> residual -> codes -> per-cell table sums
+    def d2(a, b):
+        return float(((np.asarray(a) - np.asarray(b)) ** 2).sum())
+
+    assign = [0 if d2(v, cents[0][1]) <= d2(v, cents[1][1]) else 1 for v in vecs]
+    probes = probe_cells(cents, q, 1)
+    cand = [i for i in range(30) if assign[i] in probes]
+    books_np = [[(cid, np.asarray(cv)) for cid, cv in b] for b in books]
+    scores = {}
+    for i in cand:
+        res = vecs[i] - np.asarray(cents[assign[i]][1])
+        s = 0
+        q_res = np.asarray(q) - np.asarray(cents[assign[i]][1])
+        for sub in range(2):
+            lo, hi = sub * 4, (sub + 1) * 4
+            codes = books_np[sub]
+            best = min(
+                codes, key=lambda c: (d2(res[lo:hi], c[1]), c[0])
+            )
+            qq = [_quant_half_up(x) for x in q_res[lo:hi]]
+            cc = [_quant_half_up(x) for x in best[1]]
+            s += sum((a - b) * (a - b) for a, b in zip(qq, cc))
+        scores[i] = s
+    want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    got = [(r["vec_id"], r["adc_d2"]) for r in out]
+    assert got == want
+
+    # (c) residual quantization reconstructs better than raw PQ
+    from lamindb_spark.pipeline.similarity import pq_encode, pq_train
+
+    raw_books = pq_train(df, dim=8, m=2, k=4, iters=2)
+    raw_enc = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in pq_encode(df, raw_books, dim=8).collect()}
+    res_df = spark.createDataFrame(
+        [(i, [float(x) for x in (vecs[i] - np.asarray(cents[assign[i]][1]))]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    res_enc = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in pq_encode(res_df, books, dim=8).collect()}
+
+    def recon_err(i, enc_map, book_set, base):
+        err = 0.0
+        for sub in range(2):
+            lo, hi = sub * 4, (sub + 1) * 4
+            cv = dict((c, v) for c, v in book_set[sub])[enc_map[i][sub]]
+            target = vecs[i][lo:hi] - (np.asarray(base(i))[lo:hi])
+            err += d2(target, cv)
+        return err
+
+    raw_err = sum(recon_err(i, raw_enc, raw_books, lambda i: [0.0] * 8) for i in range(30))
+    res_err = sum(
+        recon_err(i, res_enc, books, lambda i: cents[assign[i]][1]) for i in range(30)
+    )
+    # strictly better, not dramatically: k-means PQ codebooks also
+    # capture the bimodal structure at this k; the residual win grows
+    # with cluster count vs codebook size
+    assert res_err < raw_err, (res_err, raw_err)
