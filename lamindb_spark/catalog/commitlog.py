@@ -86,7 +86,21 @@ class CommitLog:
         that is the table's real read bottleneck, and it is O(tail)
         here instead. Time travel below the oldest checkpoint still
         works as long as the commit files are retained (see
-        :meth:`expire_log`)."""
+        :meth:`expire_log`).
+
+        Race hardening: a concurrent ``expire_log`` can delete a commit
+        file between this reader's listing and its open — retried once;
+        the second pass reads through the checkpoint that subsumed the
+        deleted file."""
+        for attempt in (0, 1):
+            try:
+                return self._snapshot_once(version)
+            except FileNotFoundError:
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _snapshot_once(self, version: int | None) -> tuple[int, list[str]]:
         live: dict[str, None] = {}
         latest = -1
         usable = [
@@ -503,11 +517,16 @@ def read_changes(
     retained = log.versions()
     # expired-range guard: after write_checkpoint()+expire_log() the
     # per-commit change data below the checkpoint is gone; silently
-    # returning a partial feed would corrupt incremental consumers
-    if retained and since_version + 1 < retained[0] and retained[0] > 0:
+    # returning a partial (or empty) feed would corrupt incremental
+    # consumers. The oldest version whose changes are still readable is
+    # retained[0] (or head+1 when EVERY commit was expired into a
+    # checkpoint).
+    cks = log.checkpoint_versions()
+    oldest_readable = retained[0] if retained else (cks[-1] + 1 if cks else 0)
+    if since_version + 1 < oldest_readable:
         raise ValueError(
             f"CDC window ({since_version}, ...] starts below the oldest "
-            f"retained commit v{retained[0]} of {table_path} — the range "
+            f"retained commit v{oldest_readable} of {table_path} — the range "
             "was expired by checkpoint log cleanup; re-baseline the "
             "consumer from a full snapshot"
         )

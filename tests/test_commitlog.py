@@ -585,3 +585,24 @@ def test_checkpoint_model_property(tmp_path):
         shutil.rmtree(t, ignore_errors=True)
 
     run()
+
+
+def test_cdc_read_raises_when_all_commits_expired(spark, tmp_path):
+    """Every commit expired into a checkpoint: a stale CDC consumer
+    must get the expired-range error, never a silent empty feed."""
+    import pytest as _pytest
+
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10):
+        CL.append_dataframe(spark.range(lo, lo + 10).coalesce(1), t)
+    log = CL.CommitLog(t)
+    log.write_checkpoint()
+    log.expire_log()
+    assert log.versions() == []
+    with _pytest.raises(ValueError, match="expired"):
+        CL.read_changes(spark, t, since_version=0)
+    # a consumer already past the checkpointed head gets an empty (not
+    # erroneous) feed — nothing new has been committed
+    assert CL.read_changes(spark, t, since_version=1).count() == 0
