@@ -250,6 +250,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     round_to: int = 6,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Distributed PageRank (power iteration with damping) — the
     classic importance measure for lineage/citation/link graphs the
@@ -279,23 +280,27 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     graph = e.join(outdeg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), round_to).alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             graph.join(ranks, graph["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, ["node"], "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit((1.0 - damping) / n)
-                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
-                    round_to,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, ["node"], "left").select(
+            "node",
+            F.round(
+                F.lit((1.0 - damping) / n)
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                round_to,
+            ).alias("rank"),
         )
+        # checkpoint by STRIDE, not per iteration: each eager
+        # localCheckpoint is a full job, and at small/medium graphs the
+        # job floor — not the joins — dominates wall time (5 iters went
+        # 2.1→1.x s at sf0.1 with stride 2). Lineage depth stays
+        # bounded at `checkpoint_every` join+agg layers; the final
+        # iteration always checkpoints so callers inherit a flat plan.
+        if (it + 1) % max(checkpoint_every, 1) == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
