@@ -862,3 +862,42 @@ def vacuum(
             if not os.listdir(root):
                 os.rmdir(root)
     return {"data_files": n_files, "orphan_dirs": n_orphans}
+
+
+def compact_zorder(
+    spark: SparkSession,
+    table_path: str,
+    by: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ... ZORDER BY for a commit-log table: rewrite the live
+    snapshot clustered on the Z-curve over ``by`` (one range shuffle,
+    see ``sources/zorder.py``) and publish the swap as ONE optimistic
+    commit — after it, :func:`read_committed_pruned` and MERGE's
+    footer-span pruning skip at the file level on EVERY ``by`` column,
+    not just a single sort key. A concurrent commit that removed any
+    input raises :class:`CommitConflictError` (same contract as
+    :func:`compact`); concurrent appends survive the swap untouched.
+    Returns the committed version."""
+    from ..sources.zorder import write_zordered
+
+    log = CommitLog(table_path)
+    _, files = log.snapshot()
+    if not files:
+        return -1
+    df = spark.read.parquet(*files)
+    stage = f"zorder-{uuid.uuid4().hex[:12]}"
+    stage_path = os.path.join(table_path, stage)
+    write_zordered(df, stage_path, by, n_files=n_files, bits=bits)
+    new = [
+        os.path.join(stage, f)
+        for f in os.listdir(stage_path)
+        if f.endswith(".parquet")
+    ]
+    old = [os.path.relpath(p, table_path) for p in files]
+    return log.commit(
+        add=new,
+        remove=old,
+        metadata={"op": "compact", "zorder_by": by, "n_in": len(old)},
+    )

@@ -606,3 +606,39 @@ def test_cdc_read_raises_when_all_commits_expired(spark, tmp_path):
     # a consumer already past the checkpointed head gets an empty (not
     # erroneous) feed — nothing new has been committed
     assert CL.read_changes(spark, t, since_version=1).count() == 0
+
+
+def test_compact_zorder_improves_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER on a commit-log table: one optimistic swap
+    commit; afterwards footer-span pruning skips files on BOTH
+    clustered columns, and the rows are unchanged."""
+    from lamindb_spark.catalog import commitlog as CL
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    # ingest row-id ordered: x is scattered across every file
+    for lo in range(0, 4096, 1024):
+        CL.append_dataframe(
+            df.filter((F.col("id") >= lo) & (F.col("id") < lo + 1024)).coalesce(1), t
+        )
+    before = CL.read_committed_pruned(spark, t, "x", lo=3, hi=3)
+    assert len(before.inputFiles()) == 4, "pre-zorder: x spans every file"
+    v = CL.compact_zorder(spark, t, ["x", "y"], n_files=8)
+    assert v >= 4
+    rows = CL.read_committed(spark, t)
+    assert rows.count() == 4096 and len(rows.inputFiles()) == 8
+    after_x = CL.read_committed_pruned(spark, t, "x", lo=3, hi=3)
+    after_y = CL.read_committed_pruned(spark, t, "y", lo=3, hi=3)
+    # pre-zorder the x slice touched 100% of files; the Z-curve layout
+    # prunes on BOTH columns simultaneously (a single-column sort can
+    # only ever prune one of them)
+    assert len(after_x.inputFiles()) <= 4 < 8, "x-range skips files"
+    assert len(after_y.inputFiles()) < 8, "y-range prunes too (Z-curve)"
+    assert after_x.count() == 64 and after_y.count() == 64
+    # values survived the swap exactly
+    got = sorted(r["id"] for r in rows.collect())
+    assert got == list(range(4096))
