@@ -2481,6 +2481,16 @@ def _q_ann_sq8(spark, sf):
     return sq8_topk(emb, bounds, qvec, k=10)
 
 
+def _q_fim_transform(spark, sf):
+    """Fill-in-the-middle (PSM) reordering of every document at
+    deterministic integer third-boundaries — the data-side half of FIM
+    pretraining (Bavarian et al. 2022), zero-shuffle map pass."""
+    from lamindb_spark.pipeline.rules import fim_transform
+
+    d = load_table(spark, sf, "documents")
+    return fim_transform(d)
+
+
 def _q_source_kl(spark, sf):
     """Data-mixture diagnostic: per-source KL divergence of the token
     unigram distribution vs the whole corpus — per-term micro-nat
@@ -2532,10 +2542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries, one per SURVEY.md §2 operator family.
 
     Ordering is deliberate: the correctness driver value-checks the FIRST 50
-    entries. The r7 window leads with the five NEW r7 operators
-    (``source_kl``, ``top_pc``, ``word_rank``, ``ann_ivfpq``, ``ann_sq8``) —
-    the only entries without a prior driver-green row — ceding five
-    r6-green slots (``profile_events``, ``mix_sources``, ``span_novelty``,
+    entries. The r7 window leads with the six NEW r7 operators
+    (``source_kl``, ``top_pc``, ``word_rank``, ``ann_ivfpq``, ``ann_sq8``,
+    ``fim_transform``) — the only entries without a prior driver-green
+    row — ceding six r6-green slots (``dup_representatives``,
+    ``profile_events``, ``mix_sources``, ``span_novelty``,
     ``top_docs_per_source``, ``length_outliers``, all green in
     CORRECTNESS_r06.json). Every other window entry keeps its r5/r6
     position. After r6 every ``queries()`` entry has a
@@ -2558,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_rank": _q_word_rank,
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_sq8": _q_ann_sq8,
+        "fim_transform": _q_fim_transform,
         # -- block A0 (r6): never driver-certified before this round --
         "embedding_cov": _q_embedding_cov,
         "pagerank": _q_pagerank,
@@ -2864,6 +2876,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "top_pc": _top_pc_oracle_sql(3, 64),
+        "fim_transform": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                       len(toks) // 3 AS k1, (len(toks) * 2) // 3 AS k2
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   '<PRE>' || array_to_string(toks[1:k1], ' ') ||
+                   '<SUF>' || array_to_string(toks[k2 + 1:len(toks)], ' ') ||
+                   '<MID>' || array_to_string(toks[k1 + 1:k2], ' ') AS fim_text
+            FROM s
+        """,
         "source_kl": """
             WITH t AS (
                 SELECT source,

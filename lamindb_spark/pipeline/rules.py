@@ -310,3 +310,54 @@ def mix_corpora(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
         .drop("__rn", "__n")
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    split each document's token sequence into thirds at deterministic
+    boundaries (k1 = n div 3, k2 = 2n div 3 — integer arithmetic, so
+    every engine picks the same split) and emit the PSM reordering
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the data-side half of
+    FIM pretraining, applied at corpus scale as a pure map pass (zero
+    shuffle; the published recipe applies it to ~50% of documents,
+    which composes with :func:`hash_split`'s deterministic sampling).
+
+    Output: (id, n_tokens, fim_text). Empty docs emit the bare
+    sentinels."""
+    from ..functions.text import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    k1 = F.floor(n / 3).cast("int")
+    k2 = F.floor(n * 2 / 3).cast("int")
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        n.cast("long").alias("n_tokens"),
+        k1.alias("__k1"),
+        k2.alias("__k2"),
+    )
+    joined = F.concat(
+        F.lit("<PRE>"),
+        F.array_join(F.slice("__t", F.lit(1), F.col("__k1")), sep),
+        F.lit("<SUF>"),
+        F.array_join(
+            F.slice(
+                "__t",
+                F.col("__k2") + 1,
+                F.greatest(F.col("n_tokens").cast("int") - F.col("__k2"), F.lit(0)),
+            ),
+            sep,
+        ),
+        F.lit("<MID>"),
+        F.array_join(
+            F.slice("__t", F.col("__k1") + 1, F.col("__k2") - F.col("__k1")), sep
+        ),
+    )
+    return staged.select(id_col, "n_tokens", joined.alias("fim_text"))

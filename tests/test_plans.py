@@ -163,6 +163,7 @@ _MAX_EXCHANGES = {
                              # candidates never join
     "ann_sq8": 1,            # spread; the 64-term integer score is one
                              # codegen'd expression, then TakeOrdered
+    "fim_transform": 0,      # pure map pass (token split + slices)
 }
 
 
