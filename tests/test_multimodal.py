@@ -719,3 +719,75 @@ def test_mp3_info_real_world_file():
     # duration consistent with the frame walk: 45 frames x 576 samples
     # at 22050 Hz ~= 1175 ms
     assert abs(info["duration_ms"] - 45 * 576 * 1000 // 22050) <= 2
+
+
+def test_packbits_matches_published_apple_vector():
+    """The canonical PackBits example (Apple TN1023 / TIFF spec §9):
+    both our packing byte-for-byte and the round trip."""
+    from lamindb_spark.pipeline.tiff import packbits_decode, packbits_encode
+
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert packbits_encode(unpacked) == packed
+    assert packbits_decode(packed) == unpacked
+    # degenerate inputs
+    assert packbits_decode(packbits_encode(b"")) == b""
+    assert packbits_decode(packbits_encode(b"\x00" * 1000)) == b"\x00" * 1000
+
+
+def test_tiff_lzw_hand_derived_code_sequence():
+    """TIFF-LZW against a hand-derived code sequence for the bytes
+    07 07 07 08 08 07: codes [CLEAR, 7, 258, 8, 8, 7, EOI], all 9-bit,
+    MSB-first — the bit packing is assembled independently here and
+    must equal the encoder's output; the decoder must invert it
+    (including the KwKwK case at code 258)."""
+    from lamindb_spark.pipeline.tiff import lzw_decode, lzw_encode
+
+    data = bytes([7, 7, 7, 8, 8, 7])
+    codes = [256, 7, 258, 8, 8, 7, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    want = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert lzw_encode(data) == want
+    assert lzw_decode(want) == data
+
+
+def test_tiff_lzw_width_transitions_roundtrip():
+    """Force the 9→10→11 bit EarlyChange transitions (and the decoder's
+    one-entry lag) with >1500 distinct pairs, then a table-clear via a
+    long stream; exact round trips throughout."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.tiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(3)
+    blob = bytes(rng.integers(0, 256, 40_000, dtype=np.uint8).tolist())
+    assert lzw_decode(lzw_encode(blob)) == blob
+    # highly repetitive: exercises long matches + low code widths
+    rep = (b"abcabd" * 3000) + b"tail"
+    assert lzw_decode(lzw_encode(rep)) == rep
+
+
+def test_tiff_compressed_roundtrips_and_predictor():
+    """decode(encode(x)) == x for LZW and PackBits TIFFs, gray and
+    RGB, with and without the horizontal predictor; predictor+LZW
+    shrinks smooth gradients below the uncompressed size."""
+    import numpy as np
+
+    from lamindb_spark.pipeline.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    smooth = (np.arange(64 * 64).reshape(64, 64) % 251).astype(np.uint8)
+    for img in (gray, rgb):
+        want = img[:, :, None] if img.ndim == 2 else img
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                arr, w, h, c = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+                assert arr.shape == want.shape and (arr == want).all(), (comp, pred)
+    plain = len(encode_tiff(smooth, compression=1))
+    lzw_pred = len(encode_tiff(smooth, compression=5, predictor=2))
+    assert lzw_pred < plain // 2, (lzw_pred, plain)
+    arr, *_ = decode_tiff(encode_tiff(smooth, compression=5, predictor=2))
+    assert (arr[:, :, 0] == smooth).all()
