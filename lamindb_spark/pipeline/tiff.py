@@ -4,17 +4,18 @@ TIFF is the format bio-imaging actually ships (microscopy exports,
 OME-TIFF), so the multimodal image path should not stub it. Scope —
 either byte order (II/MM), 8-bit samples, 1 (gray) or 3 (RGB) samples
 per pixel, chunky planar config, strip layout (any RowsPerStrip), and
-the three TIFF 6.0 baseline compressions: none (1), LZW (5, MSB-first
+the TIFF compressions: none (1), Deflate (8/32946, stdlib zlib), LZW (5, MSB-first
 with the spec's EarlyChange code-width bump, plus the horizontal
-differencing predictor tag 317) and PackBits (32773). JPEG/Deflate
+differencing predictor tag 317) and PackBits (32773). JPEG
 compression and tiled layouts raise — codec-library territory, the
 declared stub. The encoder writes little-endian single-strip in any of
-the three compressions, matching decode exactly (lossless
+the four compressions, matching decode exactly (lossless
 round-trip)."""
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 _II, _MM = b"II", b"MM"
 
@@ -207,7 +208,7 @@ def decode_tiff(data: bytes):
     t = _read_ifd(data, endian)
     width, height = t[_WIDTH][0], t[_HEIGHT][0]
     comp = t.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {comp}")
     spp = t.get(_SAMPLES_PER_PIXEL, [1])[0]
     bits = t.get(_BITS, [8] * spp)
@@ -222,6 +223,8 @@ def decode_tiff(data: bytes):
     strips = [bytes(data[o : o + c]) for o, c in zip(offsets, counts)]
     if comp == 5:
         strips = [lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):  # Adobe deflate / legacy deflate
+        strips = [zlib.decompress(s) for s in strips]
     elif comp == 32773:
         strips = [packbits_decode(s) for s in strips]
     raw = b"".join(strips)
@@ -248,7 +251,7 @@ def encode_tiff(arr, compression: int = 1, predictor: int = 1) -> bytes:
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError("encode_tiff expects 1 or 3 channels")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor == 2:
         arr = np.diff(
@@ -259,6 +262,8 @@ def encode_tiff(arr, compression: int = 1, predictor: int = 1) -> bytes:
     body = arr.tobytes()
     if compression == 5:
         body = lzw_encode(body)
+    elif compression == 8:
+        body = zlib.compress(body, 6)
     elif compression == 32773:
         body = packbits_encode(body)
     photometric = 1 if c == 1 else 2  # BlackIsZero / RGB

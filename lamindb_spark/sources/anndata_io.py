@@ -82,8 +82,9 @@ def _zarr_read_array(path: str) -> np.ndarray:
             "zarr filters (e.g. vlen-utf8) need numcodecs; write string "
             "columns as fixed-width unicode instead"
         )
-    if meta.get("order", "C") != "C":
-        raise NotImplementedError("only C-order zarr arrays supported")
+    order = meta.get("order", "C")
+    if order not in ("C", "F"):
+        raise NotImplementedError(f"unsupported zarr chunk order {order!r}")
     dtype = np.dtype(meta["dtype"])
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"]) if meta["chunks"] else shape
@@ -103,7 +104,9 @@ def _zarr_read_array(path: str) -> np.ndarray:
             continue  # missing chunk = fill_value
         with open(fpath, "rb") as fh:
             raw = _decompress(fh.read(), meta.get("compressor"))
-        chunk = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        # F-order chunks (written by column-major producers, e.g. R/
+        # Julia anndata exporters) differ only in the buffer layout
+        chunk = np.frombuffer(raw, dtype=dtype).reshape(chunks, order=order)
         sel_out, sel_chunk = [], []
         for i, (ci, c, s) in enumerate(zip(idx, chunks, shape)):
             start = ci * c

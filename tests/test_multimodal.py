@@ -791,3 +791,53 @@ def test_tiff_compressed_roundtrips_and_predictor():
     assert lzw_pred < plain // 2, (lzw_pred, plain)
     arr, *_ = decode_tiff(encode_tiff(smooth, compression=5, predictor=2))
     assert (arr[:, :, 0] == smooth).all()
+
+
+def test_tiff_deflate_and_forder_zarr(spark, tmp_path):
+    """Deflate-in-TIFF (comp 8, stdlib zlib) round-trips with and
+    without the predictor; an F-order zarr array reads identically to
+    its C-order twin."""
+    import json
+    import os
+    import zlib as _zlib
+
+    import numpy as np
+
+    from lamindb_spark.pipeline.tiff import decode_tiff, encode_tiff
+    from lamindb_spark.sources.anndata_io import _zarr_read_array
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for pred in (1, 2):
+        arr, *_ = decode_tiff(encode_tiff(rgb, compression=8, predictor=pred))
+        assert (arr == rgb).all(), pred
+
+    mat = np.arange(24, dtype=np.float64).reshape(4, 6)
+    for order in ("C", "F"):
+        d = str(tmp_path / f"z{order}")
+        os.makedirs(d)
+        with open(os.path.join(d, ".zarray"), "w") as fh:
+            json.dump(
+                {
+                    "zarr_format": 2,
+                    "shape": [4, 6],
+                    "chunks": [3, 4],
+                    "dtype": "<f8",
+                    "order": order,
+                    "fill_value": 0,
+                    "filters": None,
+                    "compressor": {"id": "zlib", "level": 1},
+                },
+                fh,
+            )
+        for ci in range(2):
+            for cj in range(2):
+                block = np.zeros((3, 4))
+                rows = slice(ci * 3, min(ci * 3 + 3, 4))
+                cols = slice(cj * 4, min(cj * 4 + 4, 6))
+                sub = mat[rows, cols]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                with open(os.path.join(d, f"{ci}.{cj}"), "wb") as fh:
+                    fh.write(_zlib.compress(np.asfortranarray(block).tobytes(order=order)))
+        got = _zarr_read_array(d)
+        assert (got == mat).all(), order
