@@ -279,6 +279,15 @@ def pagerank(
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     graph = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # Teleport constant via DECIMAL subtraction: SQL engines constant-
+    # fold `1.0 - 0.85` exactly (0.15 → nearest double 0.1499…94),
+    # while Python float subtraction gives 0.15000…02 — the two land on
+    # OPPOSITE sides of a round-half tie whenever (1-d)/n hits the
+    # round_to grid midpoint (first seen at n=20000: 7.5e-6 with
+    # round_to=6 — sf0.1's pagerank diverged while sf0.01 was on-grid).
+    from decimal import Decimal
+
+    teleport = float(Decimal(1) - Decimal(str(damping)))
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), round_to).alias("rank"))
     for it in range(iters):
         contrib = (
@@ -290,7 +299,7 @@ def pagerank(
         ranks = nodes.join(contrib, ["node"], "left").select(
             "node",
             F.round(
-                F.lit((1.0 - damping) / n)
+                F.lit(teleport / n)
                 + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
                 round_to,
             ).alias("rank"),
