@@ -32,6 +32,7 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -195,19 +196,32 @@ class CommitLogDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table_path = self.options["path"]
-        files = _change_files(table_path, -1, _latest_version(table_path))
-        if not files:
-            raise FileNotFoundError(
-                f"no committed change data in {table_path}; commit once "
-                "before opening the stream"
-            )
-        arrow = pq.ParquetFile(files[-1][1]).schema_arrow
+        v = self.options.get("versionasof")
+        snap = _snapshot_files(table_path, int(v) if v is not None else None)
+        if snap:
+            newest = snap[-1]
+        else:
+            files = _change_files(table_path, -1, _latest_version(table_path))
+            if not files:
+                raise FileNotFoundError(
+                    f"no committed data in {table_path}; commit once "
+                    "before opening the source"
+                )
+            newest = files[-1][1]
+        arrow = pq.ParquetFile(newest).schema_arrow
         if str(self.options.get("withversioncolumn", "false")).lower() == "true":
             arrow = arrow.append(pa.field("_commit_version", pa.int64()))
         return from_arrow_schema(arrow)
 
     def streamReader(self, schema) -> CommitLogStreamReader:
         return CommitLogStreamReader(dict(self.options))
+
+    def reader(self, schema) -> "CommitLogBatchReader":
+        # the BATCH half: spark.read.format("lamindb_commitlog") scans
+        # the committed snapshot (optionally time-traveled with
+        # .option("versionAsOf", v)) — one input partition per live
+        # file, same arrow read path as the stream
+        return CommitLogBatchReader(dict(self.options))
 
 
 def stream_changes(
@@ -233,3 +247,48 @@ def stream_changes(
         .option("maxVersionsPerBatch", max_versions_per_batch)
         .load()
     )
+
+
+class CommitLogBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._table_path = options["path"]
+        v = options.get("versionasof")
+        self._version = int(v) if v is not None else None
+
+    def partitions(self):
+        files = _snapshot_files(self._table_path, self._version)
+        if not files:
+            return [_ChangeFilePartition(None)]
+        return [_ChangeFilePartition(f) for f in files]
+
+    def read(self, partition: _ChangeFilePartition):
+        if partition.path is None:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        return iter(pq.read_table(partition.path).to_batches())
+
+
+def _snapshot_files(table_path: str, version: int | None) -> list[str]:
+    # local import: the reader runs in a python worker process where
+    # only this module is shipped by value; the catalog import resolves
+    # from the same installed package
+    from ..catalog.commitlog import CommitLog
+
+    _, files = CommitLog(table_path).snapshot(version)
+    return files
+
+
+def read_snapshot(
+    spark: "SparkSession", table_path: str, version: int | None = None
+) -> "DataFrame":
+    """Batch-read a commit-log table through the registered data source
+    (``spark.read.format("lamindb_commitlog")``), optionally
+    time-traveled. Functionally equivalent to
+    :func:`catalog.commitlog.read_committed`, but resolved through the
+    source registry — the path a SQL-first user takes."""
+    spark.dataSource.register(CommitLogDataSource)
+    r = spark.read.format(FORMAT_NAME).option("path", table_path)
+    if version is not None:
+        r = r.option("versionAsOf", version)
+    return r.load()

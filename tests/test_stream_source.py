@@ -301,3 +301,22 @@ def test_incremental_minhash_maintenance_via_cdc(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_batch_read_through_data_source_with_time_travel(spark, tmp_path):
+    """spark.read.format('lamindb_commitlog'): snapshot scan equals
+    read_committed, versionAsOf time-travels, and a MERGE's survivor
+    rewrites are included (it is a snapshot, not a change feed)."""
+    from lamindb_spark.streaming.source import read_snapshot
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, ["id", "val"])  # noqa: E731
+    v0 = append_dataframe(df([(1, "a"), (2, "b")]).coalesce(1), t)
+    merge_into(spark, t, df([(2, "B"), (3, "c")]), "id")
+    now = {(r["id"], r["val"]) for r in read_snapshot(spark, t).collect()}
+    assert now == {(1, "a"), (2, "B"), (3, "c")}
+    then = {(r["id"], r["val"]) for r in read_snapshot(spark, t, version=v0).collect()}
+    assert then == {(1, "a"), (2, "b")}
+    assert now == {
+        (r["id"], r["val"]) for r in read_committed(spark, t).collect()
+    }
