@@ -325,18 +325,20 @@ def test_tiff_decodes_big_endian_multi_strip():
     assert (gw, gh, gc) == (w, h, 1) and (got[:, :, 0] == body).all()
 
 
-def test_tiff_compressed_raises():
-    """LZW-compressed TIFF raises (declared out of scope → the
-    multimodal stage falls back to the stub, not a crash)."""
+def test_tiff_unsupported_compression_raises():
+    """JPEG-in-TIFF (compression 7) raises cleanly (declared out of
+    scope → the multimodal stage falls back to the stub, not a crash).
+    LZW/Deflate/PackBits became REAL in r7, so the guard now pins the
+    next genuinely unsupported scheme."""
     import struct
 
     from lamindb_spark.pipeline.tiff import decode_tiff, encode_tiff
 
     blob = bytearray(encode_tiff(np.zeros((2, 2, 1), dtype=np.uint8)))
-    # compression entry is the 4th: flip its value to 5 (LZW)
+    # compression entry is the 4th: flip its value to 7 (JPEG)
     off = 8 + 2 + 12 * 3 + 8
     assert struct.unpack("<H", blob[off - 8 : off - 6])[0] == 259
-    blob[off : off + 2] = struct.pack("<H", 5)
+    blob[off : off + 2] = struct.pack("<H", 7)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(blob))
 
