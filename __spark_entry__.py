@@ -2910,8 +2910,8 @@ def oracle_sql() -> dict[str, str]:
             ), nt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
             term AS (
                 SELECT st.source, ns.n_s,
-                       st.c_st * CAST(round(ln(CAST(st.c_st * nt.n AS DOUBLE)
-                                               / CAST(ns.n_s * ct.c_t AS DOUBLE))
+                       st.c_st * CAST(round(ln((CAST(st.c_st AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                                               / (CAST(ns.n_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE)))
                                             * 1000000) AS BIGINT) AS term
                 FROM st JOIN ct USING (tok) JOIN ns USING (source), nt
             )

@@ -646,10 +646,14 @@ def source_kl(
     ct = F.sum("c_st").over(Window.partitionBy("tok")).cast("long")
     ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
     nt = ns.agg(F.sum("n_s").cast("long").alias("n"))
+    # cast BEFORE multiplying: c_st·n and n_s·c_t overflow int64 once
+    # the corpus passes ~3·10^9 tokens squared territory (at 100 TB,
+    # n ~ 10^13); double products are exact below 2^53 — identical
+    # values at test scale — and merely rounded, not wrapped, above it
     lr = F.round(
         F.log(
-            (F.col("c_st") * F.col("n")).cast("double")
-            / (F.col("n_s") * F.col("c_t")).cast("double")
+            (F.col("c_st").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_s").cast("double") * F.col("c_t").cast("double"))
         )
         * 1_000_000.0,
         0,
