@@ -658,11 +658,23 @@ def source_kl(
         * 1_000_000.0,
         0,
     ).cast("long")
+    # term product in DECIMAL, not int64 (ADVICE r7): at the 100 TB
+    # scale the docstring targets, c_st ≳ 3e11 with |lr| up to ~3e7
+    # micro-nats makes c_st·lr overflow int64 — Spark would wrap
+    # silently while DuckDB's BIGINT errors. decimal(18,0)·decimal(18,0)
+    # → decimal(37,0) product and a decimal(38,0) running sum are exact
+    # (both engines compute them as 128-bit integers), and identical to
+    # the int64 path at any scale where int64 didn't overflow. The
+    # final .cast("long") is the OUTPUT contract: kl_microsum =
+    # n_s·KL_micro stays in int64 until n_s·KL exceeds 9.2e12 token-nats
+    # per source (n_s > 3e11 tokens at a 30-nat drift) — callers at
+    # that scale should read the decimal column before the cast.
+    term = F.col("c_st").cast("decimal(18,0)") * lr.cast("decimal(18,0)")
     return (
         st.withColumn("c_t", ct)
         .join(F.broadcast(ns), "source")
         .join(F.broadcast(nt))
-        .select("source", "n_s", (F.col("c_st") * lr).alias("__term"))
+        .select("source", "n_s", term.alias("__term"))
         .groupBy("source")
         .agg(
             F.first("n_s").alias("n_tokens"),

@@ -240,9 +240,12 @@ def decode_tiff(data: bytes):
 def encode_tiff(arr, compression: int = 1, predictor: int = 1) -> bytes:
     """(H, W, C) uint8 (C in {1, 3}) → little-endian single-strip
     TIFF — the exact inverse of :func:`decode_tiff`. ``compression``:
-    1 (none), 5 (LZW), 32773 (PackBits); ``predictor=2`` applies
-    horizontal differencing before compression (effective with LZW on
-    smooth imagery — the standard pairing)."""
+    1 (none), 5 (LZW), 8 (Adobe Deflate), 32773 (PackBits);
+    ``predictor=2`` applies horizontal differencing before compression
+    (effective with LZW on smooth imagery — the standard pairing).
+    PackBits output restarts at every image row (TIFF 6.0 §9 requires
+    per-row packets; a whole-strip stream round-trips internally but
+    external per-row decoders misparse it — ADVICE r7)."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -265,7 +268,14 @@ def encode_tiff(arr, compression: int = 1, predictor: int = 1) -> bytes:
     elif compression == 8:
         body = zlib.compress(body, 6)
     elif compression == 32773:
-        body = packbits_encode(body)
+        # per-row packets (TIFF 6.0 §9): runs never cross a row
+        # boundary; the concatenation still decodes as one stream
+        # because PackBits packets are self-delimiting
+        row_bytes = w * c
+        body = b"".join(
+            packbits_encode(body[i : i + row_bytes])
+            for i in range(0, len(body), row_bytes)
+        )
     photometric = 1 if c == 1 else 2  # BlackIsZero / RGB
 
     bits_off_placeholder = c == 3  # BitsPerSample needs 3 shorts out-of-line

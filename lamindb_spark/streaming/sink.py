@@ -157,7 +157,11 @@ def stream_merge_exactly_once(
                     *[F.max_by(c, rank).alias(c) for c in rest]
                 )
             else:
-                dedup = batch_df.dropDuplicates([key])
+                # key-only stream: drop the order column BEFORE dedup —
+                # dropDuplicates([key]) would keep an arbitrary order
+                # value and leak _commit_version into the target schema
+                # (ADVICE r7)
+                dedup = batch_df.select(key).dropDuplicates()
         elif others:
             dedup = batch_df.groupBy(key).agg(
                 *[F.max_by(c, F.struct(*others)).alias(c) for c in others]
@@ -165,8 +169,13 @@ def stream_merge_exactly_once(
         else:
             # key-only stream: agg(*[]) raises — dedup is just distinct keys
             dedup = batch_df.dropDuplicates([key])
-        if not log.versions():
-            # first batch bootstraps the table (MERGE needs a snapshot)
+        if log.snapshot()[0] < 0:
+            # first batch bootstraps the table (MERGE needs a snapshot).
+            # Checkpoint-aware on purpose: after write_checkpoint() +
+            # expire_log() the _commits dir can hold ZERO commit JSONs
+            # while the table is non-empty (the snapshot lives in the
+            # checkpoint) — gating on `not log.versions()` here re-took
+            # the append path and silently duplicated keys (ADVICE r7)
             from ..catalog.commitlog import append_dataframe_txn
 
             append_dataframe_txn(dedup, table_path, query_name, batch_id)

@@ -85,6 +85,28 @@ def _change_files(
     return out
 
 
+def _oldest_readable(table_path: str) -> int:
+    """Oldest version whose CHANGE DATA is still readable — the same
+    boundary :func:`catalog.commitlog.read_changes` enforces: the first
+    retained commit JSON, or checkpoint+1 when every commit was expired
+    into a checkpoint, or 0 on an empty log."""
+    log_dir = os.path.join(table_path, "_commits")
+    if not os.path.isdir(log_dir):
+        return 0
+    commits, cks = [], []
+    for n in os.listdir(log_dir):
+        if n.startswith(".tmp") or not n.endswith(".json"):
+            continue
+        stem = n[: -len(".json")]
+        if stem.isdigit():
+            commits.append(int(stem))
+        elif stem.endswith(".checkpoint") and stem[: -len(".checkpoint")].isdigit():
+            cks.append(int(stem[: -len(".checkpoint")]))
+    if commits:
+        return min(commits)
+    return max(cks) + 1 if cks else 0
+
+
 def _latest_version(table_path: str) -> int:
     # checkpoint files count toward the head version: after log expiry
     # the newest checkpoint may be the only record of it, and a
@@ -140,6 +162,22 @@ class CommitLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         self._planned_start = int(end["version"])  # position hint for the cap
+        # expired-range guard (ADVICE r7): after write_checkpoint() +
+        # expire_log() the per-commit change data below the checkpoint
+        # is GONE — _change_files would silently yield nothing for the
+        # expired versions and the feed would be silently partial,
+        # while batch read_changes raises for the same window. Fail
+        # loudly the same way.
+        oldest = _oldest_readable(self._table_path)
+        if int(start["version"]) + 1 < oldest:
+            raise ValueError(
+                f"CDC stream offset v{int(start['version'])} is below the "
+                f"oldest retained commit v{oldest} of {self._table_path} — "
+                "the range was expired by checkpoint log cleanup; "
+                "re-baseline the consumer from a full snapshot "
+                "(read_snapshot) and restart with startingVersion set to "
+                "the snapshot version"
+            )
         files = _change_files(
             self._table_path, int(start["version"]), int(end["version"])
         )
