@@ -79,6 +79,17 @@ def get_spark(app_name: str = "lamindb-spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # Scan-split tuning. At production scale (100 TB of ~128 MB-1 GB
+    # files) the 128 MB default yields thousands of scan tasks per
+    # table; the benchmark fixtures are single small files, so scan
+    # parallelism at test scale requires a proportionally smaller
+    # split size. Env-gated so default behavior is untouched; used by
+    # the row-group-split experiment (BASELINE.md).
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb).config(
+            "spark.sql.files.openCostInBytes", mpb
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
