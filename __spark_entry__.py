@@ -2910,9 +2910,13 @@ def oracle_sql() -> dict[str, str]:
             ), nt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
             term AS (
                 SELECT st.source, ns.n_s,
-                       st.c_st * CAST(round(ln((CAST(st.c_st AS DOUBLE) * CAST(nt.n AS DOUBLE))
-                                               / (CAST(ns.n_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE)))
-                                            * 1000000) AS BIGINT) AS term
+                       -- DECIMAL term product, mirroring the Spark side
+                       -- (ADVICE r8): BIGINT*BIGINT errors in DuckDB at
+                       -- the overflow scale the decimal fix targets
+                       CAST(st.c_st AS DECIMAL(18,0))
+                       * CAST(round(ln((CAST(st.c_st AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                                       / (CAST(ns.n_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE)))
+                                    * 1000000) AS DECIMAL(18,0)) AS term
                 FROM st JOIN ct USING (tok) JOIN ns USING (source), nt
             )
             SELECT source, n_s AS n_tokens, CAST(sum(term) AS BIGINT) AS kl_microsum

@@ -603,6 +603,7 @@ def source_kl(
     df: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Per-source KL divergence of the token unigram distribution vs
     the whole corpus — the data-mixture diagnostic behind domain
@@ -621,7 +622,10 @@ def source_kl(
     two count tables, and a sources-sized final agg. The per-source
     and corpus-total tables are model-sized and broadcast. Output:
     (source, n_tokens, kl_microsum) — kl_microsum/n_tokens/1e6 is the
-    KL in nats.
+    KL in nats. ``exact_decimal=True`` keeps kl_microsum as
+    decimal(38,0) instead of casting to long — the escape hatch for
+    sources past ~9.2e12 token-nats where the int64 output column
+    would overflow (see :func:`source_kl_from_counts`).
     """
     from ..functions.text import ws_tokens
 
@@ -640,6 +644,16 @@ def source_kl(
         .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
         .localCheckpoint(eager=True)
     )
+    return source_kl_from_counts(st, exact_decimal=exact_decimal)
+
+
+def source_kl_from_counts(
+    st: DataFrame, exact_decimal: bool = False
+) -> DataFrame:
+    """KL aggregation over a pre-built (source, tok, c_st) count table
+    — the arithmetic core of :func:`source_kl`, factored out so the
+    decimal-exact term sum is testable at synthetic count magnitudes
+    the tokenizer path cannot reach (c_st·lr past int64)."""
     # corpus token count as a WINDOW over the checkpointed count table,
     # not a self-join — the tfidf_keywords trick: one (token) exchange
     # carries both the corpus count and the per-(source,token) rows
@@ -665,11 +679,18 @@ def source_kl(
     # → decimal(37,0) product and a decimal(38,0) running sum are exact
     # (both engines compute them as 128-bit integers), and identical to
     # the int64 path at any scale where int64 didn't overflow. The
-    # final .cast("long") is the OUTPUT contract: kl_microsum =
-    # n_s·KL_micro stays in int64 until n_s·KL exceeds 9.2e12 token-nats
-    # per source (n_s > 3e11 tokens at a 30-nat drift) — callers at
-    # that scale should read the decimal column before the cast.
+    # default output casts the sum to long (the cross-engine int64
+    # contract): on overflow it fails LOUDLY under ANSI (the Spark 4
+    # default; CAST_OVERFLOW) and yields NULL with ANSI off — a
+    # silently wrapped value is impossible either way.
+    # ``exact_decimal=True`` skips the cast and returns the
+    # decimal(38,0) sum — needed once kl_microsum = n_s·KL_micro
+    # exceeds 9.2e12 token-nats per source (n_s > 3e11 tokens at a
+    # 30-nat drift). Pinned by tests/test_advice_fixes_r8.py.
     term = F.col("c_st").cast("decimal(18,0)") * lr.cast("decimal(18,0)")
+    ksum = F.sum("__term")
+    if not exact_decimal:
+        ksum = ksum.cast("long")
     return (
         st.withColumn("c_t", ct)
         .join(F.broadcast(ns), "source")
@@ -678,7 +699,7 @@ def source_kl(
         .groupBy("source")
         .agg(
             F.first("n_s").alias("n_tokens"),
-            F.sum("__term").cast("long").alias("kl_microsum"),
+            ksum.alias("kl_microsum"),
         )
     )
 
