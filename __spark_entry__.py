@@ -1644,43 +1644,13 @@ def _q_wide_include(spark, sf):
     (nation→region), a to-many sorted-list column (order priorities),
     and a pivoted feature (order-status counts) — one row per entity,
     no fanout: to-many paths aggregate BEFORE the join."""
-    c = load_table(spark, sf, "customer")
-    n = load_table(spark, sf, "nation")
-    r = load_table(spark, sf, "region")
-    o = load_table(spark, sf, "orders")
-    fk = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left").select(
-        F.col("n_nationkey").alias("__nk"),
-        F.col("n_name").alias("nation_name"),
-        F.col("r_name").alias("region_name"),
-    )
-    many = o.groupBy("o_custkey").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities")
-    )
-    feat = (
-        o.groupBy("o_custkey")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            "o_custkey",
-            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_status_f"),
-            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_status_o"),
-            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_status_p"),
-        )
-    )
-    return (
-        c.join(F.broadcast(fk), c["c_nationkey"] == fk["__nk"], "left")
-        .join(many, c["c_custkey"] == many["o_custkey"], "left")
-        .drop("o_custkey")
-        .join(feat, c["c_custkey"] == feat["o_custkey"], "left")
-        .select(
-            "c_custkey",
-            "nation_name",
-            "region_name",
-            F.coalesce(F.col("priorities"), F.lit("")).alias("priorities"),
-            F.coalesce(F.col("n_status_f"), F.lit(0)).alias("n_status_f"),
-            F.coalesce(F.col("n_status_o"), F.lit(0)).alias("n_status_o"),
-            F.coalesce(F.col("n_status_p"), F.lit(0)).alias("n_status_p"),
-        )
+    from lamindb_spark.operators.pivot import wide_customer_export
+
+    return wide_customer_export(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "orders"),
     )
 
 

@@ -36,7 +36,17 @@ def brute_force_topk(
     sort, no shuffle of the data).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    score = cosine(F.col(vec_col), q) if metric == "cosine" else dot(F.col(vec_col), q)
+    if metric == "cosine":
+        score = cosine(F.col(vec_col), q)
+    elif metric == "l2":
+        # negated distance so the shared desc-order/limit path applies;
+        # the exact ground truth the L2-surrogate tiers (PQ/SQ8) are
+        # measured against in the recall study (scripts/ann_recall.py)
+        from ..functions.vectors import l2_distance
+
+        score = -l2_distance(F.col(vec_col).cast("array<double>"), q)
+    else:
+        score = dot(F.col(vec_col), q)
     return (
         embeddings.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
