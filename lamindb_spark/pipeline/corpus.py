@@ -719,6 +719,11 @@ def word_cooccurrence_edges(
         F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
         lambda x: x.rlike("^[a-z]{" + str(min_len) + ",}$"),
     )
+    # NO spread here, measured twice (r9): the r9 row-group experiment
+    # showed the extraction gains 25% from a genuinely parallel SCAN,
+    # but imitating that with spread_for_cpu's repartition made
+    # word_rank 2.8s -> 4.5s — the probe + extra exchange ahead of the
+    # distinct costs more than the map-side parallelism pays back.
     # size < 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
     # of yielding empty, so 0/1-token docs must be filtered out first
     pairs = df.select(toks.alias("__toks")).filter(F.size("__toks") >= 2).select(
