@@ -134,3 +134,60 @@ class PosixLogStore(LogStore):
 
 
 DEFAULT_STORE = PosixLogStore()
+
+
+class InMemoryLogStore(LogStore):
+    """Executable specification of the object-store contract — a
+    dict-backed store with EXACTLY the semantics the table above
+    requires of S3/GCS/ABFS and nothing more: no directories, no
+    rename, no link; conditional create, atomic single-key overwrite,
+    strongly consistent sorted prefix listing with ``start_after``.
+
+    Running the commit-protocol tests against this class (see
+    ``tests/test_logstore.py``) proves the protocol uses only the
+    documented primitives — a POSIX-ism that leaked past the seam
+    (a rename, a directory assumption, an uncommitted temp read)
+    fails here even though it passes on the local filesystem."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+
+    def ensure_dir(self, path: str) -> None:
+        pass  # prefixes need no creation on an object store
+
+    def list(self, path: str, start_after: str | None = None) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        names = sorted(
+            k[len(prefix) :]
+            for k in self._objects
+            if k.startswith(prefix) and "/" not in k[len(prefix) :]
+        )
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def read_json(self, path: str) -> dict:
+        import json as _json
+
+        try:
+            return _json.loads(self._objects[path])
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def write_json_atomic(self, path: str, body: dict) -> None:
+        import json as _json
+
+        self._objects[path] = _json.dumps(body).encode()
+
+    def put_json_if_absent(self, path: str, body: dict) -> bool:
+        import json as _json
+
+        # the conditional put: If-None-Match:* — create iff absent,
+        # atomically (single dict op; 412 == False)
+        if path in self._objects:
+            return False
+        self._objects[path] = _json.dumps(body).encode()
+        return True
+
+    def delete(self, path: str) -> None:
+        self._objects.pop(path, None)

@@ -160,3 +160,92 @@ def test_list_missing_dir_is_empty_and_start_after_cuts(tmp_path):
     for n in ("a.json", "b.json", "c.json"):
         s.write_json_atomic(os.path.join(d, n), {})
     assert s.list(d, start_after="a.json") == ["b.json", "c.json"]
+
+
+# -- the protocol against the OBJECT-STORE contract ---------------------
+# InMemoryLogStore implements exactly the documented S3 semantics (no
+# directories, no rename, no link — conditional put + atomic overwrite
+# + sorted prefix listing). The whole metadata protocol must run on it
+# unmodified; a POSIX-ism that leaked past the seam fails here.
+
+from lamindb_spark.catalog.commitlog import CommitConflictError
+from lamindb_spark.catalog.logstore import InMemoryLogStore
+
+
+def test_protocol_runs_on_object_store_contract():
+    store = InMemoryLogStore()
+    t = "/mem/tbl"
+    log = CommitLog(t, store=store)
+    assert log.commit(add=["a.parquet"]) == 0
+    assert (
+        log.commit(
+            add=["b.parquet"], metadata={"txn_app": "q", "txn_version": 7}
+        )
+        == 1
+    )
+    v, files = log.snapshot()
+    assert v == 1 and sorted(files) == [f"{t}/a.parquet", f"{t}/b.parquet"]
+
+    # checkpoint + expiry + pointer, all through conditional/atomic puts
+    assert log.write_checkpoint() == 1
+    assert log.last_checkpoint_version() == 1
+    assert log.expire_log() == 2
+    assert log.versions() == []
+    assert log.snapshot()[0] == 1  # served from the checkpoint
+    assert ("q", 7) in log.known_txns()  # txn identity survived expiry
+
+    # dense numbering continues past the expired head
+    assert log.commit(add=["c.parquet"]) == 2
+    # remove + conflict detection still work
+    assert log.commit(remove=["a.parquet"], add=["d.parquet"]) == 3
+    with pytest.raises(CommitConflictError):
+        log.commit(remove=["a.parquet"])
+    v, files = log.snapshot()
+    assert v == 3 and sorted(files) == [
+        f"{t}/b.parquet",
+        f"{t}/c.parquet",
+        f"{t}/d.parquet",
+    ]
+
+    # the CDC stream helpers run on the same contract
+    assert _latest_version(t, store) == 3
+    assert [v for v, _ in _change_files(t, 1, 3, store)] == [2, 3]
+    with pytest.raises(ValueError, match="expired"):
+        _change_files(t, -1, 3, store)  # below the expired range
+    _check_offset_retained(t, 1, store)  # boundary consumer is fine
+
+
+def test_concurrent_writers_race_resolves_via_conditional_put():
+    """Deterministic two-writer race on the contract alone: the rival
+    lands its commit the moment the victim attempts the conditional
+    put, so the victim's first attempt gets False (the 412 path) and
+    its retry takes the next version — no links, no locks."""
+    store = InMemoryLogStore()
+    t = "/mem/race"
+    victim = CommitLog(t, store=store)
+    rival = CommitLog(t, store=InMemoryLogStore())  # placeholder, re-bound below
+
+    class RaceStore(InMemoryLogStore):
+        def __init__(self, inner):
+            self._objects = inner._objects  # share the "bucket"
+            self.fired = False
+
+        def put_json_if_absent(self, path, body):
+            if not self.fired and body.get("metadata", {}).get("who") == "victim":
+                self.fired = True
+                # rival wins this exact version first
+                rival.commit(add=["rival.parquet"], metadata={"who": "rival"})
+            return super().put_json_if_absent(path, body)
+
+    rs = RaceStore(store)
+    rival.store = store
+    victim.store = rs
+    victim.commit(add=["seed.parquet"], metadata={"who": "seed"})  # v0
+    won = victim.commit(add=["victim.parquet"], metadata={"who": "victim"})
+    assert won == 2  # lost v1 to the rival, retried, won v2
+    v, files = CommitLog(t, store=store).snapshot()
+    assert v == 2 and sorted(files) == [
+        f"{t}/rival.parquet",
+        f"{t}/seed.parquet",
+        f"{t}/victim.parquet",
+    ]
