@@ -502,6 +502,59 @@ def compact_small_files(
     }
 
 
+def change_data_files(
+    table_path: str, start_v: int, end_v: int, store: LogStore | None = None
+) -> list[tuple[int, str]]:
+    """(version, absolute path) of every CHANGE-DATA file added by
+    commits in ``(start_v, end_v]`` — the one selection both the batch
+    CDC reader (:func:`read_changes`) and the streaming source share:
+    ``op == "compact"`` commits excluded (pure rewrites), MERGE
+    survivor rewrites excluded (``survivor_files`` metadata), files
+    later removed still included (their rows WERE added in-window).
+
+    One bounded ``start_after`` listing; needs no SparkSession. Raises
+    the expired-range error when the retained commits do not start
+    exactly at ``start_v + 1``: versions are DENSE by protocol
+    (``commit()`` takes head+1, ``expire_log`` deletes a prefix), so a
+    hole at the front of a nonempty window means checkpoint log
+    cleanup took the range — a silently-partial feed is impossible.
+    """
+    from .logstore import DEFAULT_STORE
+
+    store = store or DEFAULT_STORE
+    log_dir = os.path.join(table_path.rstrip("/"), "_commits")
+    start = f"{start_v:020d}.json" if start_v >= 0 else None
+    commits = sorted(
+        int(n[: -len(".json")])
+        for n in store.list(log_dir, start_after=start)
+        if n.endswith(".json")
+        and not n.startswith(".tmp")
+        and n[: -len(".json")].isdigit()  # skips *.checkpoint.json
+    )
+    in_range = [v for v in commits if start_v < v <= end_v]
+    if end_v > start_v and (not in_range or in_range[0] != start_v + 1):
+        raise ValueError(
+            f"CDC window starting at v{start_v} is below the oldest "
+            f"retained commit of {table_path} — the range was expired "
+            "by checkpoint log cleanup; re-baseline the consumer from "
+            "a full snapshot (read_snapshot / read_committed) and "
+            "restart from the snapshot version"
+        )
+    out: list[tuple[int, str]] = []
+    for v in in_range:
+        body = store.read_json(os.path.join(log_dir, f"{v:020d}.json"))
+        meta = body.get("metadata", {})
+        if meta.get("op") == "compact":
+            continue
+        skip = set(meta.get("survivor_files", []))
+        out.extend(
+            (v, os.path.join(table_path.rstrip("/"), f))
+            for f in body.get("add", [])
+            if f not in skip
+        )
+    return out
+
+
 def _commit_bodies(log: CommitLog) -> list[tuple[int, dict]]:
     out = []
     for v in log.versions():
@@ -578,37 +631,11 @@ def read_changes(
     appended in the window; their removal is layout churn).
     """
     log = CommitLog(table_path)
-    retained = log.versions()
-    # expired-range guard: after write_checkpoint()+expire_log() the
-    # per-commit change data below the checkpoint is gone; silently
-    # returning a partial (or empty) feed would corrupt incremental
-    # consumers. The oldest version whose changes are still readable is
-    # retained[0] (or head+1 when EVERY commit was expired into a
-    # checkpoint).
-    cks = log.checkpoint_versions()
-    oldest_readable = retained[0] if retained else (cks[-1] + 1 if cks else 0)
-    if since_version + 1 < oldest_readable:
-        raise ValueError(
-            f"CDC window ({since_version}, ...] starts below the oldest "
-            f"retained commit v{oldest_readable} of {table_path} — the range "
-            "was expired by checkpoint log cleanup; re-baseline the "
-            "consumer from a full snapshot"
-        )
-    files: list[str] = []
-    for v, body in _commit_bodies(log):
-        if v <= since_version:
-            continue
-        if to_version is not None and v > to_version:
-            break
-        meta = body.get("metadata", {})
-        if meta.get("op") == "compact":
-            continue
-        skip = set(meta.get("survivor_files", []))
-        files.extend(
-            os.path.join(log.table_path, f)
-            for f in body.get("add", [])
-            if f not in skip
-        )
+    # one pointer read + one bounded listing pick the window; the
+    # expired-range guard (silently-partial feeds are impossible)
+    # lives inside change_data_files, shared with the streaming source
+    end = to_version if to_version is not None else log._head_version()
+    files = [p for _v, p in change_data_files(table_path, since_version, end, log.store)]
     if not files:
         return spark.createDataFrame([], read_committed(spark, table_path).schema)
     return spark.read.parquet(*files)

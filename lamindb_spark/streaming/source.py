@@ -99,42 +99,15 @@ def _expired_error(table_path: str, start_v: int) -> ValueError:
 def _change_files(
     table_path: str, start_v: int, end_v: int, store=None
 ) -> list[tuple[int, str]]:
-    """(version, absolute path) of every change-data file added by
-    commits in ``(start_v, end_v]`` — the read_changes selection,
-    reimplemented on the raw log JSON so the streaming reader needs no
-    SparkSession. One bounded listing per call; raises the expired-
-    range error (ADVICE r7/r8) when the retained commits do not start
-    exactly at ``start_v + 1`` — commit versions are DENSE by protocol
-    (``commit()`` takes head+1, ``expire_log`` deletes a prefix), so a
-    hole at the front of the window means log cleanup took the range
-    and a silently-partial feed is impossible."""
-    from ..catalog.logstore import DEFAULT_STORE
+    """(version, absolute path) of change-data files in
+    ``(start_v, end_v]`` — delegates to the shared
+    :func:`catalog.commitlog.change_data_files` (one bounded listing,
+    compact/survivor exclusion, dense-version expired-range guard), so
+    the batch CDC reader and the stream cannot drift. Needs no
+    SparkSession (safe in the data source's python worker)."""
+    from ..catalog.commitlog import change_data_files
 
-    store = store or DEFAULT_STORE
-    names = _tail_names(table_path, start_v, store)
-    commits = sorted(
-        int(n[: -len(".json")])
-        for n in names
-        if n.endswith(".json")
-        and not n.startswith(".tmp")
-        and n[: -len(".json")].isdigit()  # skips *.checkpoint.json
-    )
-    in_range = [v for v in commits if start_v < v <= end_v]
-    if end_v > start_v and (not in_range or in_range[0] != start_v + 1):
-        raise _expired_error(table_path, start_v)
-    out: list[tuple[int, str]] = []
-    for v in in_range:
-        body = store.read_json(os.path.join(_log_dir(table_path), f"{v:020d}.json"))
-        meta = body.get("metadata", {})
-        if meta.get("op") == "compact":
-            continue
-        skip = set(meta.get("survivor_files", []))
-        out.extend(
-            (v, os.path.join(table_path, f))
-            for f in body.get("add", [])
-            if f not in skip
-        )
-    return out
+    return change_data_files(table_path, start_v, end_v, store)
 
 
 def _check_offset_retained(table_path: str, start_version: int, store=None) -> None:
