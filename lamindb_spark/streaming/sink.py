@@ -140,7 +140,7 @@ def stream_merge_exactly_once(
     """
     from pyspark.sql import functions as F
 
-    from ..catalog.commitlog import CommitLog, _commit_bodies, merge_into
+    from ..catalog.commitlog import CommitLog, merge_into
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         log = CommitLog(table_path)
