@@ -164,6 +164,11 @@ _MAX_EXCHANGES = {
     "ann_sq8": 1,            # spread; the 64-term integer score is one
                              # codegen'd expression, then TakeOrdered
     "fim_transform": 0,      # pure map pass (token split + slices)
+    "wide_include": 7,       # registry-pivot kernel: 3 hash exchanges
+                             # (priorities agg; pivot's (key,status)
+                             # partial + key final) + 4 broadcasts
+                             # (dim chain + agg results joined back);
+                             # a broadcast→SMJ flip trips this (r9)
 }
 
 
