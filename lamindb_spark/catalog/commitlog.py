@@ -524,13 +524,23 @@ def change_data_files(
     store = store or DEFAULT_STORE
     log_dir = os.path.join(table_path.rstrip("/"), "_commits")
     start = f"{start_v:020d}.json" if start_v >= 0 else None
-    commits = sorted(
-        int(n[: -len(".json")])
-        for n in store.list(log_dir, start_after=start)
-        if n.endswith(".json")
-        and not n.startswith(".tmp")
-        and n[: -len(".json")].isdigit()  # skips *.checkpoint.json
-    )
+    commits, head = [], start_v
+    for n in store.list(log_dir, start_after=start):
+        stem = n.split(".", 1)[0]
+        if not n.endswith(".json") or n.startswith(".tmp") or not stem.isdigit():
+            continue
+        # checkpoint files count toward the head: if a version newer
+        # than start_v ever existed, either its commit JSON is retained
+        # (listed here) or it was expired under a checkpoint of an even
+        # newer version, whose file also sorts after the start marker
+        head = max(head, int(stem))
+        if n[: -len(".json")].isdigit():
+            commits.append(int(stem))
+    commits.sort()
+    # clamp to the actual head: a window end beyond the newest version
+    # (an optimistic polling bound) means "everything available", not
+    # an expired range
+    end_v = min(end_v, head)
     in_range = [v for v in commits if start_v < v <= end_v]
     if end_v > start_v and (not in_range or in_range[0] != start_v + 1):
         raise ValueError(

@@ -249,3 +249,38 @@ def test_concurrent_writers_race_resolves_via_conditional_put():
         f"{t}/seed.parquet",
         f"{t}/victim.parquet",
     ]
+
+
+def test_change_window_beyond_head_is_empty_not_expired():
+    """An optimistic polling bound past the newest version means
+    'everything available', never the expired-range error — and a
+    bound inside an expired range still raises."""
+    from lamindb_spark.catalog.commitlog import change_data_files
+
+    store = InMemoryLogStore()
+    t = "/mem/poll"
+    log = CommitLog(t, store=store)
+    for i in range(3):
+        log.commit(add=[f"f{i}.parquet"])  # v0..v2
+    # window entirely beyond the head: empty, no error
+    assert change_data_files(t, 2, 100, store) == []
+    # window overlapping the head, bound beyond it: clamped
+    assert [v for v, _ in change_data_files(t, 1, 100, store)] == [2]
+    # after expiry the same optimistic bound from a stale offset raises
+    log.write_checkpoint()
+    log.expire_log()
+    log.commit(add=["f3.parquet"])  # v3
+    assert [v for v, _ in change_data_files(t, 2, 100, store)] == [3]
+    with pytest.raises(ValueError, match="expired"):
+        change_data_files(t, 0, 100, store)
+    # fully-expired tail (no retained commits at all): stale raises,
+    # at-head is empty
+    log2_t = "/mem/poll2"
+    log2 = CommitLog(log2_t, store=store)
+    log2.commit(add=["a.parquet"])
+    log2.commit(add=["b.parquet"])
+    log2.write_checkpoint()
+    log2.expire_log()
+    with pytest.raises(ValueError, match="expired"):
+        change_data_files(log2_t, 0, 100, store)
+    assert change_data_files(log2_t, 1, 100, store) == []
