@@ -53,12 +53,57 @@ def _rebuild_nanos_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
+# Session-scoped relation cache: (session, path, file fingerprint) →
+# analyzed DataFrame. `spark.read.parquet` re-infers the schema from
+# parquet footers on EVERY call (~100 ms of driver/py4j work per table
+# at sf0.1) even though the relation is immutable metadata — this is
+# what a table catalog exists to avoid, and at cluster scale the same
+# role is played by the metastore / transaction-log snapshot cache
+# (our own `catalog.commitlog.snapshot()` does this for managed
+# tables; this cache is the analogue for raw-path reads). The lazy
+# DataFrame carries no data, so reuse across queries changes no
+# results; a changed file invalidates via the stat fingerprint, the
+# same mechanism as `pipeline.similarity._MODEL_CACHE`.
+_RELATION_CACHE: dict[tuple[int, str, str, tuple], DataFrame] = {}
+_RELATION_CACHE_MAX = 256
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) of the file, or of every member for a directory
+    parquet — any rewrite changes the fingerprint."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("missing",)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    parts = []
+    for entry in sorted(os.listdir(path)):
+        try:
+            est = os.stat(os.path.join(path, entry))
+        except OSError:
+            continue
+        parts.append((entry, est.st_mtime_ns, est.st_size))
+    return (st.st_mtime_ns, tuple(parts))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy scan of one testdata table."""
+    """Lazy scan of one testdata table (relation cached per session)."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name in _NANOS_TS_COLS:
-        df = _rebuild_nanos_ts(df, _NANOS_TS_COLS[name])
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = (id(spark), spark.sparkContext.applicationId, path, _path_fingerprint(path))
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name in _NANOS_TS_COLS:
+            df = _rebuild_nanos_ts(df, _NANOS_TS_COLS[name])
+        if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+            # drop entries for dead sessions/stale fingerprints first;
+            # if still full, clear — correctness never depends on a hit
+            _RELATION_CACHE.clear()
+        _RELATION_CACHE[key] = df
     return df
 
 
