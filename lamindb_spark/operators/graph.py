@@ -270,7 +270,13 @@ def pagerank(
     for filtering-oriented uses where only the ordering matters.
     Output: (node, rank).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # checkpoint the edge frame FIRST: the nodes and graph bootstraps
+    # below would otherwise each re-execute the caller's whole edge
+    # plan (for TextRank that is a full corpus scan + explode +
+    # distinct) — one materialization, two cheap derivations
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
