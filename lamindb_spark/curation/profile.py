@@ -21,16 +21,38 @@ from pyspark.sql import functions as F
 
 def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """Long-form profile: one row per column with
-    (n_rows, n_null, n_distinct, min_val, max_val)."""
+    (n_rows, n_null, n_distinct, min_val, max_val).
+
+    Plan note (measured at sf0.1 `events`): a variable-width (string)
+    min/max in the same aggregate as the multi-distinct Expand forces
+    the WHOLE 4n-row expanded stream through SortAggregate — Tungsten's
+    hash buffer only holds fixed-width mutable values. String min/max
+    therefore folds in a SEPARATE keyless aggregate (no keys → no sort,
+    a plain partial/final fold) cross-joined back as a 1-row broadcast.
+    Counts, distincts and numeric min/max stay in the one Expand-based
+    hash aggregate. At 100 TB the trade is the same but bigger: one
+    extra sequential columnar scan versus sorting 4n expanded rows.
+    """
+    dtypes = dict(df.dtypes)
+    fixed = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "boolean", "date", "timestamp", "timestamp_ntz",
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
+    fold_aggs = []
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
             F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+        ]
+        minmax = aggs if dtypes.get(c) in fixed else fold_aggs
+        minmax += [
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
     one = df.agg(*aggs)
+    if fold_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*fold_aggs)))
     rows = F.array(
         *[
             F.struct(
