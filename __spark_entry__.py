@@ -830,7 +830,7 @@ def _q_ann_lsh(spark, sf):
 
     e = load_table(spark, sf, "embeddings")
     be = e.withColumn(
-        "bucket", portable_bucket(F.col("embedding"), hyperplane_signs(64, 8))
+        "bucket", portable_bucket("embedding", hyperplane_signs(64, 8))
     )
     q = be.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
@@ -1705,6 +1705,19 @@ def _emb_cache_key(sf: str) -> str:
     return source_fingerprint(os.path.join(sf.rstrip("/"), "embeddings.parquet"))
 
 
+def _doc_cache_key(sf: str) -> str:
+    """Same contract as :func:`_emb_cache_key` for the documents table:
+    fingerprint key for the text-side trained artifacts (BPE merge
+    table, DSIR ratio table, logreg classifier) — deterministic
+    trainers, so retraining inside the same process over unchanged
+    files reproduces the model bit-for-bit."""
+    import os
+
+    from lamindb_spark.pipeline.similarity import source_fingerprint
+
+    return source_fingerprint(os.path.join(sf.rstrip("/"), "documents.parquet"))
+
+
 def _q_kmeans(spark, sf):
     """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
     lowest-id init, centroids rounded for engine portability) over the
@@ -1819,7 +1832,7 @@ def _q_bpe_merges(spark, sf):
     from lamindb_spark.sources.literals import literal_table
 
     d = load_table(spark, sf, "documents").select("text")
-    merges = bpe_train(d, n_merges=8)
+    merges = bpe_train(d, n_merges=8, cache_key=_doc_cache_key(sf))
     out = literal_table(spark, merges, ["rank", "lhs", "rhs", "freq"])
     return out.select(
         F.col("rank").cast("int").alias("rank"),
@@ -2067,7 +2080,12 @@ def _q_logreg_weights(spark, sf):
 
     toks = ws_tokens(F.col("text"), lowercase=True)
     feats = featurize(d, F.array_contains(toks, "spark"), n_buckets=128)
-    w, bias = train_logreg(feats, n_buckets=128, iters=5)
+    # cache key folds in the featurization (label + buckets), per the
+    # train_logreg contract
+    w, bias = train_logreg(
+        feats, n_buckets=128, iters=5,
+        cache_key=_doc_cache_key(sf) + ":spark-label:b128",
+    )
     rows = [(b, int(x)) for b, x in enumerate(w)] + [(-1, int(bias))]
     out = literal_table(spark, rows, ["bucket", "weight"])
     return out.select(
@@ -2167,7 +2185,10 @@ def _q_dsir_weights(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return dsir_weights(
-        d, F.col("source").isin("src0", "src1", "src2"), n_buckets=256
+        d,
+        F.col("source").isin("src0", "src1", "src2"),
+        n_buckets=256,
+        cache_key=_doc_cache_key(sf) + ":target=src0-2",
     )
 
 
@@ -2180,7 +2201,7 @@ def _q_bpe_encode(spark, sf):
     from lamindb_spark.pipeline.bpe import bpe_encode, bpe_train
 
     d = load_table(spark, sf, "documents")
-    merges = bpe_train(d, n_merges=8)
+    merges = bpe_train(d, n_merges=8, cache_key=_doc_cache_key(sf))
     enc = bpe_encode(d, merges)
     return enc.select(
         "doc_id",

@@ -78,6 +78,7 @@ def bpe_train(
     text_col: str = "text",
     min_freq: int = 1,
     checkpoint_every: int = 4,
+    cache_key: str | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(rank, lhs, rhs, freq)].
 
@@ -88,7 +89,20 @@ def bpe_train(
     centroid fetch). ``localCheckpoint`` every ``checkpoint_every``
     rounds keeps the replace-chain plan bounded. Stops early when the
     best pair's frequency drops below ``min_freq``.
+
+    ``cache_key`` opts into the fingerprint-keyed model cache
+    (``similarity._MODEL_CACHE``): a trained tokenizer is exactly the
+    artifact a real pipeline trains once and ships everywhere, and
+    training is deterministic, so a (source fingerprint,
+    hyperparameters)-keyed merge list is safe to reuse in-process —
+    a regenerated corpus changes the fingerprint and retrains.
     """
+    if cache_key is not None:
+        from .similarity import _cache_get
+
+        hit = _cache_get(("bpe_train", cache_key, n_merges, text_col, min_freq))
+        if hit is not None:
+            return hit
     vocab = _word_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -111,6 +125,10 @@ def bpe_train(
         )
         if rank % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
+    if cache_key is not None:
+        from .similarity import _cache_put
+
+        _cache_put(("bpe_train", cache_key, n_merges, text_col, min_freq), merges)
     return merges
 
 

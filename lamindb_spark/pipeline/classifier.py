@@ -76,11 +76,26 @@ def train_logreg(
     iters: int = 5,
     lr_num: int = 1,
     lr_den: int = 2,
+    cache_key: str | None = None,
 ) -> tuple[list[int], int]:
     """Full-batch GD on hashed presence features; returns fixed-point
     (weights, bias). One integer-aggregation Spark job per iteration;
     weight updates happen on the driver in exact integer arithmetic.
+
+    ``cache_key`` opts into the fingerprint-keyed model cache
+    (``similarity._MODEL_CACHE``): training is exact-integer
+    deterministic, so the learned (weights, bias) keyed by (features'
+    source fingerprint, hyperparameters) is the reusable artifact —
+    the trained quality classifier a pipeline applies corpus-wide.
+    NOTE the key must fingerprint the FEATURIZATION too if the caller
+    varies it (include a label/feature descriptor in ``cache_key``).
     """
+    if cache_key is not None:
+        from .similarity import _cache_get
+
+        hit = _cache_get(("logreg", cache_key, n_buckets, iters, lr_num, lr_den))
+        if hit is not None:
+            return hit
     feats = feats.localCheckpoint(eager=True)
     n_docs = feats.count()
     w = [0] * n_buckets
@@ -113,6 +128,10 @@ def train_logreg(
                 bias -= _fld(lr_num * g, lr_den * n_docs)
             else:
                 w[b] -= _fld(lr_num * g, lr_den * n_docs)
+    if cache_key is not None:
+        from .similarity import _cache_put
+
+        _cache_put(("logreg", cache_key, n_buckets, iters, lr_num, lr_den), (w, bias))
     return w, bias
 
 

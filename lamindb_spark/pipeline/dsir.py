@@ -63,6 +63,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Importance log-weight per document: (id, n_bigrams, score_micro).
 
@@ -73,6 +74,13 @@ def dsir_weights(
     (``round(lr * 1e6)``), per-document score = integer sum of the
     ratios of its bigram occurrences. Positive score ⇒ looks like the
     target domain. Docs with no bigrams score 0.
+
+    ``cache_key`` opts into the fingerprint-keyed model cache
+    (``similarity._MODEL_CACHE``) for the fitted ratio table — the
+    DSIR importance model IS the reusable artifact (Xie et al. fit it
+    once, score everything). The fit is deterministic, so the key is
+    (source fingerprint + a target descriptor chosen by the caller,
+    n_buckets); callers MUST fold the target predicate into the key.
     """
     # note: no spread_for_cpu here — feats feeds TWO passes (model fit,
     # then scoring), so an inserted repartition would be paid twice and
@@ -83,37 +91,50 @@ def dsir_weights(
         bigram_buckets(F.col(text_col), n_buckets).alias("__bks"),
         target.cast("int").alias("__is_t"),
     )
-    stats = (
-        feats.select(F.explode("__bks").alias("__bk"), "__is_t")
-        .groupBy("__bk")
-        .agg(
-            F.sum("__is_t").cast("long").alias("ct"),
-            F.count(F.lit(1)).cast("long").alias("cr"),
+    lr = None
+    if cache_key is not None:
+        from .similarity import _cache_get
+
+        lr = _cache_get(("dsir", cache_key, n_buckets))
+    if lr is None:
+        stats = (
+            feats.select(F.explode("__bks").alias("__bk"), "__is_t")
+            .groupBy("__bk")
+            .agg(
+                F.sum("__is_t").cast("long").alias("ct"),
+                F.count(F.lit(1)).cast("long").alias("cr"),
+            )
+            .collect()
+        )  # ≤ n_buckets rows — the model, not the data
+        n_t = sum(int(r["ct"]) for r in stats)
+        n_r = sum(int(r["cr"]) for r in stats)
+        # buckets never seen get the pure-smoothing ratio
+        unseen = int(
+            round(
+                (math.log(1.0 / (n_t + n_buckets)) - math.log(1.0 / (n_r + n_buckets)))
+                * SCALE
+            )
         )
-        .collect()
-    )  # ≤ n_buckets rows — the model, not the data
-    n_t = sum(int(r["ct"]) for r in stats)
-    n_r = sum(int(r["cr"]) for r in stats)
-    # buckets never seen get the pure-smoothing ratio
-    unseen = int(
-        round(
-            (math.log(1.0 / (n_t + n_buckets)) - math.log(1.0 / (n_r + n_buckets)))
-            * SCALE
-        )
+        lr = [unseen] * n_buckets
+        for r in stats:
+            val = math.log((int(r["ct"]) + 1.0) / (n_t + n_buckets)) - math.log(
+                (int(r["cr"]) + 1.0) / (n_r + n_buckets)
+            )
+            lr[int(r["__bk"])] = int(round(val * SCALE))
+        if cache_key is not None:
+            from .similarity import _cache_put
+
+            _cache_put(("dsir", cache_key, n_buckets), lr)
+    # scoring expression as ONE F.expr parse: n_buckets F.lit py4j
+    # round-trips would dominate plan-build time (the portable_bucket
+    # finding); `L`-suffixed literals keep the sum exact bigint
+    lits = ",".join(f"{int(x)}L" for x in lr)
+    score = F.expr(
+        f"aggregate(__bks, cast(0 as bigint), "
+        f"(acc, b) -> acc + element_at(array({lits}), b + 1))"
     )
-    lr = [unseen] * n_buckets
-    for r in stats:
-        val = math.log((int(r["ct"]) + 1.0) / (n_t + n_buckets)) - math.log(
-            (int(r["cr"]) + 1.0) / (n_r + n_buckets)
-        )
-        lr[int(r["__bk"])] = int(round(val * SCALE))
-    lr_arr = F.array(*[F.lit(int(x)).cast("long") for x in lr])
     return feats.select(
         F.col(id_col),
         F.size("__bks").cast("long").alias("n_bigrams"),
-        F.aggregate(
-            F.col("__bks"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(lr_arr, b + 1),
-        ).alias("score_micro"),
+        score.alias("score_micro"),
     )
