@@ -114,8 +114,12 @@ _MAX_EXCHANGES = {
                              # rank share the window partition
     "dup_representatives": 1,  # one content-hash shuffle (rank + count
                                # share the window partition)
-    "profile_events": 2,     # the multi-distinct expand-aggregate pair;
-                             # still one scan of the data
+    "profile_events": 4,     # the multi-distinct expand-aggregate pair
+                             # + the r9 keyless string-min/max fold
+                             # (SinglePartition + its 1-row broadcast):
+                             # one extra sequential scan bought the
+                             # whole 4n expanded stream out of
+                             # SortAggregate (see curation/profile.py)
     "lm_perplexity": 8,      # bigram/unigram count aggs + scoring joins
                              # (3 of the 8 are broadcasts at this size)
     "mix_sources": 1,        # one shuffle on the stratum key
