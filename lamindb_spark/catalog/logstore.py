@@ -191,3 +191,121 @@ class InMemoryLogStore(LogStore):
 
     def delete(self, path: str) -> None:
         self._objects.pop(path, None)
+
+
+class S3LogStore(LogStore):
+    """The object-store contract on real S3 API shapes (boto3).
+
+    Maps the four primitives exactly as the table at the top of this
+    module documents:
+
+    - ``put_json_if_absent`` → ``PutObject`` with ``IfNoneMatch="*"``
+      (native conditional put, S3 since 2024-11). HTTP 412
+      (``PreconditionFailed``) = lost the race = ``False``. HTTP 409
+      (``ConditionalRequestConflict`` — a concurrent conditional put on
+      the same key was in flight) is retried a bounded number of times,
+      re-checking existence first, because S3 signals it even to the
+      eventual winner.
+    - ``write_json_atomic`` → plain ``PutObject`` (single-key object
+      writes are atomic; readers see old or new, never torn).
+    - ``list`` → ``ListObjectsV2`` with ``Prefix``/``Delimiter='/'``
+      and ``StartAfter`` (server-side tail bound — the
+      ``_last_checkpoint`` pointer keeps steady-state lists O(tail)),
+      paginated via ``ContinuationToken``.
+    - ``delete`` → ``DeleteObject``.
+
+    ``client`` is injectable (any object with the boto3 S3 client's
+    method/error shapes) so the commit-protocol battery runs against a
+    fake in environments without boto3/S3 — errors are duck-typed on
+    ``e.response["Error"]["Code"]`` rather than botocore classes for
+    the same reason. Paths arriving from the protocol are treated as
+    keys: leading slashes stripped, ``prefix`` prepended.
+    """
+
+    def __init__(self, bucket: str, prefix: str = "", client=None):
+        if client is None:
+            import boto3  # import-gated: only needed for real S3
+
+            client = boto3.client("s3")
+        self._c = client
+        self._bucket = bucket
+        self._prefix = prefix.strip("/")
+
+    def _key(self, path: str) -> str:
+        key = path.lstrip("/")
+        return f"{self._prefix}/{key}" if self._prefix else key
+
+    @staticmethod
+    def _err_code(exc) -> str:
+        resp = getattr(exc, "response", None) or {}
+        return (resp.get("Error") or {}).get("Code", "")
+
+    def ensure_dir(self, path: str) -> None:
+        pass  # prefixes need no creation
+
+    def list(self, path: str, start_after: str | None = None) -> list[str]:
+        prefix = self._key(path).rstrip("/") + "/"
+        kwargs = {"Bucket": self._bucket, "Prefix": prefix, "Delimiter": "/"}
+        if start_after is not None:
+            kwargs["StartAfter"] = prefix + start_after
+        names: list[str] = []
+        while True:
+            resp = self._c.list_objects_v2(**kwargs)
+            for obj in resp.get("Contents", []):
+                names.append(obj["Key"][len(prefix):])
+            if not resp.get("IsTruncated"):
+                break
+            kwargs["ContinuationToken"] = resp["NextContinuationToken"]
+        return sorted(names)
+
+    def read_json(self, path: str) -> dict:
+        try:
+            resp = self._c.get_object(Bucket=self._bucket, Key=self._key(path))
+        except Exception as exc:  # noqa: BLE001 — duck-typed ClientError
+            if self._err_code(exc) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from None
+            raise
+        return json.loads(resp["Body"].read())
+
+    def write_json_atomic(self, path: str, body: dict) -> None:
+        self._c.put_object(
+            Bucket=self._bucket,
+            Key=self._key(path),
+            Body=json.dumps(body).encode(),
+            ContentType="application/json",
+        )
+
+    def put_json_if_absent(self, path: str, body: dict) -> bool:
+        key = self._key(path)
+        data = json.dumps(body).encode()
+        for _ in range(8):  # bounded 409 retry
+            try:
+                self._c.put_object(
+                    Bucket=self._bucket,
+                    Key=key,
+                    Body=data,
+                    ContentType="application/json",
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as exc:  # noqa: BLE001 — duck-typed ClientError
+                code = self._err_code(exc)
+                if code == "PreconditionFailed":
+                    return False  # 412: someone else holds the version
+                if code == "ConditionalRequestConflict":
+                    # 409: concurrent conditional put in flight — if an
+                    # object landed, we lost; otherwise retry the put
+                    try:
+                        self._c.head_object(Bucket=self._bucket, Key=key)
+                        return False
+                    except Exception as head_exc:  # noqa: BLE001
+                        if self._err_code(head_exc) in ("NoSuchKey", "404"):
+                            continue
+                        raise
+                raise
+        raise RuntimeError(
+            f"put_json_if_absent: unresolved conditional-put conflict on {key!r}"
+        )
+
+    def delete(self, path: str) -> None:
+        self._c.delete_object(Bucket=self._bucket, Key=self._key(path))
