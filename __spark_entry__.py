@@ -2402,7 +2402,7 @@ def _q_knn_join(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     cents = kmeans_fit(emb, k=8, iters=2, cache_key=_emb_cache_key(sf))
     assigned = emb.select(
-        "vec_id", "embedding", _argmin_cell(F.col("embedding"), cents).alias("cell")
+        "vec_id", "embedding", _argmin_cell("embedding", cents).alias("cell")
     )
     return knn_join_exact(assigned, "cell", k=3)
 
@@ -2449,7 +2449,7 @@ def _q_ann_ivfpq(spark, sf):
     probe = [c for c, _v in sorted(cents, key=lambda cv: (_d2(qvec, cv[1]), cv[0]))[:2]]
     books = pq_train(emb, dim=64, m=8, k=16, iters=2, cache_key=_emb_cache_key(sf))
     cand = emb.filter(
-        _argmin_cell(F.col("embedding"), cents).isin([int(p) for p in probe])
+        _argmin_cell("embedding", cents).isin([int(p) for p in probe])
     )
     enc = pq_encode(cand, books, dim=64)
     return pq_adc_topk(enc, pq_distance_table(books, qvec), k=10)
