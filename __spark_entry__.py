@@ -1961,7 +1961,9 @@ def _q_pagerank(spark, sf):
         F.col("p_partkey").alias("src"),
         (F.col("p_partkey") % 97).alias("dst"),
     )
-    return pagerank(edges, damping=0.85, iters=5)
+    # the edge frame is one filtered parquet projection: recomputing it
+    # in the two bootstraps is cheaper than the extra checkpoint job
+    return pagerank(edges, damping=0.85, iters=5, checkpoint_edges=False)
 
 
 def _q_embedding_cov(spark, sf):

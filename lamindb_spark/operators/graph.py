@@ -251,6 +251,7 @@ def pagerank(
     dst: str = "dst",
     round_to: int = 6,
     checkpoint_every: int = 2,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """Distributed PageRank (power iteration with damping) — the
     classic importance measure for lineage/citation/link graphs the
@@ -270,13 +271,16 @@ def pagerank(
     for filtering-oriented uses where only the ordering matters.
     Output: (node, rank).
     """
-    # checkpoint the edge frame FIRST: the nodes and graph bootstraps
-    # below would otherwise each re-execute the caller's whole edge
-    # plan (for TextRank that is a full corpus scan + explode +
-    # distinct) — one materialization, two cheap derivations
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
-    )
+    # checkpoint the edge frame FIRST (default): the nodes and graph
+    # bootstraps below would otherwise each re-execute the caller's
+    # whole edge plan (for TextRank that is a full corpus scan +
+    # explode + distinct) — one materialization, two cheap
+    # derivations. ``checkpoint_edges=False`` skips that job when the
+    # edge frame is already a bare scan/projection (re-executing it
+    # twice costs less than one extra job floor).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint_edges:
+        e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
