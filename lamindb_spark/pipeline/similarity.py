@@ -159,6 +159,27 @@ def hyperplane_signs(dim: int, n_bits: int) -> list[list[int]]:
     ]
 
 
+def _quantized_vec_sql(vec_sql: str, scale: int) -> str:
+    """SQL fragment: the vector quantized to integer micro-units —
+    shared by every portable integer-dot expression below. Callers
+    let-bind it (``transform(array(qv), qv -> …)``) so the HOF
+    CodegenFallback evaluates it once per row."""
+    return (
+        f"transform({vec_sql}, v -> "
+        f"cast(round(cast(v as double) * cast({int(scale)} as double)) as bigint))"
+    )
+
+
+def _int_dot_sql(qv_sql: str, ints: list[int]) -> str:
+    """SQL fragment: exact integer dot product of ``qv_sql`` with a
+    literal int vector."""
+    arr = "array(" + ",".join(str(int(x)) for x in ints) + ")"
+    return (
+        f"aggregate(zip_with({qv_sql}, {arr}, (a, b) -> a * b), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
 def portable_bucket(
     vec: Column | str, signs: list[list[int]], scale: int = 1_000_000
 ) -> Column:
@@ -178,18 +199,11 @@ def portable_bucket(
     CodegenFallback doesn't re-evaluate it once per hyperplane
     (measured 3× at sf0.1: 0.235 s → 0.079 s execution)."""
     if isinstance(vec, str):
-        qv = (
-            f"transform({vec}, v -> "
-            f"cast(round(cast(v as double) * cast({int(scale)} as double)) as bigint))"
-        )
-        bits = []
-        for j, srow in enumerate(signs):
-            arr = "array(" + ",".join(str(int(s)) for s in srow) + ")"
-            proj = (
-                f"aggregate(zip_with(qv, {arr}, (a, b) -> a * b), "
-                f"cast(0 as bigint), (acc, v) -> acc + v)"
-            )
-            bits.append(f"if({proj} > 0, {1 << j}, 0)")
+        qv = _quantized_vec_sql(vec, scale)
+        bits = [
+            f"if({_int_dot_sql('qv', srow)} > 0, {1 << j}, 0)"
+            for j, srow in enumerate(signs)
+        ]
         return F.expr(
             f"element_at(transform(array({qv}), qv -> {' + '.join(bits)}), 1)"
         )
@@ -1113,17 +1127,8 @@ def random_projection(
     # let-bound (transform over a 1-element array) so HOF
     # CodegenFallback materializes it ONCE per row instead of once per
     # output dimension
-    qv = (
-        f"transform({vec_col}, v -> "
-        f"cast(round(cast(v as double) * cast({int(scale)} as double)) as bigint))"
-    )
-    comps = []
-    for srow in signs:
-        arr = "array(" + ",".join(str(int(x)) for x in srow) + ")"
-        comps.append(
-            f"aggregate(zip_with(qv, {arr}, (a, b) -> a * b), "
-            f"cast(0 as bigint), (acc, v) -> acc + v)"
-        )
+    qv = _quantized_vec_sql(vec_col, scale)
+    comps = [_int_dot_sql("qv", srow) for srow in signs]
     packed = F.expr(
         f"element_at(transform(array({qv}), qv -> array({', '.join(comps)})), 1)"
     )
