@@ -2282,8 +2282,37 @@ def _q_ann_pq(spark, sf):
     return pq_adc_topk(enc, table, k=10)
 
 
+def _q_ann_pq_refine(spark, sf):
+    """PQ + exact refine — the production two-stage read path: the ADC
+    first pass selects top-100 candidates from the 32×-compressed
+    codes, then `refine_topk` re-ranks ONLY those 100 rows by the
+    exact integer-quantized L2 against the raw vectors (broadcast
+    candidate join, no shuffle of the vector table). The refined
+    top-10's recall equals the first pass's recall@100 (~1.0 — the
+    SCALE.md recall table), which is why 0.22-recall PQ codes are
+    servable at all. Oracle replays the full PQ chain, LIMITs the ADC
+    ranking at 100, then re-ranks by the same int64 quantized L2."""
+    from lamindb_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_distance_table,
+        pq_encode,
+        pq_train,
+        refine_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq_train(emb, dim=64, m=8, k=16, iters=2, cache_key=_emb_cache_key(sf))
+    enc = pq_encode(emb, books, dim=64)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    cand = pq_adc_topk(enc, pq_distance_table(books, qvec), k=100)
+    return refine_topk(cand, emb, qvec, k=10)
+
+
 def _ann_pq_oracle_sql(
-    m: int = 8, sub: int = 8, k: int = 16, ivf_nprobe: int = 0
+    m: int = 8, sub: int = 8, k: int = 16, ivf_nprobe: int = 0, refine_c: int = 0
 ) -> str:
     """Full PQ replay: per subspace s — init (16 lowest-id
     subvectors), one Lloyd round (round-6 means), encode argmin, and
@@ -2380,6 +2409,32 @@ def _ann_pq_oracle_sql(
         f"\n            JOIN dt_{s} ON dt_{s}.cid = code_{s}.code" for s in range(m)
     )
     score = " + ".join(f"dt_{s}.d" for s in range(m))
+    if refine_c > 0:
+        # the two-stage read path: ADC ranking LIMITed at the candidate
+        # budget, then exact int64 micro-quantized L2 re-rank — the same
+        # summation-order-free contract as the Spark refine_topk kernel
+        parts.append(
+            f""", adc AS (
+                SELECT code_0.vec_id, CAST({score} AS BIGINT) AS adc_d2
+                FROM code_0{joins}{dt_joins}
+                ORDER BY adc_d2 ASC, code_0.vec_id ASC
+                LIMIT {refine_c}
+            ), qfull AS (
+                SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                      v -> CAST(round(v * 1000000.0) AS BIGINT)) AS q
+                FROM embeddings WHERE vec_id = 0
+            )
+            SELECT a.vec_id,
+                   list_sum(list_transform(list_zip(
+                       list_transform(CAST(e.embedding AS DOUBLE[]),
+                                      v -> CAST(round(v * 1000000.0) AS BIGINT)),
+                       q.q), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS exact_d2
+            FROM adc a
+            JOIN embeddings e ON e.vec_id = a.vec_id, qfull q
+            ORDER BY exact_d2 ASC, a.vec_id ASC
+            LIMIT 10"""
+        )
+        return "".join(parts)
     parts.append(
         f"""
             SELECT code_0.vec_id, CAST({score} AS BIGINT) AS adc_d2
@@ -2555,7 +2610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only checks.
     """
     return {
-        # -- block R7: NEW this round (must sit inside the 50-entry
+        # -- block R9: NEW this round (window head; one r6-green entry
+        # at position 50 cedes its slot) --
+        "ann_pq_refine": _q_ann_pq_refine,
+        # -- block R7: NEW that round (must sit inside the 50-entry
         # driver window; three r6-green entries cede their slots) --
         "source_kl": _q_source_kl,
         "top_pc": _q_top_pc,
@@ -2841,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_encode_oracle_sql(8),
         "ann_pq": _ann_pq_oracle_sql(),
+        "ann_pq_refine": _ann_pq_oracle_sql(refine_c=100),
         "ann_ivfpq": _ann_pq_oracle_sql(ivf_nprobe=2),
         "ann_sq8": """
             WITH e AS (

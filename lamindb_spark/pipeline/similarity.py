@@ -854,6 +854,54 @@ def pq_adc_topk(
     )
 
 
+def refine_topk(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact re-rank of a first-pass candidate set (Faiss
+    ``IndexRefineFlat``): the quantized tiers (PQ/IVF-PQ/SQ8) select
+    top-``c`` candidates cheaply, then the TRUE distance is computed
+    only on those ``c`` rows against the raw vectors and the final
+    top-k ranked by it. This is how a compressed index's ~0.22
+    recall@10 is consumed in production — recall of the refined top-k
+    equals the first pass's recall@c, which approaches 1.0 for modest
+    c (measured in SCALE.md's recall study).
+
+    Distance is the exact int64 squared L2 between micro-quantized
+    vectors (the :func:`cosine_neardup_pairs_exact` exactness
+    contract): summation-order-free, so DuckDB replays it
+    bit-for-bit. One codegen'd expression per candidate row; the
+    quantized row vector is let-bound so the HOF evaluates it once.
+
+    Plan shape at 100 TB: the candidate frame is model-sized (c ≈
+    10·k rows), broadcast to an inner hash join against the raw
+    vector table — the only full-scan cost is the fetch of c rows'
+    vectors, which a ``partitionBy``/bucketed-by-id layout turns into
+    point lookups (the persisted-IVF-PQ serving layout already gives
+    the cell-pruned subset). No shuffle of the big side, TakeOrdered
+    for the final k."""
+    qints = [_quant_half_up(x, scale) for x in query_vec]
+    qv = _quantized_vec_sql(vec_col, scale)
+    arr = "array(" + ",".join(f"cast({int(x)} as bigint)" for x in qints) + ")"
+    score = F.expr(
+        f"element_at(transform(array({qv}), qv -> "
+        f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)), 1)"
+    )
+    cand_ids = candidates.select(id_col)
+    return (
+        embeddings.join(F.broadcast(cand_ids), on=id_col, how="inner")
+        .select(F.col(id_col), score.alias("exact_d2"))
+        .orderBy(F.asc("exact_d2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def query_bucket(query_vec: list[float], dim: int, n_bits: int = 8) -> int:
     """The query's LSH bucket code, computed driver-side with the SAME
     deterministic hyperplanes as :func:`lsh_index` (h_j[i] sign from

@@ -53,6 +53,7 @@ def measure(spark, sf_dir: str, n_queries: int = 20) -> dict:
         pq_distance_table,
         pq_encode,
         pq_train,
+        refine_topk,
         sq8_topk,
         sq8_train,
     )
@@ -126,6 +127,26 @@ def measure(spark, sf_dir: str, n_queries: int = 20) -> dict:
             for q, v in queries
         ]
         out["sq8"] = {"-": round(sum(rs) / len(rs), 3)}
+
+        # the two-stage read path: PQ ADC top-c candidates -> exact
+        # integer-quantized L2 re-rank; recall(refined top-k) equals
+        # the first pass's recall@c, so c = 10*K should land near 1.0
+        for c in (50, 100):
+            rs = [
+                recall_at_k(
+                    _ids(
+                        refine_topk(
+                            pq_adc_topk(enc, pq_distance_table(books, v), c),
+                            emb,
+                            v,
+                            K,
+                        )
+                    ),
+                    exact_l2[q],
+                )
+                for q, v in queries
+            ]
+            out[f"pq_refine_c{c}"] = {"-": round(sum(rs) / len(rs), 3)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -199,3 +199,59 @@ def test_residual_beats_raw_pq_on_clustered_data(spark, tmp_path):
     )
     assert res >= raw, (res, raw)
     assert res >= 0.5, res  # concentrated residuals must quantize well
+
+def test_refine_with_all_candidates_recovers_exact_topk(spark, corpus):
+    """Refine correctness identity: with the candidate set = the whole
+    corpus the first pass prunes nothing, so the refined top-k IS the
+    exact L2 top-k (id-list equality, not just recall — the integer
+    micro-quantized distance preserves the double-L2 ordering at this
+    fixture's value scale)."""
+    from lamindb_spark.pipeline.similarity import brute_force_topk, refine_topk
+
+    emb, queries, _ = corpus
+    all_ids = emb.select("vec_id")
+    for q, v in queries[:3]:
+        refined = _ids(refine_topk(all_ids, emb, v, K))
+        exact = _ids(brute_force_topk(emb, v, K, metric="l2"))
+        assert refined == exact, (q, refined, exact)
+
+
+def test_refine_dominates_first_pass_and_stays_in_candidates(spark, corpus):
+    """The production two-stage contract: (a) refined top-k recall is
+    >= the raw PQ top-k recall for EVERY query (the refine re-ranks a
+    superset of what PQ would have returned, by the true distance);
+    (b) the refined ids are a subset of the candidate set (refine
+    never resurrects a pruned row); (c) at candidate budget c = 10*K
+    the mean refined recall clears a floor far above PQ's ~0.22
+    first-pass recall (measured 0.72 on this sf0.01 fixture — the
+    structureless-Gaussian corpus is PQ's worst case, same reason the
+    residual tier ties raw here; on sf0.1 see SCALE.md)."""
+    from lamindb_spark.pipeline.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_distance_table,
+        pq_encode,
+        pq_train,
+        refine_topk,
+    )
+
+    emb, queries, _ = corpus
+    books = pq_train(emb, dim=64, m=8, k=16, iters=2)
+    enc = pq_encode(emb, books, dim=64).localCheckpoint(eager=True)
+    refined_recalls, raw_recalls = [], []
+    for q, v in queries:
+        exact = _ids(brute_force_topk(emb, v, K, metric="l2"))
+        table = pq_distance_table(books, v)
+        raw = _ids(pq_adc_topk(enc, table, K))
+        cand = pq_adc_topk(enc, table, 10 * K)
+        cand_ids = set(_ids(cand))
+        refined = _ids(refine_topk(cand, emb, v, K))
+        assert set(refined) <= cand_ids, (q, refined)
+        r_raw, r_ref = _recall(raw, exact), _recall(refined, exact)
+        assert r_ref >= r_raw, (q, r_ref, r_raw)
+        refined_recalls.append(r_ref)
+        raw_recalls.append(r_raw)
+    mean_ref = sum(refined_recalls) / len(refined_recalls)
+    mean_raw = sum(raw_recalls) / len(raw_recalls)
+    assert mean_ref >= 0.6, refined_recalls
+    assert mean_ref > mean_raw, (mean_ref, mean_raw)

@@ -168,6 +168,13 @@ _MAX_EXCHANGES = {
     "ann_sq8": 1,            # spread; the 64-term integer score is one
                              # codegen'd expression, then TakeOrdered
     "fim_transform": 0,      # pure map pass (token split + slices)
+    # -- r9 additions --
+    "ann_pq_refine": 5,      # ADC pass (spread + TakeOrdered gather +
+                             # its SinglePartition limit) feeds the
+                             # candidate BROADCAST; the refine itself
+                             # is BroadcastHashJoin + TakeOrdered — the
+                             # raw-vector side NEVER shuffles (the
+                             # whole point of the two-stage read path)
     "wide_include": 7,       # registry-pivot kernel: 3 hash exchanges
                              # (priorities agg; pivot's (key,status)
                              # partial + key final) + 4 broadcasts
