@@ -241,10 +241,15 @@ class CommitLog:
         # pointer LAST: a crash in between leaves a reachable-but-
         # unpointed checkpoint, which readers repair on the next
         # write_checkpoint; a pointer to a missing checkpoint can
-        # never exist
-        self.store.write_json_atomic(
-            os.path.join(self.log_dir, LAST_CHECKPOINT), {"version": v}
-        )
+        # never exist. MONOTONIC: two concurrent write_checkpoint
+        # calls can finish out of order — never move the pointer
+        # backward, or pointer-based readers would fold a tail whose
+        # commits a concurrent expire_log may already have deleted.
+        cur = self.last_checkpoint_version()
+        if cur is None or v > cur:
+            self.store.write_json_atomic(
+                os.path.join(self.log_dir, LAST_CHECKPOINT), {"version": v}
+            )
         return v
 
     def expire_log(self) -> int:
@@ -253,11 +258,24 @@ class CommitLog:
         below the checkpoint stop working for the expired range —
         guarded explicitly in :func:`read_changes` — while the current
         snapshot, later time travel, and txn dedup (identities live in
-        the checkpoint) are unaffected. Returns #files deleted."""
+        the checkpoint) are unaffected. Returns #files deleted.
+
+        The horizon is capped at the ``_last_checkpoint`` POINTER, not
+        the newest checkpoint file: steady-state readers fold from the
+        pointer, so after a crash between checkpoint write and pointer
+        write (pointer trails the newest file) expiring up to the file
+        would delete commits those readers still need — a silently
+        wrong snapshot. With the cap, a trailing pointer only means a
+        longer retained tail until the next write_checkpoint repairs
+        it forward. (Pre-pointer logs fall back to the newest file on
+        BOTH sides, so the file horizon stays safe there.)"""
         cks = self.checkpoint_versions()
         if not cks:
             return 0
         horizon = cks[-1]
+        ptr = self.last_checkpoint_version()
+        if ptr is not None:
+            horizon = min(horizon, ptr)
         n = 0
         for v in self.versions():
             if v <= horizon:
@@ -321,7 +339,21 @@ class CommitLog:
             target = os.path.join(self.log_dir, f"{version:020d}.json")
             if self.store.put_json_if_absent(target, body):
                 return version
-            # lost the race — re-read log, retry
+            # Apparent lost race — but a conditional put can FALSE-
+            # NEGATIVE on its own success: S3's auto-retry after a lost
+            # 200 sees 412 from the object this writer itself created
+            # (likewise the 409 head-object path, and NFS os.link
+            # retries). Publishing again at version+1 would duplicate
+            # the same data files at two versions — snapshot dedups by
+            # path, but CDC readers would emit every row twice. The
+            # per-attempt writer uuid in the body disambiguates with
+            # one read-back on the contested path only.
+            try:
+                if self.store.read_json(target).get("writer") == body["writer"]:
+                    return version
+            except FileNotFoundError:
+                pass  # deleted between put and read-back — plain retry
+            # genuinely lost — re-read log, retry
         raise CommitConflictError(f"gave up after {max_retries} retries")
 
 
@@ -503,11 +535,16 @@ def compact_small_files(
 
 
 def change_data_files(
-    table_path: str, start_v: int, end_v: int, store: LogStore | None = None
+    table_path: str, start_v: int, end_v: int | None, store: LogStore | None = None
 ) -> list[tuple[int, str]]:
     """(version, absolute path) of every CHANGE-DATA file added by
-    commits in ``(start_v, end_v]`` — the one selection both the batch
-    CDC reader (:func:`read_changes`) and the streaming source share:
+    commits in ``(start_v, end_v]`` — ``end_v=None`` means "up to the
+    head", resolved from the same single listing this function already
+    performs (callers that pre-computed the head via
+    ``_head_version()`` paid a second pointer read + listing for
+    nothing on the hot incremental-poll path). The one selection both
+    the batch CDC reader (:func:`read_changes`) and the streaming
+    source share:
     ``op == "compact"`` commits excluded (pure rewrites), MERGE
     survivor rewrites excluded (``survivor_files`` metadata), files
     later removed still included (their rows WERE added in-window).
@@ -538,9 +575,9 @@ def change_data_files(
             commits.append(int(stem))
     commits.sort()
     # clamp to the actual head: a window end beyond the newest version
-    # (an optimistic polling bound) means "everything available", not
-    # an expired range
-    end_v = min(end_v, head)
+    # (an optimistic polling bound, or the end_v=None default) means
+    # "everything available", not an expired range
+    end_v = head if end_v is None else min(end_v, head)
     in_range = [v for v in commits if start_v < v <= end_v]
     if end_v > start_v and (not in_range or in_range[0] != start_v + 1):
         raise ValueError(
@@ -641,11 +678,16 @@ def read_changes(
     appended in the window; their removal is layout churn).
     """
     log = CommitLog(table_path)
-    # one pointer read + one bounded listing pick the window; the
-    # expired-range guard (silently-partial feeds are impossible)
-    # lives inside change_data_files, shared with the streaming source
-    end = to_version if to_version is not None else log._head_version()
-    files = [p for _v, p in change_data_files(table_path, since_version, end, log.store)]
+    # ONE bounded listing picks the window AND resolves the default
+    # head (to_version=None); the expired-range guard (silently-partial
+    # feeds are impossible) lives inside change_data_files, shared with
+    # the streaming source
+    files = [
+        p
+        for _v, p in change_data_files(
+            table_path, since_version, to_version, log.store
+        )
+    ]
     if not files:
         return spark.createDataFrame([], read_committed(spark, table_path).schema)
     return spark.read.parquet(*files)

@@ -77,8 +77,13 @@ class LogStore:
 
     def put_json_if_absent(self, path: str, body: dict) -> bool:
         """Atomically create ``path`` with ``body`` — the optimistic-
-        concurrency primitive. Returns False (and writes nothing) when
-        the path already exists."""
+        concurrency primitive. Returns False when the path already
+        exists. CONTRACT CAVEAT: a False may be a false negative for
+        the caller's OWN successful write (S3 auto-retry after a lost
+        response sees 412 from its own object; NFS ``os.link``
+        retries behave the same) — callers that must distinguish
+        "I won" from "someone else won" embed a unique token in the
+        body and read back on False (see ``CommitLog.commit``)."""
         raise NotImplementedError
 
     def delete(self, path: str) -> None:

@@ -76,7 +76,11 @@ def _path_fingerprint(path: str) -> tuple:
     try:
         st = os.stat(path)
     except OSError:
-        return ("missing",)
+        # non-stat-able (remote URI, vanished file): no fingerprint
+        # means no invalidation signal, so the caller must NOT cache —
+        # a constant key here would pin the first relation forever
+        # even after the remote object is rewritten (review finding)
+        return None
     if not os.path.isdir(path):
         return (st.st_mtime_ns, st.st_size)
     parts = []
@@ -93,16 +97,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one testdata table (relation cached per session)."""
     apply_runtime_confs(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    key = (id(spark), spark.sparkContext.applicationId, path, _path_fingerprint(path))
+    fp = _path_fingerprint(path)
+    if fp is None:
+        # no invalidation signal (remote URI / vanished file): build
+        # uncached rather than risk serving a stale relation
+        df = spark.read.parquet(path)
+        if name in _NANOS_TS_COLS:
+            df = _rebuild_nanos_ts(df, _NANOS_TS_COLS[name])
+        return df
+    key = (id(spark), spark.sparkContext.applicationId, path, fp)
     df = _RELATION_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
         if name in _NANOS_TS_COLS:
             df = _rebuild_nanos_ts(df, _NANOS_TS_COLS[name])
         if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
-            # drop entries for dead sessions/stale fingerprints first;
-            # if still full, clear — correctness never depends on a hit
-            _RELATION_CACHE.clear()
+            # evict superseded entries first: same (session, path) with
+            # a DIFFERENT fingerprint can never hit again (the file was
+            # rewritten); only if nothing is evictable, clear — a cold
+            # cache costs one re-analysis, never correctness
+            stale = [
+                k
+                for k in _RELATION_CACHE
+                if k[:3] == key[:3] and k[3] != key[3]
+            ]
+            for k in stale:
+                del _RELATION_CACHE[k]
+            if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+                _RELATION_CACHE.clear()
         _RELATION_CACHE[key] = df
     return df
 

@@ -53,39 +53,6 @@ def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_commits")
 
 
-def _pointer_version(table_path: str, store=None) -> int | None:
-    """Version in the log's ``_last_checkpoint`` pointer, or None."""
-    from ..catalog.commitlog import LAST_CHECKPOINT
-    from ..catalog.logstore import DEFAULT_STORE
-
-    store = store or DEFAULT_STORE
-    try:
-        return int(
-            store.read_json(os.path.join(_log_dir(table_path), LAST_CHECKPOINT))[
-                "version"
-            ]
-        )
-    except (FileNotFoundError, KeyError, ValueError):
-        return None
-
-
-def _tail_names(table_path: str, after_version: int | None, store=None) -> list[str]:
-    """Log entry names strictly after version ``after_version`` — ONE
-    bounded listing (``start_after`` on the zero-padded names) instead
-    of a full log scan: per-trigger work is O(post-checkpoint tail)
-    regardless of how many commits the log retains (VERDICT r7 #3 /
-    r8 "what's wrong" #2)."""
-    from ..catalog.logstore import DEFAULT_STORE
-
-    store = store or DEFAULT_STORE
-    start = (
-        f"{after_version:020d}.json"
-        if after_version is not None and after_version >= 0
-        else None
-    )
-    return store.list(_log_dir(table_path), start_after=start)
-
-
 def _expired_error(table_path: str, start_v: int) -> ValueError:
     return ValueError(
         f"CDC stream offset v{start_v} is below the oldest retained "
@@ -110,40 +77,64 @@ def _change_files(
     return change_data_files(table_path, start_v, end_v, store)
 
 
+def _newest_retained_add(table_path: str, store=None) -> str | None:
+    """Absolute path of the most recently added file across retained
+    commits (newest commit first), or None. Schema-inference helper:
+    deliberately NOT window-guarded — it answers "show me any footer",
+    not "give me a complete change feed"."""
+    from ..catalog.logstore import DEFAULT_STORE
+
+    store = store or DEFAULT_STORE
+    log_dir = _log_dir(table_path)
+    commits = sorted(
+        (
+            int(n[: -len(".json")])
+            for n in store.list(log_dir)
+            if n.endswith(".json")
+            and not n.startswith(".tmp")
+            and n[: -len(".json")].isdigit()
+        ),
+        reverse=True,
+    )
+    for v in commits:
+        body = store.read_json(os.path.join(log_dir, f"{v:020d}.json"))
+        adds = body.get("add", [])
+        if adds:
+            return os.path.join(table_path.rstrip("/"), adds[-1])
+    return None
+
+
 def _check_offset_retained(table_path: str, start_version: int, store=None) -> None:
     """Raise when change data strictly after ``start_version`` was
     expired by checkpoint log cleanup — the stream analogue of the
     boundary :func:`catalog.commitlog.read_changes` enforces. Called
     from ``initialOffset`` so a stale consumer fails at OPEN time;
     ``partitions`` (via :func:`_change_files`) re-checks every batch
-    for mid-run expiry (ADVICE r7/r8)."""
-    ptr = _pointer_version(table_path, store)
-    names = _tail_names(table_path, start_version, store)
-    commits, head = [], ptr if ptr is not None else -1
-    for n in names:
-        stem = n.split(".", 1)[0]
-        if n.endswith(".json") and not n.startswith(".tmp") and stem.isdigit():
-            head = max(head, int(stem))
-            if n[: -len(".json")].isdigit():
-                commits.append(int(stem))
-    if head > start_version and (
-        not commits or min(commits) != start_version + 1
-    ):
-        raise _expired_error(table_path, start_version)
+    for mid-run expiry (ADVICE r7/r8).
+
+    Delegates to the SAME dense-prefix guard the per-batch path uses
+    (:func:`catalog.commitlog.change_data_files`) with a one-version
+    window — one bounded listing, at most one commit-body read — so
+    the open-time check and the per-batch check cannot drift (review
+    finding: this was a third near-copy of the head computation)."""
+    from ..catalog.commitlog import change_data_files
+
+    try:
+        change_data_files(table_path, start_version, start_version + 1, store)
+    except ValueError:
+        raise _expired_error(table_path, start_version) from None
 
 
 def _latest_version(table_path: str, store=None) -> int:
     # checkpoint files count toward the head version: after log expiry
     # the newest checkpoint may be the only record of it, and a
-    # regressing latestOffset would re-window the stream. One pointer
-    # read + one tail listing — O(tail) per trigger.
-    ptr = _pointer_version(table_path, store)
-    head = ptr if ptr is not None else -1
-    for n in _tail_names(table_path, ptr, store):
-        stem = n.split(".", 1)[0]
-        if n.endswith(".json") and not n.startswith(".tmp") and stem.isdigit():
-            head = max(head, int(stem))
-    return head
+    # regressing latestOffset would re-window the stream. Delegates to
+    # the log's own head discovery (one pointer read + one tail
+    # listing, O(tail) per trigger) — the same computation commit()
+    # uses, not a local re-derivation.
+    from ..catalog.commitlog import CommitLog
+
+    return CommitLog(table_path, store)._head_version()
 
 
 class CommitLogStreamReader(DataSourceStreamReader):
@@ -257,13 +248,18 @@ class CommitLogDataSource(DataSource):
         if snap:
             newest = snap[-1]
         else:
-            files = _change_files(table_path, -1, _latest_version(table_path))
-            if not files:
+            # empty snapshot (e.g. every live file removed): any ONE
+            # retained footer carries the schema, so walk retained
+            # commits newest-first WITHOUT the dense-prefix expired-
+            # range guard — schema inference needs no complete window,
+            # and raising the CDC-expiry error here would fail opens
+            # with a perfectly valid startingVersion (review finding).
+            newest = _newest_retained_add(table_path)
+            if newest is None:
                 raise FileNotFoundError(
                     f"no committed data in {table_path}; commit once "
                     "before opening the source"
                 )
-            newest = files[-1][1]
         arrow = pq.ParquetFile(newest).schema_arrow
         if str(self.options.get("withversioncolumn", "false")).lower() == "true":
             arrow = arrow.append(pa.field("_commit_version", pa.int64()))
