@@ -255,3 +255,76 @@ def test_refine_dominates_first_pass_and_stays_in_candidates(spark, corpus):
     mean_raw = sum(raw_recalls) / len(raw_recalls)
     assert mean_ref >= 0.6, refined_recalls
     assert mean_ref > mean_raw, (mean_ref, mean_raw)
+
+def test_refine_distance_bit_replays_in_numpy(spark, corpus):
+    """Exactness pin (the repo's bit-replay convention): refine_topk's
+    int64 micro-quantized L2 must equal an independent numpy fold over
+    the same candidates — same distances, same id order."""
+    from lamindb_spark.pipeline.similarity import refine_topk
+
+    emb, queries, _ = corpus
+    q, v = queries[0]
+    cand_ids = [int(r[0]) for r in emb.select("vec_id").limit(60).collect()]
+    cand = emb.filter(F.col("vec_id").isin(cand_ids)).select("vec_id")
+    got = [
+        (int(r["vec_id"]), int(r["exact_d2"]))
+        for r in refine_topk(cand, emb, v, k=10).collect()
+    ]
+
+    def quant(x):
+        import math
+
+        return int(math.copysign(math.floor(abs(x) * 1_000_000 + 0.5), x))
+
+    qv = np.array([quant(x) for x in v], dtype=np.int64)
+    rows = {
+        int(r["vec_id"]): np.array(
+            [quant(float(x)) for x in r["embedding"]], dtype=np.int64
+        )
+        for r in emb.filter(F.col("vec_id").isin(cand_ids)).collect()
+    }
+    expected = sorted(
+        ((int((rows[i] - qv) @ (rows[i] - qv)), i) for i in cand_ids)
+    )[:10]
+    assert got == [(i, d) for d, i in expected]
+
+
+def test_full_production_read_path_prune_rank_refine(spark, corpus, tmp_path):
+    """The composed serving path at 100 TB: IVF cell prune (file-level
+    on the persisted layout) → integer ADC rank of the compressed
+    codes → exact refine of the top-c candidates. Pins: the refined
+    ids come only from probed cells, and the refined top-k recall is
+    >= the unrefined ADC top-k recall under exact L2."""
+    from lamindb_spark.pipeline.similarity import (
+        _argmin_cell,
+        brute_force_topk,
+        ivfpq_build_index,
+        ivfpq_topk,
+        pq_train,
+        probe_cells,
+        refine_topk,
+    )
+
+    emb, queries, cents = corpus
+    books = pq_train(emb, dim=64, m=8, k=16, iters=2)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, cents, books, path, dim=64)
+    q, v = queries[0]
+    nprobe = 4
+    probes = set(probe_cells(cents, v, nprobe))
+    member_ids = {
+        int(r["vec_id"])
+        for r in emb.filter(
+            _argmin_cell("embedding", cents).isin([int(p) for p in probes])
+        )
+        .select("vec_id")
+        .collect()
+    }
+    exact = _ids(brute_force_topk(emb, v, K, metric="l2"))
+
+    ranked = ivfpq_topk(spark, path, cents, books, v, k=K, nprobe=nprobe)
+    cand = ivfpq_topk(spark, path, cents, books, v, k=10 * K, nprobe=nprobe)
+    refined = _ids(refine_topk(cand, emb, v, K))
+
+    assert set(refined) <= member_ids  # refine never leaves the probe set
+    assert _recall(refined, exact) >= _recall(_ids(ranked), exact)
