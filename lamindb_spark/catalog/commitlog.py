@@ -187,6 +187,19 @@ class CommitLog:
                 continue
             if version is not None and v > version:
                 break
+            if v != latest + 1:
+                # versions are dense by protocol (commit() takes
+                # head+1; expire_log deletes a prefix), so a hole here
+                # means the base pointer went stale under us — a
+                # concurrent checkpoint+expiry between our pointer
+                # read and the listing. FileNotFoundError routes into
+                # snapshot()'s existing one-retry race hardening,
+                # which re-reads the (now advanced) pointer.
+                raise FileNotFoundError(
+                    f"commit log gap in {self.table_path}: v{latest + 1}.."
+                    f"{v - 1} missing below retained v{v} — checkpoint "
+                    "log cleanup raced this reader"
+                )
             commit = self.store.read_json(
                 os.path.join(self.log_dir, f"{v:020d}.json")
             )
@@ -195,6 +208,23 @@ class CommitLog:
             for f in commit.get("remove", []):
                 live.pop(f, None)
             latest = v
+        if version is not None and latest < version:
+            # the fold stopped short of the requested version: either
+            # the request is beyond the head (clamp — Delta-compatible)
+            # or the range (latest, version] was expired by checkpoint
+            # log cleanup — fail loudly instead of silently returning
+            # the older state at `latest` (self-review follow-up). The
+            # head read costs one pointer read + tail listing, on the
+            # time-travel path only, never the hot version=None path.
+            head = self._head_version()
+            if latest < min(version, head):
+                raise ValueError(
+                    f"time travel to v{version} of {self.table_path}: "
+                    f"versions {latest + 1}..{min(version, head)} were "
+                    "expired by checkpoint log cleanup; the closest "
+                    f"readable states are v{latest} and the retained "
+                    "checkpoints above"
+                )
         return latest, [os.path.join(self.table_path, f) for f in live]
 
     # -- checkpoint maintenance ----------------------------------------

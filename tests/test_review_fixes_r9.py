@@ -270,3 +270,60 @@ def test_read_changes_default_head_is_one_listing(spark, tmp_path):
     files = change_data_files(t, -1, None, cs)
     assert len(files) == 1
     assert cs.lists == 1  # ONE listing resolved window AND head
+
+
+# -- 6. snapshot tail-density guard -------------------------------------
+
+
+def test_time_travel_into_expired_range_raises(tmp_path):
+    """Checkpoints at v2 and v5, prefix expired: time travel to v3
+    (between the checkpoints, commits gone) must raise, not silently
+    return the v2 state; travel to v2 and v5 exactly still works, and
+    a version beyond the head still clamps to the head."""
+    t = str(tmp_path / "tbl")
+    log = _mk_log(t, 3)  # v0..v2
+    assert log.write_checkpoint() == 2
+    for v in range(3, 6):  # v3..v5
+        assert log.store.put_json_if_absent(
+            os.path.join(log.log_dir, _marker(v)),
+            {"add": [f"f{v}.parquet"], "remove": [], "metadata": {}},
+        )
+    assert log.write_checkpoint() == 5
+    log.expire_log()
+    assert log.versions() == []
+    with pytest.raises(ValueError, match="expired"):
+        log.snapshot(version=3)
+    assert log.snapshot(version=2)[0] == 2
+    assert log.snapshot(version=5)[0] == 5
+    assert log.snapshot(version=99)[0] == 5  # beyond head: clamp
+
+
+def test_snapshot_retries_through_stale_pointer_gap(tmp_path):
+    """A reader whose pointer read went stale under a concurrent
+    checkpoint+expiry sees a version gap in its tail — the retry path
+    must re-read the advanced pointer and succeed."""
+    t = str(tmp_path / "tbl")
+    log = _mk_log(t, 6)  # v0..v5
+    assert log.write_checkpoint() == 5
+    log.expire_log()
+
+    class StalePointerOnce(PosixLogStore):
+        """First pointer read lies (an older version whose checkpoint
+        was concurrently superseded and whose tail was expired)."""
+
+        def __init__(self):
+            self.lied = False
+
+        def read_json(self, path):
+            body = super().read_json(path)
+            if os.path.basename(path) == LAST_CHECKPOINT and not self.lied:
+                self.lied = True
+                return {"version": -1}  # pre-checkpoint view: full fold
+            return body
+
+    stale = CommitLog(t, StalePointerOnce())
+    # base=-1 view with commits 0..5 expired -> the tail has no v0 ->
+    # density guard fires -> retry re-reads the true pointer -> green
+    v, files = stale.snapshot()
+    assert v == 5
+    assert len(files) == 6
