@@ -66,10 +66,15 @@ class CommitLog:
     for the S3 mapping of each primitive)."""
 
     def __init__(self, table_path: str, store: LogStore | None = None):
+        # NO filesystem side effect here: readers (including the CDC
+        # stream's per-trigger latestOffset poll) construct CommitLog
+        # freely, and a pure consumer on a read-only mount must never
+        # mkdir the table it watches (review finding). Write paths
+        # create the log dir lazily (PosixLogStore makedirs before its
+        # temp write; object stores need no directories at all).
         self.table_path = table_path.rstrip("/")
         self.log_dir = os.path.join(self.table_path, "_commits")
         self.store = store or DEFAULT_STORE
-        self.store.ensure_dir(self.log_dir)
 
     # -- read side -----------------------------------------------------
 
@@ -142,18 +147,25 @@ class CommitLog:
         :meth:`expire_log`).
 
         Race hardening: a concurrent ``expire_log`` can delete a commit
-        file between this reader's listing and its open — retried once;
-        the second pass reads through the checkpoint that subsumed the
-        deleted file."""
+        file between this reader's listing and its open — retried once.
+        The retry pass bases itself on the NEWEST CHECKPOINT FILE (full
+        listing) instead of the pointer: checkpoint files are never
+        deleted, and the file horizon is always >= the pointer, so a
+        pointer regressed by a stalled concurrent checkpointer (the
+        read-then-write in write_checkpoint cannot be atomic on a
+        put/list store) self-heals here instead of hard-failing or —
+        worse — silently serving the regressed version's state."""
         for attempt in (0, 1):
             try:
-                return self._snapshot_once(version)
+                return self._snapshot_once(version, prefer_files=bool(attempt))
             except FileNotFoundError:
                 if attempt:
                     raise
         raise AssertionError("unreachable")
 
-    def _snapshot_once(self, version: int | None) -> tuple[int, list[str]]:
+    def _snapshot_once(
+        self, version: int | None, prefer_files: bool = False
+    ) -> tuple[int, list[str]]:
         live: dict[str, None] = {}
         latest = -1
         if version is None:
@@ -162,10 +174,13 @@ class CommitLog:
             # O(tail) total, independent of how many commits the log
             # retains below the checkpoint (VERDICT r7 #3)
             base = self.last_checkpoint_version()
-            if base is None and self.checkpoint_versions():
-                # pre-pointer log (or crashed pointer write): fall back
-                # to the full listing once; write_checkpoint repairs
-                base = self.checkpoint_versions()[-1]
+            if prefer_files or (base is None and self.checkpoint_versions()):
+                # retry pass (stale/regressed pointer) or pre-pointer
+                # log: fall back to the newest checkpoint FILE via a
+                # full listing; write_checkpoint repairs the pointer
+                cks = self.checkpoint_versions()
+                if cks:
+                    base = max(cks[-1], base if base is not None else -1)
         else:
             # time travel: full listing (not the hot path)
             usable = [c for c in self.checkpoint_versions() if c <= version]
@@ -382,7 +397,26 @@ class CommitLog:
                 if self.store.read_json(target).get("writer") == body["writer"]:
                     return version
             except FileNotFoundError:
-                pass  # deleted between put and read-back — plain retry
+                # the contested commit was checkpointed AND expired
+                # before the read-back ran, so the writer uuid is gone.
+                # Staged add paths are uuid-unique per attempt, so
+                # their presence in the CURRENT snapshot proves our
+                # write won v — without this check a plain retry would
+                # republish the same files at v+1 (duplicate CDC rows).
+                # Add-empty bodies need no check: a re-published remove
+                # fails loudly on the next loop's gone-files validation,
+                # and txn markers dedup via known_txns. Residual window
+                # (documented, not closed): our adds won v AND were
+                # compacted away before this snapshot — that stacks a
+                # false-negative put, a checkpoint, an expiry and a
+                # compaction inside one read-back.
+                if add:
+                    _, live = self.snapshot()
+                    live_rel = {
+                        os.path.relpath(p, self.table_path) for p in live
+                    }
+                    if all(f in live_rel for f in add):
+                        return version
             # genuinely lost — re-read log, retry
         raise CommitConflictError(f"gave up after {max_retries} retries")
 
@@ -586,8 +620,6 @@ def change_data_files(
     hole at the front of a nonempty window means checkpoint log
     cleanup took the range — a silently-partial feed is impossible.
     """
-    from .logstore import DEFAULT_STORE
-
     store = store or DEFAULT_STORE
     log_dir = os.path.join(table_path.rstrip("/"), "_commits")
     start = f"{start_v:020d}.json" if start_v >= 0 else None

@@ -112,6 +112,10 @@ class PosixLogStore(LogStore):
             return json.load(fh)
 
     def _write_temp(self, path: str, body: dict) -> str:
+        # lazy dir creation on the WRITE path only — readers never
+        # mkdir (object stores have no directories; POSIX should not
+        # differ observably)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = os.path.join(
             os.path.dirname(path), f".tmp-{uuid.uuid4().hex}.json"
         )

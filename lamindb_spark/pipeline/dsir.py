@@ -80,7 +80,10 @@ def dsir_weights(
     DSIR importance model IS the reusable artifact (Xie et al. fit it
     once, score everything). The fit is deterministic, so the key is
     (source fingerprint + a target descriptor chosen by the caller,
-    n_buckets); callers MUST fold the target predicate into the key.
+    text_col, n_buckets) — text_col is folded in like bpe_train does,
+    so the same cache_key with a different text column can never serve
+    the wrong ratio table; callers MUST still fold the target
+    predicate into the key.
     """
     # note: no spread_for_cpu here — feats feeds TWO passes (model fit,
     # then scoring), so an inserted repartition would be paid twice and
@@ -95,7 +98,7 @@ def dsir_weights(
     if cache_key is not None:
         from .similarity import _cache_get
 
-        lr = _cache_get(("dsir", cache_key, n_buckets))
+        lr = _cache_get(("dsir", cache_key, text_col, n_buckets))
     if lr is None:
         stats = (
             feats.select(F.explode("__bks").alias("__bk"), "__is_t")
@@ -124,7 +127,7 @@ def dsir_weights(
         if cache_key is not None:
             from .similarity import _cache_put
 
-            _cache_put(("dsir", cache_key, n_buckets), lr)
+            _cache_put(("dsir", cache_key, text_col, n_buckets), lr)
     # scoring expression as ONE F.expr parse: n_buckets F.lit py4j
     # round-trips would dominate plan-build time (the portable_bucket
     # finding); `L`-suffixed literals keep the sum exact bigint

@@ -132,7 +132,7 @@ def _argmin_cell(
     Column path remains for computed vectors; both produce the same
     tree."""
     if isinstance(vec, str):
-        return F.expr(_argmin_cell_sql(vec, centroid_rows))
+        return F.expr(_argmin_cell_sql(_sql_ident(vec), centroid_rows))
     structs = []
     for cid, cv in centroid_rows:
         lit = F.array(*[F.lit(float(x)) for x in cv])
@@ -157,6 +157,24 @@ def hyperplane_signs(dim: int, n_bits: int) -> list[list[int]]:
         ]
         for j in range(n_bits)
     ]
+
+
+def _sql_ident(name: str) -> str:
+    """Column NAME -> SQL-safe reference for the string fast paths.
+    Plain identifiers pass through; strings containing SQL
+    metacharacters are assumed to be deliberate expression fragments
+    (internal callers build `slice(...)`/`cast(...)` wrappers); any
+    other name (spaces, hyphens, unicode) is backtick-quoted so the
+    one-parse F.expr paths accept the same column names the Column API
+    does (review finding: a raw interpolation threw ParseException on
+    names that are not bare identifiers)."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    if any(ch in name for ch in "()`'\""):
+        return name
+    return f"`{name}`"
 
 
 def _quantized_vec_sql(vec_sql: str, scale: int) -> str:
@@ -199,7 +217,7 @@ def portable_bucket(
     CodegenFallback doesn't re-evaluate it once per hyperplane
     (measured 3× at sf0.1: 0.235 s → 0.079 s execution)."""
     if isinstance(vec, str):
-        qv = _quantized_vec_sql(vec, scale)
+        qv = _quantized_vec_sql(_sql_ident(vec), scale)
         bits = [
             f"if({_int_dot_sql('qv', srow)} > 0, {1 << j}, 0)"
             for j, srow in enumerate(signs)
@@ -552,7 +570,7 @@ def silhouette_scores(
         # ONE parsed expr for the k-struct distance array — the same
         # build-cost fix as _argmin_cell's string path (k·dim F.lit
         # py4j round trips otherwise dominate plan-build time)
-        arr_sql = _d2_structs_sql(f"cast({vec_col} as array<double>)", cents)
+        arr_sql = _d2_structs_sql(f"cast({_sql_ident(vec_col)} as array<double>)", cents)
         staged = embeddings.select(F.col(id_col), F.expr(arr_sql).alias("__arr"))
     else:
         packed = _packed_centroids(embeddings.sparkSession, cents)
@@ -666,7 +684,7 @@ def pq_train(
     for _ in range(max(iters - 1, 0)):
         cells = [
             F.expr(
-                _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", books[s])
+                _argmin_cell_sql(f"slice({_sql_ident(vec_col)}, {s * sub + 1}, {sub})", books[s])
             ).alias(f"__c{s}")
             for s in range(m)
         ]
@@ -737,7 +755,7 @@ def pq_encode(
         for s, book in enumerate(codebooks):
             cols.append(
                 F.expr(
-                    _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", book)
+                    _argmin_cell_sql(f"slice({_sql_ident(vec_col)}, {s * sub + 1}, {sub})", book)
                 ).alias(f"code_{s}")
             )
         return spread_for_cpu(embeddings).select(*cols)
@@ -886,7 +904,7 @@ def refine_topk(
     the cell-pruned subset). No shuffle of the big side, TakeOrdered
     for the final k."""
     qints = [_quant_half_up(x, scale) for x in query_vec]
-    qv = _quantized_vec_sql(vec_col, scale)
+    qv = _quantized_vec_sql(_sql_ident(vec_col), scale)
     arr = "array(" + ",".join(f"cast({int(x)} as bigint)" for x in qints) + ")"
     score = F.expr(
         f"element_at(transform(array({qv}), qv -> "
@@ -1175,7 +1193,7 @@ def random_projection(
     # let-bound (transform over a 1-element array) so HOF
     # CodegenFallback materializes it ONCE per row instead of once per
     # output dimension
-    qv = _quantized_vec_sql(vec_col, scale)
+    qv = _quantized_vec_sql(_sql_ident(vec_col), scale)
     comps = [_int_dot_sql("qv", srow) for srow in signs]
     packed = F.expr(
         f"element_at(transform(array({qv}), qv -> array({', '.join(comps)})), 1)"
@@ -1457,7 +1475,7 @@ def ivfpq_build_index(
     for s, book in enumerate(codebooks):
         cols.append(
             F.expr(
-                _argmin_cell_sql(f"slice({vec_col}, {s * sub + 1}, {sub})", book)
+                _argmin_cell_sql(f"slice({_sql_ident(vec_col)}, {s * sub + 1}, {sub})", book)
             ).alias(f"code_{s}")
         )
     embeddings.select(*cols).write.mode("overwrite").partitionBy(cell_col).parquet(path)
@@ -1547,7 +1565,7 @@ def sq8_topk(
         if w == 0:
             continue
         code = (
-            f"(((cast(round(cast(element_at({vec_col}, {i + 1}) as double) * 1000000.0, 0) as long)"
+            f"(((cast(round(cast(element_at({_sql_ident(vec_col)}, {i + 1}) as double) * 1000000.0, 0) as long)"
             f" - {lo}L) * 255) div {w}L)"
         )
         parts.append(

@@ -83,13 +83,22 @@ def _path_fingerprint(path: str) -> tuple:
         return None
     if not os.path.isdir(path):
         return (st.st_mtime_ns, st.st_size)
+    # RECURSIVE walk: a partitioned layout (<path>/a=1/b=2/part.parquet)
+    # rewrites files two levels down without touching the top dir's
+    # mtime or its immediate entries — a one-level listdir fingerprint
+    # would serve the stale cached relation forever (review finding)
     parts = []
-    for entry in sorted(os.listdir(path)):
-        try:
-            est = os.stat(os.path.join(path, entry))
-        except OSError:
-            continue
-        parts.append((entry, est.st_mtime_ns, est.st_size))
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        rel_root = os.path.relpath(root, path)
+        for entry in sorted(files):
+            try:
+                est = os.stat(os.path.join(root, entry))
+            except OSError:
+                continue
+            parts.append(
+                (os.path.join(rel_root, entry), est.st_mtime_ns, est.st_size)
+            )
     return (st.st_mtime_ns, tuple(parts))
 
 

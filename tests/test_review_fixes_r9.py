@@ -327,3 +327,168 @@ def test_snapshot_retries_through_stale_pointer_gap(tmp_path):
     v, files = stale.snapshot()
     assert v == 5
     assert len(files) == 6
+
+
+# -- second review pass (r9) --------------------------------------------
+
+
+def test_snapshot_self_heals_a_regressed_pointer(tmp_path):
+    """write_checkpoint's monotonic pointer guard is a non-atomic
+    read-then-write, so a stalled concurrent checkpointer CAN still
+    regress the pointer after an expiry. The reader must self-heal:
+    the retry pass bases itself on the newest checkpoint FILE (never
+    deleted, always >= the pointer) instead of hard-failing or
+    silently serving the regressed version's state."""
+    t = str(tmp_path / "tbl")
+    log = _mk_log(t, 6)  # v0..v5
+    assert log.write_checkpoint() == 5  # ckpt5 + ptr5
+    log.expire_log()  # commits 0..5 gone
+    for v in range(6, 9):
+        assert log.store.put_json_if_absent(
+            os.path.join(log.log_dir, _marker(v)),
+            {"add": [f"f{v}.parquet"], "remove": [], "metadata": {}},
+        )
+    assert log.write_checkpoint() == 8  # ckpt8 + ptr8
+    log.expire_log()  # commits 6..8 gone
+    # the stalled first checkpointer finally writes its stale pointer
+    log.store.write_json_atomic(
+        os.path.join(log.log_dir, LAST_CHECKPOINT), {"version": 5}
+    )
+    # fresh commit so the tail is nonempty (the regressed fold sees a
+    # gap: base=5, next retained commit=9)
+    assert log.store.put_json_if_absent(
+        os.path.join(log.log_dir, _marker(9)),
+        {"add": ["f9.parquet"], "remove": [], "metadata": {}},
+    )
+    v, files = log.snapshot()  # attempt 0 gaps -> attempt 1 heals
+    assert v == 9
+    assert sorted(os.path.basename(f) for f in files) == [
+        f"f{i}.parquet" for i in range(10)
+    ]
+
+
+def test_commit_survives_lost_response_plus_expiry_before_readback():
+    """The worst stacking of finding 2: the writer's own win at v is
+    checkpointed AND expired before the read-back runs, so the writer
+    uuid is unreadable. The uuid-unique add paths in the CURRENT
+    snapshot must still prove the win — no duplicate at v+1."""
+
+    class LoseThenExpireStore(InMemoryLogStore):
+        def __init__(self):
+            super().__init__()
+            self.armed = True
+
+        def put_json_if_absent(self, path, body):
+            ok = super().put_json_if_absent(path, body)
+            if ok and self.armed:
+                self.armed = False
+                # the response is lost; before the writer's read-back,
+                # a concurrent maintainer checkpoints and expires
+                log2 = CommitLog("/tbl", self)
+                log2.write_checkpoint()
+                log2.expire_log()
+                return False
+            return ok
+
+    store = LoseThenExpireStore()
+    log = CommitLog("/tbl", store)
+    v = log.commit(add=["uniq-abc123.parquet"])
+    assert v == 0
+    assert log.versions() == []  # expired under the checkpoint
+    assert log.snapshot() == (0, ["/tbl/uniq-abc123.parquet"])
+    # no duplicate publication at v1
+    assert log._head_version() == 0
+
+
+def test_directory_fingerprint_sees_nested_rewrites(tmp_path):
+    """Partitioned-layout hazard: a rewrite two levels down must change
+    the fingerprint even when the top directory's own entries do not
+    move."""
+    import time as _time
+
+    from lamindb_spark.sources import readers
+
+    d = tmp_path / "tbl.parquet"
+    nested = d / "a=1" / "b=2"
+    nested.mkdir(parents=True)
+    f = nested / "part-0.parquet"
+    f.write_bytes(b"one")
+    fp1 = readers._path_fingerprint(str(d))
+    _time.sleep(0.01)
+    f.write_bytes(b"two+")  # size change, two levels down
+    fp2 = readers._path_fingerprint(str(d))
+    assert fp1 != fp2
+
+
+def test_dsir_cache_key_includes_text_col(spark):
+    """Same cache_key, different text column: the fitted ratio table
+    must NOT be reused across columns."""
+    from lamindb_spark.pipeline.dsir import dsir_weights
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta", "x y"),
+        (2, "alpha beta alpha beta", "a b c d e f g h"),
+        (3, "epsilon zeta eta theta", "x y x y x y x y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "alt"]).localCheckpoint(
+        eager=True
+    )
+    a = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_weights(
+            df, F.col("doc_id") == 1, text_col="text", cache_key="same"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_weights(
+            df, F.col("doc_id") == 1, text_col="alt", cache_key="same"
+        ).collect()
+    }
+    # recompute 'alt' WITHOUT any cache: must equal the cached-key run
+    c = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir_weights(df, F.col("doc_id") == 1, text_col="alt").collect()
+    }
+    assert b == c
+    assert a != b  # different columns genuinely score differently
+
+
+def test_read_side_poll_never_creates_the_table_dir(tmp_path):
+    """A pure CDC consumer polling a missing/mistyped table path must
+    not mkdir it (read-only mounts; typo detection)."""
+    from lamindb_spark.streaming.source import _latest_version
+
+    missing = str(tmp_path / "no_such_table")
+    assert _latest_version(missing) == -1
+    assert not os.path.exists(missing)
+    # constructing the log object is equally pure
+    CommitLog(missing)
+    assert not os.path.exists(missing)
+
+
+def test_string_fast_paths_accept_non_identifier_column_names(spark):
+    """The one-parse F.expr fast paths must accept the same column
+    names the Column API does (backtick quoting for names that are not
+    bare identifiers)."""
+    from lamindb_spark.pipeline.similarity import (
+        brute_force_topk,
+        refine_topk,
+        sq8_topk,
+        sq8_train,
+    )
+
+    emb = (
+        spark.createDataFrame(
+            [(i, [float(i), float(i % 3), 1.0]) for i in range(20)],
+            ["vec_id", "my vec"],
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = [0.0, 1.0, 1.0]
+    cand = emb.select("vec_id")
+    got = refine_topk(cand, emb, q, k=3, vec_col="my vec")
+    assert got.count() == 3
+    bounds = sq8_train(emb, vec_col="my vec")
+    assert sq8_topk(emb, bounds, q, k=3, vec_col="my vec").count() == 3
