@@ -135,6 +135,16 @@ class Lakehouse:
             "__bucket", F.pmod(col, F.lit(self.n_buckets)).cast("int")
         )
 
+    def _refresh(self, name: str) -> None:
+        """Invalidate any cached/persisted plans over this registry's
+        path after a write — Spark caches by logical plan (rootPaths),
+        so a persisted registry otherwise keeps serving pre-write
+        rows."""
+        try:
+            self.spark.catalog.refreshByPath(self._table_path(name))
+        except Exception:  # pragma: no cover — refresh is best-effort
+            pass
+
     def _has_flat_files(self, name: str) -> bool:
         """Legacy pre-bucketing layout: part files at the table root."""
         try:
@@ -177,8 +187,12 @@ class Lakehouse:
         reference's local cache dir exists because its engines re-read
         cloud files; Spark reads remote storage directly, so the cache
         equivalent is ``persist()`` on the branch-filtered scans that
-        every query touches). Evictable MEMORY_AND_DISK; call again
-        after writes (the underlying files changed)."""
+        every query touches). Evictable MEMORY_AND_DISK. Writes
+        invalidate via ``refreshByPath`` (see ``_refresh``), so cached
+        plans re-materialize lazily after any append/rewrite — without
+        that, a cached registry served STALE rows after writes, and
+        re-calling persist() on the equivalent plan was a silent no-op
+        (review finding)."""
         done = []
         for name in names or sorted(REGISTRY_SCHEMAS):
             if self._exists(name):
@@ -236,6 +250,7 @@ class Lakehouse:
         os.rename(tmp, path)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+        self._refresh(name)
 
     def _append(self, name: str, rows: list[dict[str, Any]]) -> None:
         """Insert-only write: a NEW parquet part-file appended to the
@@ -252,6 +267,7 @@ class Lakehouse:
         self._with_bucket(new.coalesce(1), name).write.mode("append").partitionBy(
             "__bucket"
         ).parquet(self._table_path(name))
+        self._refresh(name)
         self._note_ids(name, full)
         self._maybe_compact(name)
 
@@ -384,28 +400,34 @@ class Lakehouse:
         now = _now()
         existing = self.read_raw(name)
         batch_uids = sorted({r["uid"] for r in rows if r.get("uid")})
-        by_uid: dict[str, int] = {}
+        by_uid: dict[str, dict] = {}
         if batch_uids and self._exists(name):
             uid_df = self.spark.createDataFrame(
                 [(u,) for u in batch_uids], "uid: string"
             )
             hits = (
-                existing.select("id", "uid")
-                .join(F.broadcast(uid_df), "uid", "left_semi")
+                existing.join(F.broadcast(uid_df), "uid", "left_semi")
                 .collect()  # bounded by the batch, not the registry
             )
-            by_uid = {r["uid"]: r["id"] for r in hits}
+            by_uid = {r["uid"]: r.asDict() for r in hits}
         inserts, updates = [], []
         for row in rows:
             row = dict(row)
-            row.setdefault("branch_id", self.current_branch_id)
-            row.setdefault("created_at", now)
-            if name in VERSIONED_REGISTRIES:
-                row.setdefault("is_latest", True)
             if row.get("uid") in by_uid:
-                row["id"] = by_uid[row["uid"]]
-                updates.append(row)
+                # PARTIAL update semantics: caller-supplied fields
+                # override, everything else (key/hash/created_at/...)
+                # keeps the stored value — a full-row replacement
+                # nulled every omitted column and reset created_at to
+                # save time (review finding)
+                current = by_uid[row["uid"]]
+                merged = {**current, **row}
+                merged["id"] = current["id"]
+                updates.append(merged)
             else:
+                row.setdefault("branch_id", self.current_branch_id)
+                row.setdefault("created_at", now)
+                if name in VERSIONED_REGISTRIES:
+                    row.setdefault("is_latest", True)
                 row.setdefault("uid", generate_uid(UID_LENGTHS.get(name, 12)))
                 inserts.append(row)
         fresh = [r for r in inserts if r.get("id") is None]
@@ -459,6 +481,7 @@ class Lakehouse:
                 os.rename(src, dst)
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        self._refresh(name)
 
     # ---------------------------------------------------------- artifacts
 
@@ -468,7 +491,10 @@ class Lakehouse:
 
     def _storage_for_path(self, path: str) -> tuple[int, str] | None:
         """Longest-prefix storage match (reference ``artifact.py:508-525``
-        orders by root length desc — X7)."""
+        orders by root length desc — X7). Both sides are abspathed: a
+        Lakehouse created with a RELATIVE root must still recognize its
+        own managed paths, or managed files get re-copied under
+        flattened keys (review finding)."""
         apath = os.path.abspath(path)
         rows = (
             self.read_raw("storage")
@@ -477,8 +503,9 @@ class Lakehouse:
             .collect()
         )
         for r in rows:
-            if apath.startswith(r["root"].rstrip("/") + "/"):
-                return int(r["id"]), r["root"]
+            aroot = os.path.abspath(r["root"])
+            if apath.startswith(aroot.rstrip("/") + "/"):
+                return int(r["id"]), aroot
         return None
 
     def register_artifact(
@@ -495,8 +522,9 @@ class Lakehouse:
         """Ingest a file/dir as an Artifact with content-hash dedup and
         version-family maintenance.
 
-        Dedup (reference ``get_stat_or_artifact``): same hash on the
-        same branch → return the existing row, no new version.
+        Dedup (reference ``get_stat_or_artifact``): same hash in the
+        caller's VISIBLE scope (current branch + main) → return the
+        existing row, no new version.
         Versioning: same ``key``, new hash → new version in the same
         uid family (stem reuse + base62 suffix bump); the previous head
         loses ``is_latest``.
@@ -508,8 +536,17 @@ class Lakehouse:
             content_hash, size, n_files = hash_file(path), os.path.getsize(path), None
             suffix = os.path.splitext(path)[1]
         arts = self.read_raw("artifact")
+        # dedup scope == read() visibility (current branch + main), so
+        # the returned row is always openable by the caller; a hash hit
+        # on an UNRELATED branch previously returned a row that read()/
+        # open_artifact could not see (review finding)
         dup = (
-            arts.filter((F.col("hash") == content_hash) & (F.col("branch_id") != TRASH_BRANCH_ID))
+            arts.filter(
+                (F.col("hash") == content_hash)
+                & F.col("branch_id").isin(
+                    [self.current_branch_id, MAIN_BRANCH_ID]
+                )
+            )
             .orderBy(F.desc("created_at"))
             .first()
         )
@@ -529,7 +566,28 @@ class Lakehouse:
             key = key if key is not None else os.path.basename(path.rstrip("/"))
             target = os.path.join(storage_root, key)
             os.makedirs(os.path.dirname(target), exist_ok=True)
-            if not os.path.exists(target):
+            need_copy = True
+            if os.path.exists(target):
+                # same key, existing payload: copy only if the BYTES
+                # differ — skipping unconditionally registered a row
+                # whose hash described bytes that never landed (review
+                # finding). Differing bytes supersede the path (non-
+                # virtual keys: root/key always serves the NEWEST
+                # version's payload; older rows keep their hash as
+                # provenance — the reference's key-path semantics).
+                existing_hash = (
+                    hash_dir(target)[0]
+                    if os.path.isdir(target)
+                    else hash_file(target)
+                )
+                if existing_hash == content_hash:
+                    need_copy = False
+                else:
+                    if os.path.isdir(target):
+                        shutil.rmtree(target)
+                    else:
+                        os.remove(target)
+            if need_copy:
                 if os.path.isdir(path):
                     shutil.copytree(path, target)
                 else:
@@ -570,7 +628,10 @@ class Lakehouse:
         }
         self._append("artifact", [row])
         if family is not None:
-            self._reconcile_is_latest("artifact")
+            # scoped to the family: a new version must not pay a
+            # full-registry rewrite (review finding — O(registry) per
+            # versioned ingest defeats the bucket-scoped design)
+            self._reconcile_is_latest("artifact", stems=[uid[: self._stem_len("artifact")]])
         return row
 
     def save_dataframe(
@@ -593,13 +654,20 @@ class Lakehouse:
         100 TB. Choose low-cardinality columns (date, category,
         branch); never high-cardinality ids (small-file explosion).
         """
+        from pyspark.sql import Observation
+
         _sid, storage_root = self._resolve_storage_root()
         target = f"{storage_root}/{key}"
-        n_obs = df.count()
+        # row count via Observation: the old df.count() executed the
+        # full input plan a second time before the write (review
+        # finding) — observe() folds the count into the write pass
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
+        n_obs = int(obs.get["n"])
         return self.register_artifact(
             target,
             key=key,
@@ -622,10 +690,13 @@ class Lakehouse:
         the key's suffix (.csv/.tsv/.json/.orc/.parquet) and register
         it. The suffix dispatch mirrors ``sources.readers.read_payload``
         so exports round-trip through ``open_artifact``."""
+        from pyspark.sql import Observation
+
         _sid, storage_root = self._resolve_storage_root()
         target = f"{storage_root}/{key}"
         suffix = "." + key.rsplit(".", 1)[-1] if "." in key else ".parquet"
-        n_obs = df.count()
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         w = df.write.mode(mode)
         if suffix == ".csv":
             w.option("header", True).csv(target)
@@ -637,6 +708,7 @@ class Lakehouse:
             w.orc(target)
         else:
             w.parquet(target)
+        n_obs = int(obs.get["n"])
         return self.register_artifact(
             target, key=key, description=description,
             otype="DataFrame", n_observations=n_obs,
@@ -657,11 +729,18 @@ class Lakehouse:
         scan; records run-input lineage when a run is active (L3,
         reference ``track_run_input`` ``artifact.py:3783``)."""
         arts = self.read("artifact").filter(F.col("is_latest"))
+        # EXACT uid/key matches take strict priority: a uid-PREFIX match
+        # competing in the same orderBy let a random uid starting with
+        # someone's short key hijack the lookup (review finding)
         hit = arts.filter(
-            (F.col("uid") == uid_or_key)
-            | F.col("uid").startswith(uid_or_key)
-            | (F.col("key") == uid_or_key)
+            (F.col("uid") == uid_or_key) | (F.col("key") == uid_or_key)
         ).orderBy(F.desc("created_at")).first()
+        if hit is None:
+            hit = (
+                arts.filter(F.col("uid").startswith(uid_or_key))
+                .orderBy(F.desc("created_at"))
+                .first()
+            )
         if hit is None:
             raise KeyError(f"no artifact with uid/key {uid_or_key!r}")
         path = self.artifact_path(hit)
@@ -781,7 +860,10 @@ class Lakehouse:
             df = self.read(name)
             if "created_at" not in df.columns:
                 continue
-            rows = df.orderBy(F.desc("created_at"), F.desc("id")).limit(n).collect()
+            order = [F.desc("created_at")] + (
+                [F.desc("id")] if "id" in df.columns else []
+            )  # link/EAV registries have created_at but no id (review finding)
+            rows = df.orderBy(*order).limit(n).collect()
             if rows:
                 out[name] = [r.asDict() for r in rows]
         return out
@@ -846,7 +928,9 @@ class Lakehouse:
             ],
         )
         if family is not None:
-            self._reconcile_is_latest("collection")
+            self._reconcile_is_latest(
+                "collection", stems=[uid[: self._stem_len("collection")]]
+            )
         return row
 
     def collection_members(self, collection_id: int) -> list[dict[str, Any]]:
@@ -921,12 +1005,30 @@ class Lakehouse:
             return stem + "0000"
         return stem + increment_suffix(max(suffixes, key=decode_base62))
 
-    def _reconcile_is_latest(self, name: str) -> None:
+    def _reconcile_is_latest(self, name: str, stems: list[str] | None = None) -> None:
         """Exactly one head per (stem uid, branch) — reference
-        ``reconcile_is_latest_within_branch`` (``_is_versioned.py:338-373``)
-        as one window pass."""
+        ``reconcile_is_latest_within_branch`` (``_is_versioned.py:338-373``).
+
+        With ``stems`` (the common case: one new version landed), only
+        those families are re-marked and written back through the
+        bucket-scoped update path — O(family), not an O(registry)
+        rewrite per versioned ingest (review finding). Without
+        ``stems`` (bulk delete/restore), the full one-window rewrite
+        runs as before."""
         df = self.read_raw(name)
         stem = F.substring(F.col("uid"), 1, self._stem_len(name))
+        if stems is not None:
+            fam = df.filter(stem.isin(stems)).withColumn("__stem", stem)
+            marked = mark_latest(
+                fam,
+                family_cols=["__stem", "branch_id"],
+                order_col="created_at",
+                tiebreak_col="id",
+            ).drop("__stem")
+            rows = [r.asDict() for r in marked.collect()]  # family-sized
+            if rows:
+                self._update_buckets(name, rows)
+            return
         marked = mark_latest(
             df.withColumn("__stem", stem),
             family_cols=["__stem", "branch_id"],

@@ -16,7 +16,37 @@ are metadata-sized. The payload append itself is a distributed
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame
+
+
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """Identity BOUND to the checkpoint directory (Delta's appId ≅
+    checkpoint contract): a micro-batch id only means "already applied"
+    relative to the checkpoint that numbered it, because Spark restarts
+    batch ids at 0 after a checkpoint wipe. Stored as a tiny file
+    inside the checkpoint dir, so wiping the checkpoint rotates the
+    identity with it — without this, a wiped MERGE stream whose source
+    replays old+NEW rows as batch 0 would match the OLD run's
+    ``(name, 0)`` txn and silently drop the new rows (review
+    finding)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "_txn_identity")
+    try:
+        with open(p) as fh:
+            ident = fh.read().strip()
+        if ident:
+            return ident
+    except OSError:
+        pass
+    ident = uuid.uuid4().hex[:12]
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as fh:
+        fh.write(ident)
+    os.replace(tmp, p)
+    return ident
 
 
 def stream_to_artifact(
@@ -81,7 +111,28 @@ def stream_append_exactly_once(
     at-least-once by comparison (duplicate part-files on replay).
     Readers use ``read_committed`` and never see staged files.
     """
-    from ..catalog.commitlog import append_dataframe_txn
+    from ..catalog.commitlog import CommitLog, append_dataframe_txn
+
+    # Wipe guard: a FRESH checkpoint (no identity file) while the table
+    # already records txns for this query_name means batch numbering
+    # restarted at 0 against a log that remembers the old numbering —
+    # silently skipping batches (data loss) or re-appending the whole
+    # replayed feed (duplication) are both wrong for an "exactly-once"
+    # sink, so fail loudly and make the operator choose: restore the
+    # checkpoint, or use a new query_name (accepting the re-append).
+    ident_file = os.path.join(checkpoint_dir, "_txn_identity")
+    if not os.path.exists(ident_file) and any(
+        t[0] == query_name for t in CommitLog(table_path).known_txns()
+    ):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} is new/wiped but {table_path!r} "
+            f"already records transactions for query_name={query_name!r}: "
+            "batch ids restarted at 0 and would collide with the old "
+            "run's. Restore the original checkpoint, or pass a NEW "
+            "query_name (the stream will then re-append the full "
+            "replayed source feed)."
+        )
+    _checkpoint_identity(checkpoint_dir)  # mark this checkpoint as used
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         append_dataframe_txn(batch_df, table_path, query_name, batch_id)
@@ -142,9 +193,18 @@ def stream_merge_exactly_once(
 
     from ..catalog.commitlog import CommitLog, merge_into
 
+    # txn identity bound to the CHECKPOINT, not the bare query name: a
+    # wiped checkpoint restarts batch ids at 0, and the old run's
+    # (name, 0) txn would swallow the new incarnation's batch 0 — with
+    # its never-before-seen rows — whole (review finding). Rotation is
+    # safe HERE because MERGE is idempotent per key: the full replayed
+    # feed re-applies and converges (the append sink instead fails
+    # loudly, where re-application would duplicate rows).
+    app = f"{query_name}#{_checkpoint_identity(checkpoint_dir)}"
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         log = CommitLog(table_path)
-        if (query_name, batch_id) in log.known_txns():
+        if (app, batch_id) in log.known_txns():
             return  # replayed batch — already applied (survives log expiry)
         others = [c for c in batch_df.columns if c != key]
         if order_col is not None:
@@ -178,14 +238,14 @@ def stream_merge_exactly_once(
             # the append path and silently duplicated keys (ADVICE r7)
             from ..catalog.commitlog import append_dataframe_txn
 
-            append_dataframe_txn(dedup, table_path, query_name, batch_id)
+            append_dataframe_txn(dedup, table_path, app, batch_id)
             return
         merge_into(
             batch_df.sparkSession,
             table_path,
             dedup,
             key,
-            extra_metadata={"txn_app": query_name, "txn_version": batch_id},
+            extra_metadata={"txn_app": app, "txn_version": batch_id},
         )
 
     q = (

@@ -110,9 +110,15 @@ def test_txn_append_is_idempotent(spark, tmp_path):
 
 
 def test_stream_exactly_once_replay(spark, tmp_path):
-    """Drain a file stream through the exactly-once sink, then replay
-    the micro-batches by re-running against a WIPED checkpoint (worst
-    case: Spark forgets all progress) — the commit log still dedups."""
+    """Exactly-once append across restarts: a RETAINED checkpoint
+    resumes with zero re-appends; a WIPED checkpoint with the same
+    query_name fails LOUDLY instead of guessing. (The old behavior —
+    silently dedup the wiped replay on (name, batch_id) — lost data
+    whenever new rows had arrived before the wipe, because they share
+    batch 0 with the replay and were skipped with it; r9 second
+    review pass.)"""
+    import pytest as _pytest
+
     from lamindb_spark.catalog.commitlog import CommitLog
     from lamindb_spark.streaming.sink import stream_append_exactly_once
 
@@ -123,10 +129,17 @@ def test_stream_exactly_once_replay(spark, tmp_path):
     stream_append_exactly_once(stream, table, str(tmp_path / "ck1"), "ingest")
     assert read_committed(spark, table).count() == 50
     n_commits = len(CommitLog(table).versions())
-    # full replay with fresh checkpoint → same (query, batch) ids re-run
+    # wiped checkpoint + same query_name: batch numbering restarted —
+    # refuse at open, directing the operator to the safe recoveries
     stream2 = spark.readStream.schema("id long").parquet(src)
-    stream_append_exactly_once(stream2, table, str(tmp_path / "ck2"), "ingest")
-    assert read_committed(spark, table).count() == 50  # no duplicates
+    with _pytest.raises(ValueError, match="new/wiped"):
+        stream_append_exactly_once(stream2, table, str(tmp_path / "ck2"), "ingest")
+    assert read_committed(spark, table).count() == 50
+    # recovery 1: the ORIGINAL checkpoint resumes cleanly (no new
+    # input -> no new batches -> no duplicates)
+    stream3 = spark.readStream.schema("id long").parquet(src)
+    stream_append_exactly_once(stream3, table, str(tmp_path / "ck1"), "ingest")
+    assert read_committed(spark, table).count() == 50
     assert len(CommitLog(table).versions()) == n_commits
 
 
@@ -249,11 +262,14 @@ def test_stream_merge_exactly_once(spark, tmp_path):
     out = {r["id"]: r["val"] for r in read_committed(spark, table).collect()}
     assert out[0] == 9 and out[99] == 9 and len(out) == 16
 
-    # full replay, wiped checkpoint: batch 0 re-derives the whole dir,
-    # but txn (cdc, 0) is already in the log → skipped, nothing changes
-    n_commits = len(CommitLog(table).versions())
+    # full replay, wiped checkpoint: the txn identity is checkpoint-
+    # bound (r9 second review pass), so batch 0 of the new incarnation
+    # is NOT mistaken for the old run's batch 0 — it re-MERGEs the
+    # whole re-derived feed, which is idempotent per key: the STATE
+    # converges (this is the path that previously lost any new rows
+    # that had arrived before the wipe, silently skipped with the
+    # replay)
     drain("ck-wiped")
-    assert len(CommitLog(table).versions()) == n_commits
     out2 = {r["id"]: r["val"] for r in read_committed(spark, table).collect()}
     assert out2 == out
 

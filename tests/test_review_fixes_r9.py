@@ -492,3 +492,32 @@ def test_string_fast_paths_accept_non_identifier_column_names(spark):
     assert got.count() == 3
     bounds = sq8_train(emb, vec_col="my vec")
     assert sq8_topk(emb, bounds, q, k=3, vec_col="my vec").count() == 3
+
+
+def test_merge_stream_checkpoint_wipe_does_not_drop_new_rows(spark, tmp_path):
+    """THE loss scenario behind the checkpoint-bound txn identity: run
+    a MERGE stream, wipe its checkpoint, land NEW source rows, rerun
+    with the same query_name. The new incarnation's batch 0 replays
+    old+new rows together; with the old (name, batch_id) identity it
+    matched the first run's batch 0 txn and was skipped WHOLE — the
+    new rows silently never reached the table."""
+    from lamindb_spark.catalog.commitlog import read_committed
+    from lamindb_spark.streaming.sink import stream_merge_exactly_once
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10), (2, 20)], "id long, val long").write.parquet(src)
+
+    def drain(ck):
+        stream = spark.readStream.schema("id long, val long").parquet(src)
+        stream_merge_exactly_once(stream, table, "id", str(tmp_path / ck), "cdc")
+
+    drain("ck1")
+    assert {r["id"] for r in read_committed(spark, table).collect()} == {1, 2}
+    # checkpoint wiped (ck2 is fresh); NEW row 3 lands in the source
+    spark.createDataFrame([(3, 30)], "id long, val long").write.mode(
+        "append"
+    ).parquet(src)
+    drain("ck2")
+    out = {r["id"]: r["val"] for r in read_committed(spark, table).collect()}
+    assert out == {1: 10, 2: 20, 3: 30}  # row 3 MUST survive the wipe
