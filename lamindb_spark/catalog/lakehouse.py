@@ -81,6 +81,16 @@ def hash_dir(path: str) -> tuple[str, int, int]:
     return agg, total, n
 
 
+def _group_feature_values(ann_rows) -> dict:
+    """feature_name -> list of parsed json values (insertion order)."""
+    import json as _json
+
+    out: dict = {}
+    for r in ann_rows:
+        out.setdefault(r["feature_name"], []).append(_json.loads(r["value_json"]))
+    return out
+
+
 class Lakehouse:
     """SparkSession-scoped engine catalog (SURVEY §7.0 design stance)."""
 
@@ -818,7 +828,13 @@ class Lakehouse:
             "storage": storage["root"] if storage else None,
             "run": {"uid": run["uid"], "started_at": str(run["started_at"])} if run else None,
             "transform": {"uid": tf["uid"], "key": tf["key"]} if tf else None,
-            "features": {r["feature_name"]: _json.loads(r["value_json"]) for r in ann},
+            # multiple scalar rows per feature (the EAV-queryable form
+            # the curator writes) fold back into one list; a single row
+            # stays scalar/as-written
+            "features": {
+                name: (vals[0] if len(vals) == 1 else sorted(vals, key=str))
+                for name, vals in _group_feature_values(ann).items()
+            },
         }
         return _json.dumps(doc, sort_keys=True)
 
@@ -1121,22 +1137,35 @@ class Lakehouse:
         entity_id: int,
         values: dict[str, Any],
         feature_ids: dict[str, int] | None = None,
+        explode_lists: bool = False,
     ) -> None:
         """Attach feature values to an entity as EAV rows (reference
-        V8 ``annotate_artifact``; JSON value tables §1.1 Tier C)."""
+        V8 ``annotate_artifact``; JSON value tables §1.1 Tier C).
+
+        ``explode_lists=True`` writes one SCALAR row per list item
+        instead of one JSON-array row — the form the EAV filter path
+        (``features__<name>=value`` compares the scalar json) can
+        actually match (review finding: array-valued curator
+        annotations were unreachable by the documented filters)."""
         import json
 
         rows = []
         for fname, value in values.items():
-            rows.append(
-                {
-                    "entity_kind": entity_kind,
-                    "entity_id": entity_id,
-                    "feature_id": (feature_ids or {}).get(fname, -1),
-                    "feature_name": fname,
-                    "value_json": json.dumps(value, default=str),
-                    "branch_id": self.current_branch_id,
-                    "created_at": _now(),
-                }
+            items = (
+                list(value)
+                if explode_lists and isinstance(value, (list, tuple, set))
+                else [value]
             )
+            for item in items:
+                rows.append(
+                    {
+                        "entity_kind": entity_kind,
+                        "entity_id": entity_id,
+                        "feature_id": (feature_ids or {}).get(fname, -1),
+                        "feature_name": fname,
+                        "value_json": json.dumps(item, default=str),
+                        "branch_id": self.current_branch_id,
+                        "created_at": _now(),
+                    }
+                )
         self._append("annotation", rows)

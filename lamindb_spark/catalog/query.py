@@ -179,6 +179,49 @@ class QuerySet:
         roots = {split_lookup(k)[0].split("__", 1)[0] for k in keys}
         return not (roots & _IDENTITY_FIELDS)
 
+    @staticmethod
+    def _q_lookup_keys(q) -> list[str]:
+        """Lookup keys inside a (non-negated) Q tree — so a positive
+        identity lookup written as ``Q(uid=...)`` gets the same
+        sees-all-branches semantics as the kwargs form (review
+        finding: the two forms diverged)."""
+        if getattr(q, "negated", False):
+            return []
+        out: list[str] = []
+        for child in getattr(q, "children", []):
+            if isinstance(child, Q):
+                out.extend(QuerySet._q_lookup_keys(child))
+            else:
+                out.append(child[0])
+        return out
+
+    def _q_resolver(self, path: str):
+        """Field resolver for Q-object compilation: applies the same
+        alias map as the kwargs path and fails FAST (with the F11
+        suggestion) on fields the bare-Column path cannot express —
+        without this, ``Q(version='1')`` compiled to the nonexistent
+        ``version`` column and relation/EAV paths died later with an
+        opaque UNRESOLVED_COLUMN (review finding)."""
+        path = _FIELD_ALIASES.get(path, path)
+        if path in self._df.columns:
+            return F.col(path)
+        if path == "features" or path.startswith("features__"):
+            raise ValueError(
+                f"EAV lookup {path!r} needs a join and cannot appear "
+                "inside a Q object — pass it as a keyword lookup "
+                "(.filter(features__x=...)) or a Feature predicate"
+            )
+        if self._relation_path(path) is not None:
+            raise ValueError(
+                f"relation lookup {path!r} needs a join and cannot "
+                "appear inside a Q object — pass it as a keyword "
+                "lookup (.filter(a__b__field=...))"
+            )
+        raise ValueError(
+            f"unknown field {path!r} on {self.registry}; "
+            f"available: {sorted(self._df.columns)}"
+        )
+
     def _relation_path(self, path: str) -> tuple[list[tuple[str, Rel]], str] | None:
         """Split ``a__b__field`` into relation hops + terminal field, or
         None if the first segment is a plain column."""
@@ -302,7 +345,7 @@ class QuerySet:
                     "left_anti" if anti else "left_semi",
                 )
             else:
-                conds.append(q.to_column())
+                conds.append(q.to_column(self._q_resolver))
         for key, value in kwargs.items():
             col_pred, semi_df, join_key = self._compile_predicate(key, value)
             if col_pred is not None:
@@ -323,8 +366,20 @@ class QuerySet:
 
     def _apply(self, qs_args: tuple, kwargs: dict, negate: bool = False) -> "QuerySet":
         df = self._df
-        keys = list(kwargs)
-        if self._needs_branch_filter(keys):
+        keys = list(kwargs) + [
+            k
+            for q in qs_args
+            if isinstance(q, Q)
+            for k in self._q_lookup_keys(q)
+        ]
+        need_branch = self._needs_branch_filter(keys)
+        if negate and not self._branch_filtered and "branch_id" in df.columns:
+            # exclude() NEVER gets the identity bypass: the bypass
+            # exists so a positive identity lookup can find rows on any
+            # branch, but inverting the matched set must not expose
+            # trash/foreign-branch rows (review finding)
+            need_branch = True
+        if need_branch:
             df = df.filter(self._branch_predicate())
         # branch handling is now resolved for this chain either way: an
         # identity lookup (id/uid/hash) intentionally sees ALL branches
@@ -538,12 +593,16 @@ class QuerySet:
         fallback); or kwargs with an implicit is_latest=True for
         versioned registries."""
         if idlike is not None:
+            # filter SELF, not a fresh QuerySet: get() on a filtered
+            # chain must respect the chain (qs.filter(kind=...).get(uid)
+            # previously matched outside the kind filter — review
+            # finding; Django/reference get-on-queryset semantics)
             if isinstance(idlike, int):
-                return QuerySet(self.lh, self.registry).filter(id=idlike).one()
-            exact = QuerySet(self.lh, self.registry).filter(uid=idlike).one_or_none()
+                return self.filter(id=idlike).one()
+            exact = self.filter(uid=idlike).one_or_none()
             if exact is not None:
                 return exact
-            fam = QuerySet(self.lh, self.registry).filter(uid__startswith=idlike)
+            fam = self.filter(uid__startswith=idlike)
             if "is_latest" in self._df.columns:
                 head = fam.filter(is_latest=True).one_or_none()
                 if head is not None:

@@ -118,12 +118,28 @@ class DataFrameCurator:
         if not report["is_valid"]:
             raise CurationError(f"not valid: {report}")
         art = lakehouse.save_dataframe(self.df, key, description=description)
-        for col in self.categoricals:
+        for col, cspec in self.categoricals.items():
             if col not in self.df.columns:
                 continue
             vals = sorted(
                 r[0]
                 for r in self.df.select(col).filter(F.col(col).isNotNull()).distinct().collect()
             )
-            lakehouse.annotate("artifact", art["id"], {col: vals})
+            if cspec.synonyms_field:
+                # annotate with CANONICAL names: validation accepts
+                # synonyms (pinned lenient semantics), but annotating
+                # the raw synonym made features__<col>=<canonical>
+                # silently miss the artifact (review finding)
+                m = {
+                    r["__syn"]: r["__name"]
+                    for r in synonym_map(
+                        cspec.registry, cspec.field, cspec.synonyms_field
+                    ).collect()
+                }
+                vals = sorted({m.get(v, v) for v in vals})
+            # one scalar annotation row per value (explode_lists), so
+            # the EAV filter path can match individual values
+            lakehouse.annotate(
+                "artifact", art["id"], {col: vals}, explode_lists=True
+            )
         return art

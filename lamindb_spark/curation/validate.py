@@ -60,7 +60,12 @@ def synonym_map(registry: DataFrame, name_field: str, synonyms_field: str) -> Da
             )
         ).alias("__syn"),
     ).filter(F.col("__syn") != "")
-    return syns.distinct()
+    # ONE canonical name per synonym: two registry rows claiming the
+    # same synonym would otherwise fan out every matching data row in
+    # the standardize join (review finding — silent row duplication).
+    # min(name) is the deterministic winner, matching validate's
+    # set-membership semantics.
+    return syns.groupBy("__syn").agg(F.min("__name").alias("__name"))
 
 
 def standardize_values(
@@ -95,6 +100,10 @@ def from_values(
     to the registry), append them via the catalog upsert, then a semi
     filter returns the complete row set.
     """
+    # None entries can never round-trip (isin() never matches NULL, so
+    # a null row would be re-created on EVERY call and never returned —
+    # review finding); the reference's from_values likewise skips nulls
+    values = [v for v in values if v is not None]
     reg = lakehouse.read(registry_name)
     present = {
         r[0]

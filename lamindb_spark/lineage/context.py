@@ -80,8 +80,10 @@ class Context:
             self.transform = row
             if family is not None:
                 # demote the previous head so QuerySet.get(key=...)
-                # keeps seeing exactly one is_latest row per family
-                self.lh._reconcile_is_latest("transform")
+                # keeps seeing exactly one is_latest row per family —
+                # scoped to THIS family (review finding: the unscoped
+                # call rewrote the whole transform registry per run)
+                self.lh._reconcile_is_latest("transform", stems=[uid[:12]])
         run_row = {
             "id": self.lh.next_id("run"),
             "uid": generate_uid(20),
@@ -89,11 +91,20 @@ class Context:
             "started_at": _now(),
             "status_code": 1,  # started
             "params": json.dumps(params or {}),
+            # nested tracking: the run that was active when this one
+            # started is its initiator (reference Run.initiated_by_run)
+            "initiated_by_run_id": self.lh.current_run_id,
             "branch_id": self.lh.current_branch_id,
             "created_at": _now(),
         }
         self.lh._append("run", [run_row])
         self.run = run_row
+        # remember the enclosing run so finish() can RESTORE it — a
+        # nested @tracked call must not clobber the outer run's
+        # lineage capture (review finding: finish() set the id to None
+        # unconditionally, so the outer run recorded no inputs and
+        # stamped run_id=None on its outputs)
+        self._parent_run_id = self.lh.current_run_id
         self.lh.current_run_id = run_row["id"]
         return self
 
@@ -104,7 +115,8 @@ class Context:
             "run",
             [{**self.run, "finished_at": _now(), "status_code": status_code}],
         )
-        self.lh.current_run_id = None
+        # restore the enclosing run (None at top level)
+        self.lh.current_run_id = getattr(self, "_parent_run_id", None)
         self.run = None
 
 
