@@ -11,7 +11,13 @@ from __future__ import annotations
 import secrets
 import string
 
-BASE62 = string.digits + string.ascii_letters  # 0-9A-Za-z ordering per base62 convention
+# digit-value order is 0-9, a-z, A-Z (string.ascii_letters puts
+# lowercase first) — NOT the 0-9A-Za-z convention some systems use.
+# The engine is self-consistent (next_version_uid maxes by
+# decode_base62, never by string sort); external consumers comparing
+# version suffixes must decode with THIS alphabet, not sort
+# lexicographically (ASCII sort puts 'A' < 'a', the opposite order).
+BASE62 = string.digits + string.ascii_letters
 _ALPHABET = string.ascii_lowercase + string.ascii_uppercase + string.digits
 
 
@@ -41,7 +47,9 @@ def decode_base62(s: str) -> int:
 
 def increment_suffix(suffix: str) -> str:
     """Base62-increment a fixed-width version suffix ("0000" → "0001",
-    "000z" → "0010"); mirrors the reference's version bump."""
+    "0009" → "000a", "000z" → "000A", "000Z" → "0010" — per the
+    module's digits-lowercase-uppercase alphabet above); mirrors the
+    reference's version bump."""
     return encode_base62(decode_base62(suffix) + 1, pad=len(suffix))
 
 

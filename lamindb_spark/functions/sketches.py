@@ -46,11 +46,16 @@ def heavy_hitters(
     partial-aggregated groupBy; for truly unbounded key domains swap in
     a count-min sketch upstream, the output contract stays the same.
     """
-    total = df.count()
+    from pyspark.sql import Window
+
+    # ONE scan: the total rides a keyless window over the (already
+    # tiny) aggregated key counts instead of a second full pass over
+    # df (review finding — the skew-diagnosis helper doubled its I/O
+    # on exactly the inputs it exists for)
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.col("n") / F.lit(float(total)))
+        counts.withColumn("share", F.col("n") / total)
         .filter(F.col("share") >= min_share)
         .orderBy(F.desc("n"), F.col(key))
         .limit(top)

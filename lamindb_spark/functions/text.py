@@ -27,8 +27,11 @@ _WORD_SPLIT = "\\s+"
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(col)
+    """Whitespace token count. NULL text counts 0 — the engine-wide
+    null-safe tokenizer contract (``ws_tokens``): without the
+    coalesce, ``size(split(NULL))`` is -1 and a corpus sum over N null
+    docs lands 2N below the truth (review finding)."""
+    t = F.trim(F.coalesce(col, F.lit("")))
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WORD_SPLIT)))
 
 

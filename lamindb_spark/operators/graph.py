@@ -172,8 +172,8 @@ def connected_components(
     rounds — for dedup graphs (stars + short chains) that is 2-3. Per
     round: one join + one groupBy on the SAME key (AQE coalesces), and
     a ``localCheckpoint`` so the plan never grows. Convergence check is
-    an aggregate (sum of labels strictly decreases until fixpoint), no
-    driver-side data.
+    an aggregate (count of labels that changed this round — exact for
+    any id type), no driver-side data.
 
     Output: (``id``, ``component``) — component = min node id reachable,
     matching the min-id keeper convention of ``exact_dedup`` and the
@@ -189,7 +189,6 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
     for _i in range(max_iters):
         # neighbor labels: for each node, min label among itself and
         # all neighbors (und has both directions, so one join suffices)
@@ -208,11 +207,23 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        # convergence = zero rows whose label CHANGED this round. The
+        # old check compared sums of the labels themselves, which (a)
+        # is NULL for string ids — the early exit never fired and every
+        # call paid all max_iters rounds — and (b) wraps for 64-bit
+        # hash ids (review finding). Labels only DECREASE (min
+        # propagation), so "changed" is exactly component < previous;
+        # the diff count rides the same job as the checkpoint's
+        # materialization pass.
+        changed = (
+            new_labels.withColumnRenamed("component", "__new")
+            .join(labels, "id")
+            .filter(F.col("__new") != F.col("component"))
+            .count()
+        )
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 
@@ -287,6 +298,12 @@ def pagerank(
         .distinct()
     ).localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty edge frame (a corpus slice with no co-occurrences):
+        # return the empty (node, rank) frame instead of dividing by
+        # zero below (review finding; closure() handles empty edges
+        # the same way)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     graph = e.join(outdeg, "src").localCheckpoint(eager=True)
     # Teleport constant via DECIMAL subtraction: SQL engines constant-

@@ -95,7 +95,17 @@ def salted_join(
     *key* dominates — e.g. a null-ish default FK or a mega-user — and
     works for aggregations-after-join too. The right side must be the
     smaller side (it is replicated ×n_salts).
+
+    Only ``inner``/``left`` joins are valid: the right side is
+    replicated, so right/full-outer would emit every UNMATCHED right
+    row once per salt replica (review finding) — guarded below.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): "
+            "the right side is replicated per salt, so right/full outer "
+            "joins would duplicate unmatched right rows n_salts times"
+        )
     salted_l = left.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
     )

@@ -93,7 +93,12 @@ def prefix_sum(
     local = local.withColumn(
         "__cum", F.sum(F.col(value_col).cast("long")).over(w)
     )
-    totals = local.groupBy("__pid").agg(F.max("__cum").alias("__tot"))
+    # partition total = SUM of values, not max of the running sum:
+    # with negative values the running max exceeds the true total and
+    # every later partition's offset inflates (review finding)
+    totals = local.groupBy("__pid").agg(
+        F.sum(F.col(value_col).cast("long")).alias("__tot")
+    )
     offsets = _cumulative_offsets(totals, "__pid", "__tot", "__off")
     return (
         local.join(F.broadcast(offsets), "__pid")

@@ -76,4 +76,7 @@ def search(
     """
     rank, any_match = search_rank(query, fields, synonyms_field)
     out = df.withColumn("rank", rank).filter(any_match).orderBy(F.desc("rank"))
-    return out.limit(limit) if limit else out
+    # `is not None`, not truthiness: limit=0 means SQL LIMIT 0 (empty
+    # result), not "unlimited" (review finding — the falsy check turned
+    # an intended no-op into a full scan + global sort)
+    return out.limit(limit) if limit is not None else out

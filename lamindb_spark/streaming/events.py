@@ -99,18 +99,56 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, stream_df: DataFrame, name: str, timeout_sec: int = 60
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 60,
+    output_mode: str | None = None,
 ) -> DataFrame:
     """Execute a streaming query into an in-memory sink until the
-    source is exhausted (test/demo helper)."""
+    source is exhausted (test/demo helper).
+
+    ``output_mode`` defaults by plan shape: 'complete' only for
+    aggregation streams (where the memory sink wants the full result
+    table each trigger), 'append' otherwise — the previous hardcoded
+    'complete' made Spark REJECT every non-aggregation stream
+    (dedup/stateful: "Complete output mode not supported...") and the
+    batch-DataFrame branch was unreachable because .writeStream itself
+    throws on batch frames (review finding)."""
+    if not stream_df.isStreaming:
+        raise TypeError(
+            "run_stream_to_memory needs a streaming DataFrame; "
+            "batch frames have .collect()"
+        )
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().logical().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            output_mode = "update"  # the mode the stateful op declares
+        elif "Aggregate" in plan:
+            output_mode = "complete"
+        else:
+            output_mode = "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(timeout_sec):
+        # a stateful query with processing-time timeouts never
+        # self-terminates (each processed batch schedules a future
+        # timeout batch), even under availableNow — if the query is
+        # healthy and has drained its input, the data HAS been
+        # processed: stop it and return what landed. A query that
+        # died raises its real error; one still chewing on available
+        # data genuinely timed out.
+        exc = q.exception()
+        drained = not q.status.get("isDataAvailable", True)
         q.stop()
+        if exc is not None:
+            raise exc
+        if drained and q.recentProgress:
+            return spark.table(name)
         raise TimeoutError(f"stream '{name}' did not drain within {timeout_sec}s")
     return spark.table(name)

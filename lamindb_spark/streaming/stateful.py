@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -60,8 +61,12 @@ def _update_profile(
         # per-EVENT cents rounding (not round-of-batch-sum) so the
         # accumulated state is replay-invariant: any micro-batch split
         # of the stream yields the same profile as the batch-twin
-        # window query (__spark_entry__._q_user_profiles).
-        cents += int(pdf["value"].fillna(0.0).mul(100).round().sum())
+        # window query (__spark_entry__._q_user_profiles). HALF_UP
+        # (away from zero) explicitly: pandas .round() is half-to-even
+        # and diverges from Spark F.round on exact .5 cents (review
+        # finding — value=0.125 gave 12 here vs the twin's 13).
+        v = pdf["value"].fillna(0.0).mul(100)
+        cents += int(np.copysign(np.floor(np.abs(v) + 0.5), v).sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
     state.update((n, cents, last_us))
