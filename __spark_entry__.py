@@ -4549,12 +4549,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_docs": """
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   x -> x <> '') AS toks
                 FROM documents
             ), s AS (
                 SELECT doc_id, toks, len(toks) AS n,
                        unnest(range(0, greatest(len(toks), 1), 30)) AS start
                 FROM t
+                WHERE len(toks) > 0
             )
             SELECT doc_id,
                    CAST(start // 30 AS BIGINT) AS chunk_idx,

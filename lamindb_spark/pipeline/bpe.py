@@ -45,7 +45,19 @@ def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     partial counts). Everything after runs on this table.
     """
     toks = F.explode(ws_tokens(F.col(text_col), lowercase=True)).alias("word")
-    words = df.select(toks).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # strip any literal U+001F from corpus words BEFORE rendering: the
+    # sentinel invariant (every merge pattern matches only at symbol
+    # boundaries) requires the sentinel to never occur INSIDE a symbol
+    # — a crawl doc carrying control-char noise would otherwise let a
+    # trained pattern match mid-symbol and silently corrupt merges
+    # (review finding). bpe_encode strips identically.
+    words = (
+        df.select(toks)
+        .select(F.replace(F.col("word"), F.lit(SENTINEL), F.lit("")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
     chars = F.expr(
         "array_join(transform(sequence(1, length(word)), "
         f"i -> concat('{SENTINEL}', substring(word, i, 1))), ' ')"
@@ -157,7 +169,15 @@ def bpe_encode(
         f"i -> concat('{SENTINEL}', substring(w, i, 1))), ' '), "
         f"' {SENTINEL}{END_WORD}')), ' ')"
     )
-    toks = ws_tokens(F.col(text_col), lowercase=True)
+    # same sentinel-stripping as _word_table (the two sides must agree
+    # on the rendered alphabet)
+    toks = F.filter(
+        F.transform(
+            ws_tokens(F.col(text_col), lowercase=True),
+            lambda w: F.replace(w, F.lit(SENTINEL), F.lit("")),
+        ),
+        lambda w: w != "",
+    )
     # render + replace-chain is seconds of single-core CPU on a
     # 1-partition scan; spread_for_cpu is a no-op at real scale
     rendered = spread_for_cpu(df.select(F.col(id_col), toks.alias("tokens"))).select(

@@ -81,12 +81,18 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # ws_tokens, not raw split: NULL text must never reach size() (-1
+    # poisoned n_chunk_tokens and flips under ANSI mode) and empty/
+    # whitespace docs must emit ZERO chunks, not one phantom 1-token
+    # chunk (review finding; the engine-wide tokenizer contract)
+    from ..functions.text import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
     staged = df.select(
         F.col(id_col),
         toks.alias("__toks"),
         F.size(toks).alias("__n"),
-    )
+    ).filter(F.col("__n") > 0)
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(step)
     )
@@ -173,21 +179,16 @@ def dedup_lines(
     return _dedup_reassemble(lines, id_col, min_chars, sep_out=sep)
 
 
-def dedup_token_spans(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    span_tokens: int = 5,
-    min_chars: int = 1,
+def _token_spans(
+    df: DataFrame, text_col: str, id_col: str, span_tokens: int
 ) -> DataFrame:
-    """Corpus-level duplicate-span removal over fixed token windows —
-    the same canonical-occurrence rule as :func:`dedup_lines` but with
-    non-overlapping ``span_tokens``-token segments as the unit, for
-    corpora without line structure. Tokenize → slice → the shared
-    two-shuffle dedup/reassembly core."""
+    """(id, seg_idx, seg): non-overlapping ``span_tokens``-token
+    segments of each document — THE shared segmentation of
+    :func:`dedup_token_spans` and :func:`span_novelty` (review finding:
+    the 15-line block existed twice and could silently diverge)."""
     toks = ws_tokens(F.col(text_col))
     staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
-    segs = staged.filter(F.col("__n") > 0).select(
+    return staged.filter(F.col("__n") > 0).select(
         id_col,
         F.explode(
             F.sequence(
@@ -204,6 +205,21 @@ def dedup_token_spans(
             " ", F.slice(F.col("__toks"), F.col("seg_idx") * span_tokens + 1, span_tokens)
         ).alias("seg"),
     )
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-span removal over fixed token windows —
+    the same canonical-occurrence rule as :func:`dedup_lines` but with
+    non-overlapping ``span_tokens``-token segments as the unit, for
+    corpora without line structure. Tokenize → slice → the shared
+    two-shuffle dedup/reassembly core."""
+    segs = _token_spans(df, text_col, id_col, span_tokens)
     return _dedup_reassemble(segs, id_col, min_chars, sep_out=" ")
 
 
@@ -351,12 +367,23 @@ def bigram_lm_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # checkpoint the VOCAB-BOUNDED count tables (the source_kl
+    # pattern): uni feeds vocab_n AND the scoring join, bi feeds the
+    # scoring join, and each un-checkpointed consumer re-ran the full
+    # corpus tokenize+explode — four corpus scans per action measured
+    # (review finding); now two (the bi count + the scoring re-join of
+    # the corpus-sized pairs, which is too big to materialize)
     uni = (
         base.select(F.explode("__t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
     )
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     vocab_n = uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
         pairs.join(bi, ["w1", "w2"], "left")
@@ -419,24 +446,10 @@ def span_novelty(
     that occur NOWHERE else in the corpus — the inverse signal of
     contamination/duplication, used to up-weight genuinely new content
     in mixture building. Same segmentation as
-    :func:`dedup_token_spans`; one shuffle on the span text (count
-    window) + one on the doc id (re-aggregation)."""
-    toks = ws_tokens(F.col(text_col))
-    staged = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
-    segs = staged.filter(F.col("__n") > 0).select(
-        id_col,
-        F.explode(
-            F.sequence(
-                F.lit(0), F.ceil(F.col("__n") / span_tokens).cast("int") - 1, F.lit(1)
-            )
-        ).alias("seg_idx"),
-        "__toks",
-    ).select(
-        id_col,
-        F.concat_ws(
-            " ", F.slice(F.col("__toks"), F.col("seg_idx") * span_tokens + 1, span_tokens)
-        ).alias("seg"),
-    )
+    :func:`dedup_token_spans` via the shared :func:`_token_spans`
+    helper; one shuffle on the span text (count window) + one on the
+    doc id (re-aggregation)."""
+    segs = _token_spans(df, text_col, id_col, span_tokens).drop("seg_idx")
     w = Window.partitionBy("seg")
     flagged = segs.select(
         id_col, (F.count(F.lit(1)).over(w) == 1).alias("__uniq")

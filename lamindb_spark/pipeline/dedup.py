@@ -311,16 +311,17 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # one Catalyst size estimate feeds BOTH gates (spread + checkpoint)
-    # so they cannot disagree and the optimizer runs once (ADVICE r4);
-    # the checkpoint only pays off when re-shingling is expensive —
-    # with the single-consumer shape it guards recompute on retry only.
+    # NO checkpoint here (r9 review): the exploded shingle table feeds
+    # exactly ONE consumer (the groupBy), so materializing it buys no
+    # recompute savings — and localCheckpoint truncates lineage to
+    # NON-reliable executor storage, so at cluster scale losing one
+    # executor mid-job would make the stage unrecoverable instead of
+    # recomputable. Plain lineage recomputes shingling on retry, which
+    # is exactly what we want.
     size_bytes = _plan_size_bytes(df)
     sh = _shingle_hash_rows(
         df, text_col, id_col, k_shingle, size_bytes=size_bytes, with_count=True
     )
-    if size_bytes >= _SPREAD_MIN_BYTES:
-        sh = sh.localCheckpoint(eager=True)
     grouped = sh.groupBy("sh").agg(
         F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("n_sh")))).alias("ids")
     ).filter(F.size("ids") >= 2)
@@ -542,8 +543,16 @@ def simhash_bit_sums_portable(
     hundreds of py4j round-trips otherwise dominate plan BUILD time
     (~0.9 s → ~0.25 s per invocation).
     """
-    toks = F.array_distinct(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "\\s+")
+    # SAME 65535 distinct-token cap as simhash_signatures: each packed
+    # long holds four 16-bit counters, so an uncapped giant document
+    # would carry a per-bit count past 0xFFFF into the neighboring
+    # field (review finding — the production twin sliced, this didn't)
+    toks = F.slice(
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "\\s+")
+        ),
+        1,
+        65535,
     )
     base = _spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).select(
         F.col(id_col), _token_polyhash(F.col("__t")).alias("__h")

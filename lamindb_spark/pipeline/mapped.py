@@ -29,8 +29,15 @@ def mapped_union(shards: list[DataFrame], shard_keys: list[str] | None = None) -
     """Union shard DataFrames with a stable global index.
 
     Global index = offset(shard) + rank of the row within its shard by
-    the shard's first column — deterministic given deterministic shard
-    content, matching :class:`MappedCollection`'s per-shard argsort.
+    the shard's first column, with the REMAINING columns as a
+    lexicographic tiebreak so the rank is run-deterministic even when
+    the sort key has duplicates (review finding: key ties previously
+    took shuffle arrival order). Parity with
+    :class:`MappedCollection`'s per-shard stable argsort (ties = file
+    order, which Spark cannot reproduce without reading payloads) is
+    therefore EXACT when the first column is unique per shard — the
+    contract the parity test pins — and rows tied on the FULL row are
+    interchangeable either way.
 
     Scale shape (VERDICT r04 #1): the per-shard rank comes from
     :func:`_ranked_index` (range shuffle + partition-local row_number
@@ -43,11 +50,19 @@ def mapped_union(shards: list[DataFrame], shard_keys: list[str] | None = None) -
     for i, shard in enumerate(shards):
         key = shard_keys[i] if shard_keys else str(i)
         parts.append(
-            _ranked_index(shard, [F.col(shard.columns[0])], "__shard_idx")
+            _ranked_index(
+                shard,
+                [F.col(c) for c in shard.columns],
+                "__shard_idx",
+            )
             .withColumn("__shard", F.lit(key))
             .withColumn("__shard_ord", F.lit(i))
         )
-    u = reduce(lambda a, b: a.unionByName(b), parts)
+    # materialize the ranked union ONCE: it feeds both the offsets
+    # aggregate and the final join, and every shard's rank pipeline
+    # (range shuffle + offset join) would otherwise execute twice per
+    # action (review finding)
+    u = reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint(eager=True)
     shard_counts = u.groupBy("__shard_ord").agg(F.count(F.lit(1)).alias("__n"))
     shard_offsets = shard_counts.withColumn(
         "__soff",

@@ -40,7 +40,13 @@ _WS = "\\s+"
 
 
 def _toks(col: Column) -> Column:
-    return F.split(F.trim(F.coalesce(col, F.lit(""))), _WS)
+    # ws_tokens, not raw split: empty/whitespace/NULL text must
+    # measure 0 words, not the phantom [''] token that skewed mwl/
+    # alpha_frac/dup_word_frac denominators (review finding; the
+    # engine-wide tokenizer contract in functions/text.py)
+    from ..functions.text import ws_tokens
+
+    return ws_tokens(col)
 
 
 def gopher_rules(
@@ -261,15 +267,14 @@ def stratified_sample(
     One shuffle on the stratum key; the per-stratum count and the
     rank share the same window partition. The md5-of-id ordering is
     the same engine-portable trick as :func:`hash_split`.
+
+    Exactly :func:`mix_corpora` with one uniform fraction — delegated
+    so the hash/rank/quota core exists ONCE (review finding: two
+    copies of the quota logic could silently diverge on a tiebreak or
+    ceil change).
     """
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
-    wc = Window.partitionBy(strata_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
-        .drop("__rn", "__n")
+    return mix_corpora(
+        df, strata_col, {}, id_col=id_col, salt=salt, default_fraction=fraction
     )
 
 

@@ -275,11 +275,24 @@ def test_mapped_union_distributed_plan(spark):
     row_number window remains anywhere in the plan."""
     import re
 
+    from lamindb_spark.operators.prefix import ranked_index
+
     s1 = spark.range(0, 1000).selectExpr("id", "id % 7 AS label")
     s2 = spark.range(1000, 2500).selectExpr("id", "id % 7 AS label")
+    # the rank primitive's plan: range shuffle, no row_number funnel
+    # (since r9 the union is localCheckpointed — the rank pipeline runs
+    # once at materialization, so it must be inspected pre-checkpoint)
+    rplan = (
+        ranked_index(s1, [F.col("id"), F.col("label")], "__i")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in rplan, "data path must use the range shuffle"
+    assert "row_number" not in rplan, "no row_number funnel on data rows"
+
     u = mapped_union([s1, s2], ["a", "b"])
     plan = u._jdf.queryExecution().executedPlan().toString()
-
     sp_children = re.findall(
         r"Exchange SinglePartition[^\n]*\n[^\n]*?\+\- (\w+)", plan
     )
@@ -287,7 +300,6 @@ def test_mapped_union_distributed_plan(spark):
     assert all(c == "HashAggregate" for c in sp_children), (
         f"SinglePartition exchange over non-aggregated rows: {sp_children}"
     )
-    assert "rangepartitioning" in plan, "data path must use the range shuffle"
     assert "row_number" not in plan, "no row_number funnel on data rows"
     # full-width correctness at this scale: index == sorted id order
     rows = sorted((r["__global_idx"], r["id"]) for r in u.collect())
