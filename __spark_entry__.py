@@ -2425,10 +2425,10 @@ def _ann_pq_oracle_sql(
                 FROM embeddings WHERE vec_id = 0
             )
             SELECT a.vec_id,
-                   list_sum(list_transform(list_zip(
+                   CAST(list_sum(list_transform(list_zip(
                        list_transform(CAST(e.embedding AS DOUBLE[]),
                                       v -> CAST(round(v * 1000000.0) AS BIGINT)),
-                       q.q), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS exact_d2
+                       q.q), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS exact_d2
             FROM adc a
             JOIN embeddings e ON e.vec_id = a.vec_id, qfull q
             ORDER BY exact_d2 ASC, a.vec_id ASC

@@ -22,6 +22,7 @@ Everything stays a lazy DataFrame plan until a terminal op.
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass
 from typing import Any
 
@@ -31,6 +32,11 @@ from pyspark.sql import functions as F
 from ..operators.filters import LOOKUP_NAMES, Q, compile_lookup, split_lookup
 from ..operators.search import search as search_op
 from .schemas import MAIN_BRANCH_ID
+
+logger = logging.getLogger("lamindb_spark")
+
+# reference query_manager.py:33 — the interactive-export default limit
+SEARCH_QUERY_DEFAULT_LIMIT = 20
 
 
 @dataclass(frozen=True)
