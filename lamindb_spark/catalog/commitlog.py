@@ -674,7 +674,11 @@ def _commit_bodies(log: CommitLog) -> list[tuple[int, dict]]:
 
 
 def append_dataframe_txn(
-    df: DataFrame, table_path: str, txn_app: str, txn_version: int
+    df: DataFrame,
+    table_path: str,
+    txn_app: str,
+    txn_version: int,
+    store: LogStore | None = None,
 ) -> int | None:
     """Idempotent (exactly-once) append: the commit records a
     transaction identity ``(txn_app, txn_version)``; a replay of the
@@ -688,7 +692,7 @@ def append_dataframe_txn(
     marker. Returns the committed version, or None if the transaction
     had already been applied.
     """
-    log = CommitLog(table_path)
+    log = CommitLog(table_path, store)
     if (txn_app, txn_version) in log.known_txns():
         return None
     stage = f"stage-{uuid.uuid4().hex[:12]}"
@@ -831,6 +835,7 @@ def merge_into(
     source: DataFrame,
     key: str,
     extra_metadata: dict | None = None,
+    store: LogStore | None = None,
 ) -> int:
     """Keyed MERGE (upsert) into a commit-log table — the table-format
     write primitive behind Delta/Iceberg MERGE INTO, with FILE-LEVEL
@@ -851,7 +856,7 @@ def merge_into(
     Upsert semantics: source rows replace same-key rows; unmatched
     source rows are inserts. Returns the committed version.
     """
-    log = CommitLog(table_path)
+    log = CommitLog(table_path, store)
     _, files = log.snapshot()
     if source.isEmpty():
         return -1

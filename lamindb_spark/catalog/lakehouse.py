@@ -546,19 +546,26 @@ class Lakehouse:
             content_hash, size, n_files = hash_file(path), os.path.getsize(path), None
             suffix = os.path.splitext(path)[1]
         arts = self.read_raw("artifact")
-        # dedup scope == read() visibility (current branch + main), so
-        # the returned row is always openable by the caller; a hash hit
-        # on an UNRELATED branch previously returned a row that read()/
-        # open_artifact could not see (review finding)
-        dup = (
+        # dedup scope (reference get_stat_or_artifact, artifact.py:454
+        # ~Q(branch_id=-1)): ALL non-trash branches — the same content
+        # saved on two sibling work branches returns the existing row
+        # instead of duplicating rows AND payload copies. A visible-
+        # scope hit (current branch + main) is preferred when one
+        # exists, so the returned row is openable by the caller
+        # whenever possible (ADVICE r9: prefer-visible, then any
+        # non-trash).
+        candidates = (
             arts.filter(
                 (F.col("hash") == content_hash)
-                & F.col("branch_id").isin(
-                    [self.current_branch_id, MAIN_BRANCH_ID]
-                )
+                & (F.col("branch_id") != TRASH_BRANCH_ID)
             )
             .orderBy(F.desc("created_at"))
-            .first()
+            .take(64)
+        )
+        visible = {self.current_branch_id, MAIN_BRANCH_ID}
+        dup = next(
+            (r for r in candidates if r["branch_id"] in visible),
+            candidates[0] if candidates else None,
         )
         if dup is not None:
             return dup.asDict()
@@ -644,6 +651,41 @@ class Lakehouse:
             self._reconcile_is_latest("artifact", stems=[uid[: self._stem_len("artifact")]])
         return row
 
+    def register_dir(
+        self,
+        path: str,
+        key: str | None = None,
+        run_id: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """S7 per-file directory ingest (reference ``Artifact.from_dir``,
+        ``artifact.py:2698-2808``): one artifact PER FILE under ``path``
+        (recursive), each keyed ``{folder_key}/{relative_path}``, all
+        sharing ``run_id``. Per-file content-hash dedup comes from
+        :meth:`register_artifact`, so re-ingesting the directory is a
+        no-op (the existing rows return) and intra-directory duplicate
+        bytes resolve to ONE artifact row — the reference's duplicate-
+        hash consolidation.
+
+        For very large directories (the reference's own hint: several
+        100k files) prefer ONE directory artifact via
+        :meth:`register_artifact` — per-file registry rows are for
+        file-level lineage/annotation, not bulk payload tracking.
+        """
+        if not os.path.isdir(path):
+            raise NotADirectoryError(path)
+        folder_key = (key or os.path.basename(path.rstrip("/"))).rstrip("/")
+        out: list[dict[str, Any]] = []
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for fn in sorted(filenames):
+                fp = os.path.join(dirpath, fn)
+                rel = os.path.relpath(fp, path)
+                out.append(
+                    self.register_artifact(
+                        fp, key=f"{folder_key}/{rel}", run_id=run_id
+                    )
+                )
+        return out
+
     def save_dataframe(
         self,
         df: DataFrame,
@@ -670,14 +712,21 @@ class Lakehouse:
         target = f"{storage_root}/{key}"
         # row count via Observation: the old df.count() executed the
         # full input plan a second time before the write (review
-        # finding) — observe() folds the count into the write pass
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        writer = df.write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(target)
-        n_obs = int(obs.get["n"])
+        # finding) — observe() folds the count into the write pass.
+        # mode='ignore' with an existing target short-circuits WITHOUT
+        # running a job, so the observed metric never materializes and
+        # obs.get blocks forever (ADVICE r9) — skip the observation and
+        # register against the existing payload instead.
+        skipped = mode == "ignore" and os.path.exists(target)
+        obs = None
+        if not skipped:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            writer = df.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(target)
+        n_obs = int(obs.get["n"]) if obs is not None else None
         return self.register_artifact(
             target,
             key=key,
@@ -705,20 +754,26 @@ class Lakehouse:
         _sid, storage_root = self._resolve_storage_root()
         target = f"{storage_root}/{key}"
         suffix = "." + key.rsplit(".", 1)[-1] if "." in key else ".parquet"
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        w = df.write.mode(mode)
-        if suffix == ".csv":
-            w.option("header", True).csv(target)
-        elif suffix == ".tsv":
-            w.option("header", True).option("sep", "\t").csv(target)
-        elif suffix in (".json", ".jsonl"):
-            w.json(target)
-        elif suffix == ".orc":
-            w.orc(target)
-        else:
-            w.parquet(target)
-        n_obs = int(obs.get["n"])
+        # mode='ignore' + existing target: no job runs, the observation
+        # never fires and obs.get hangs (ADVICE r9) — same guard as
+        # save_dataframe
+        skipped = mode == "ignore" and os.path.exists(target)
+        obs = None
+        if not skipped:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            w = df.write.mode(mode)
+            if suffix == ".csv":
+                w.option("header", True).csv(target)
+            elif suffix == ".tsv":
+                w.option("header", True).option("sep", "\t").csv(target)
+            elif suffix in (".json", ".jsonl"):
+                w.json(target)
+            elif suffix == ".orc":
+                w.orc(target)
+            else:
+                w.parquet(target)
+        n_obs = int(obs.get["n"]) if obs is not None else None
         return self.register_artifact(
             target, key=key, description=description,
             otype="DataFrame", n_observations=n_obs,

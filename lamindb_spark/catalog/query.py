@@ -159,20 +159,23 @@ class QuerySet:
     """Lazy, immutable query over one registry."""
 
     def __init__(self, lakehouse, registry: str, df: DataFrame | None = None,
-                 branch_filtered: bool = False):
+                 branch_filtered: bool = False, ordered: bool = False):
         self.lh = lakehouse
         self.registry = registry
         self._df = df if df is not None else lakehouse.read_raw(registry)
         self._branch_filtered = branch_filtered
+        self._ordered = ordered
 
     # ------------------------------------------------------------ internals
 
-    def _clone(self, df: DataFrame, branch_filtered: bool | None = None) -> "QuerySet":
+    def _clone(self, df: DataFrame, branch_filtered: bool | None = None,
+               ordered: bool | None = None) -> "QuerySet":
         qs = QuerySet(
             self.lh,
             self.registry,
             df,
             self._branch_filtered if branch_filtered is None else branch_filtered,
+            self._ordered if ordered is None else ordered,
         )
         return qs
 
@@ -443,7 +446,7 @@ class QuerySet:
         cols = [
             F.col(f[1:]).desc() if f.startswith("-") else F.col(f).asc() for f in fields
         ]
-        return self._clone(self._df.orderBy(*cols))
+        return self._clone(self._df.orderBy(*cols), ordered=True)
 
     def limit(self, n: int) -> "QuerySet":
         return self._clone(self._df.limit(n))
@@ -512,13 +515,50 @@ class QuerySet:
         self,
         features: list[str] | None = None,
         include: list[str] | None = None,
+        *,
+        limit: int | None = SEARCH_QUERY_DEFAULT_LIMIT,
+        order_by: str | None = "-id",
     ):
-        """Wide pandas export (reference ``to_dataframe``, §2.10 +
-        ``include=`` related-field columns ``query_set.py:1059-1141``):
-        entity rows LEFT-joined with pivoted feature annotations and
-        related-path columns (scalar for to-one chains, sorted lists
-        for to-many — no row fanout)."""
-        base = self.all()._df
+        """Wide pandas export (reference ``to_dataframe``,
+        ``query_set.py:1142-1298``, §2.10 + ``include=`` related-field
+        columns ``query_set.py:1059-1141``): entity rows LEFT-joined
+        with pivoted feature annotations and related-path columns
+        (scalar for to-one chains, sorted lists for to-many — no row
+        fanout).
+
+        Reference interactive-export semantics (``query_set.py:
+        1167-1189``): a default ``limit=20`` with a limit+1 truncation
+        probe (warns when the DEFAULT limit truncates), default
+        ``order_by="-id"`` applied only when the set is not already
+        ordered, and a preserved-order id re-filter so the include/
+        feature joins run over at most ``limit`` entities — on a large
+        registry the pivot joins touch 20 rows, not the table. Pass
+        ``limit=None`` for a full export (the pre-r10 behavior)."""
+        subset = self.all()
+        if order_by is not None and not subset._ordered:
+            subset = subset.order_by(order_by)
+        base = subset._df
+        is_truncated = False
+        if limit is not None and "id" in base.columns:
+            limited_ids = [
+                r[0] for r in base.select("id").limit(limit + 1).collect()
+            ]
+            is_truncated = len(limited_ids) > limit
+            if is_truncated:
+                limited_ids = limited_ids[:limit]
+            if not limited_ids:
+                base = base.limit(0)
+            else:
+                # preserved-order re-filter (reference Case/When over
+                # enumerate(limited_ids)): an isin prunes the scan, a
+                # literal-array position keeps the probed order through
+                # the downstream left joins (joins don't preserve order)
+                base = base.filter(F.col("id").isin(limited_ids)).withColumn(
+                    "__pos",
+                    F.array_position(
+                        F.array(*[F.lit(i) for i in limited_ids]), F.col("id")
+                    ),
+                )
         for path in include or []:
             col_df, name, to_many = self._include_column(base, path)
             col_df = col_df.withColumnRenamed("__eid", "__inc_id")
@@ -544,7 +584,15 @@ class QuerySet:
                 .agg(F.first(F.get_json_object(F.col("value_json"), "$"), ignorenulls=True))
             )
             base = base.join(wide, base["id"] == wide["entity_id"], "left").drop("entity_id")
-        return base.toPandas()
+        if "__pos" in base.columns:
+            base = base.orderBy("__pos").drop("__pos")
+        pdf = base.toPandas()
+        if is_truncated and limit == SEARCH_QUERY_DEFAULT_LIMIT:
+            logger.warning(
+                f"truncated query result to limit={limit} "
+                f"{self.registry} objects"
+            )
+        return pdf
 
     def lookup(self, field: str = "name") -> "Lookup":
         """Auto-complete namespace of rows keyed by a field (reference
@@ -628,8 +676,16 @@ class QuerySet:
             return out
         return qs.one()
 
-    def search(self, query: str, fields: list[str] | None = None, limit: int = 20) -> "QuerySet":
-        """§2.9 weighted-rank search over the registry's text fields."""
+    def search(
+        self,
+        query: str,
+        fields: list[str] | None = None,
+        limit: int = 20,
+        truncate_string: bool = False,
+    ) -> "QuerySet":
+        """§2.9 weighted-rank search over the registry's text fields
+        (reference ``query_manager.py:36-172`` incl. the 80%-length
+        query truncation behind ``truncate_string``)."""
         base = self.all()._df
         if fields is None:
             preferred = [c for c in ("name", "key", "description") if c in base.columns]
@@ -637,8 +693,15 @@ class QuerySet:
                 c for c, t in base.dtypes if t == "string" and c not in ("uid",)
             ]
         syn = "synonyms" if "synonyms" in base.columns else None
-        out = search_op(base, query, fields=fields, synonyms_field=syn, limit=limit)
-        return self._clone(out)
+        out = search_op(
+            base,
+            query,
+            fields=fields,
+            synonyms_field=syn,
+            limit=limit,
+            truncate_string=truncate_string,
+        )
+        return self._clone(out, ordered=True)
 
 
 class Lookup:

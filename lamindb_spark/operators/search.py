@@ -45,13 +45,38 @@ def _rank_for_column(col: Column, query: str, synonyms_sep: str | None) -> Colum
     return exact + syn + sub_phrase + startswith_token + left + right + contains
 
 
+def truncate_query(query: str) -> str:
+    """Reference query truncation (``query_manager.py:99-102``): for
+    strings longer than 5 chars keep the first 80% — tolerates typos /
+    suffix noise at the end of long interactive queries."""
+    if len(query) > 5:
+        query = query[: int(len(query) * 0.8)]
+    return query
+
+
 def search_rank(
-    query: str, fields: list[str], synonyms_field: str | None = None
+    query: str,
+    fields: list[str],
+    synonyms_field: str | None = None,
+    truncate_string: bool = False,
+    name_field: str = "name",
 ) -> tuple[Column, Column]:
     """Return ``(rank, any_match)`` Column pair for the query string."""
+    if truncate_string:
+        query = truncate_query(query)
     ranks = [_rank_for_column(F.col(f), query, None) for f in fields]
     if synonyms_field:
         ranks.append(_rank_for_column(F.col(synonyms_field), query, "|"))
+    if truncate_string and name_field in fields:
+        # truncated whole words defeat the token-boundary ranks; weight
+        # plain startswith on the name field (query_manager.py:155-166)
+        nq = query.lower().strip()
+        ranks.append(
+            F.lower(F.coalesce(F.col(name_field), F.lit("")))
+            .startswith(nq)
+            .cast("int")
+            * 2
+        )
     rank = reduce(add, ranks)
     q = query.lower().strip()
     matches = [F.lower(F.coalesce(F.col(f), F.lit(""))).contains(q) for f in fields]
@@ -68,13 +93,17 @@ def search(
     fields: list[str],
     synonyms_field: str | None = None,
     limit: int | None = DEFAULT_LIMIT,
+    truncate_string: bool = False,
+    name_field: str = "name",
 ) -> DataFrame:
     """Top-k search: filter to containment matches, order by rank desc.
 
     Spark executes the limit as TakeOrderedAndProject (true top-k, no
     full sort) — the right physical plan at any scale.
     """
-    rank, any_match = search_rank(query, fields, synonyms_field)
+    rank, any_match = search_rank(
+        query, fields, synonyms_field, truncate_string, name_field
+    )
     out = df.withColumn("rank", rank).filter(any_match).orderBy(F.desc("rank"))
     # `is not None`, not truthiness: limit=0 means SQL LIMIT 0 (empty
     # result), not "unlimited" (review finding — the falsy check turned

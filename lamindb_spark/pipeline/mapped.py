@@ -58,12 +58,23 @@ def mapped_union(shards: list[DataFrame], shard_keys: list[str] | None = None) -
             .withColumn("__shard", F.lit(key))
             .withColumn("__shard_ord", F.lit(i))
         )
-    # materialize the ranked union ONCE: it feeds both the offsets
-    # aggregate and the final join, and every shard's rank pipeline
-    # (range shuffle + offset join) would otherwise execute twice per
-    # action (review finding)
-    u = reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint(eager=True)
-    shard_counts = u.groupBy("__shard_ord").agg(F.count(F.lit(1)).alias("__n"))
+    # The union feeds both the offsets aggregate and the final join.
+    # Materialize ONLY the #shards-row count aggregate (ADVICE r9), not
+    # the data rows: the r9 localCheckpoint of the FULL union pushed a
+    # potentially corpus-sized dataset onto non-reliable executor-local
+    # storage (executor loss → unrecoverable stage), and caching the
+    # union (persist) is outright WRONG here — it breaks exchange reuse
+    # between ranked_index's data branch and its offsets branch, whose
+    # nondeterministic range-sampling/mid assignments then diverge and
+    # the inner __pid join silently drops rows (reproduced in r10).
+    # Checkpointing the tiny counts costs one eager pass over the
+    # shards and freezes the offsets; the data path stays pure lineage.
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    shard_counts = (
+        u.groupBy("__shard_ord")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     shard_offsets = shard_counts.withColumn(
         "__soff",
         F.coalesce(

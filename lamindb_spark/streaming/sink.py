@@ -16,37 +16,51 @@ are metadata-sized. The payload append itself is a distributed
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame
 
+from ..catalog.logstore import DEFAULT_STORE, LogStore
 
-def _checkpoint_identity(checkpoint_dir: str) -> str:
+
+def _identity_path(checkpoint_dir: str) -> str:
+    return checkpoint_dir.rstrip("/") + "/_txn_identity.json"
+
+
+def _read_identity(checkpoint_dir: str, store: LogStore) -> str | None:
+    try:
+        return store.read_json(_identity_path(checkpoint_dir)).get("id") or None
+    except FileNotFoundError:
+        return None
+
+
+def _checkpoint_identity(checkpoint_dir: str, store: LogStore | None = None) -> str:
     """Identity BOUND to the checkpoint directory (Delta's appId ≅
     checkpoint contract): a micro-batch id only means "already applied"
     relative to the checkpoint that numbered it, because Spark restarts
-    batch ids at 0 after a checkpoint wipe. Stored as a tiny file
-    inside the checkpoint dir, so wiping the checkpoint rotates the
-    identity with it — without this, a wiped MERGE stream whose source
-    replays old+NEW rows as batch 0 would match the OLD run's
-    ``(name, 0)`` txn and silently drop the new rows (review
-    finding)."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    p = os.path.join(checkpoint_dir, "_txn_identity")
-    try:
-        with open(p) as fh:
-            ident = fh.read().strip()
-        if ident:
-            return ident
-    except OSError:
-        pass
-    ident = uuid.uuid4().hex[:12]
-    tmp = f"{p}.tmp-{uuid.uuid4().hex[:6]}"
-    with open(tmp, "w") as fh:
-        fh.write(ident)
-    os.replace(tmp, p)
-    return ident
+    batch ids at 0 after a checkpoint wipe. Stored as a tiny JSON
+    object inside the checkpoint dir, so wiping the checkpoint rotates
+    the identity with it — without this, a wiped MERGE stream whose
+    source replays old+NEW rows as batch 0 would match the OLD run's
+    ``(name, 0)`` txn and silently drop the new rows (review finding).
+
+    All reads/writes go through the :class:`LogStore` seam (ADVICE r9):
+    checkpoint locations are commonly object-store URIs at cluster
+    scale, and ``os.makedirs("s3a://...")`` would create a literal
+    local directory visible to ONE driver node — after a driver move
+    the identity silently rotates and the exactly-once guarantees
+    break. The put-if-absent create also closes the two-driver race
+    the old read/replace file dance left open (zombie driver during
+    failover): exactly one identity wins and both read it back."""
+    store = store or DEFAULT_STORE
+    ident = _read_identity(checkpoint_dir, store)
+    if ident:
+        return ident
+    candidate = uuid.uuid4().hex[:12]
+    if store.put_json_if_absent(_identity_path(checkpoint_dir), {"id": candidate}):
+        return candidate
+    won = _read_identity(checkpoint_dir, store)  # lost the race — read winner
+    return won if won else candidate
 
 
 def stream_to_artifact(
@@ -97,6 +111,7 @@ def stream_append_exactly_once(
     query_name: str = "stream",
     trigger_available_now: bool = True,
     timeout_sec: float = 300,
+    store: LogStore | None = None,
 ):
     """Streaming append with END-TO-END exactly-once semantics into a
     commit-log table: each micro-batch commits through
@@ -120,9 +135,8 @@ def stream_append_exactly_once(
     # replayed feed (duplication) are both wrong for an "exactly-once"
     # sink, so fail loudly and make the operator choose: restore the
     # checkpoint, or use a new query_name (accepting the re-append).
-    ident_file = os.path.join(checkpoint_dir, "_txn_identity")
-    if not os.path.exists(ident_file) and any(
-        t[0] == query_name for t in CommitLog(table_path).known_txns()
+    if _read_identity(checkpoint_dir, store or DEFAULT_STORE) is None and any(
+        t[0] == query_name for t in CommitLog(table_path, store).known_txns()
     ):
         raise ValueError(
             f"checkpoint {checkpoint_dir!r} is new/wiped but {table_path!r} "
@@ -132,10 +146,10 @@ def stream_append_exactly_once(
             "query_name (the stream will then re-append the full "
             "replayed source feed)."
         )
-    _checkpoint_identity(checkpoint_dir)  # mark this checkpoint as used
+    _checkpoint_identity(checkpoint_dir, store)  # mark this checkpoint as used
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_dataframe_txn(batch_df, table_path, query_name, batch_id)
+        append_dataframe_txn(batch_df, table_path, query_name, batch_id, store)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -166,6 +180,7 @@ def stream_merge_exactly_once(
     query_name: str = "merge-stream",
     timeout_sec: float = 300,
     order_col: str | None = None,
+    store: LogStore | None = None,
 ) -> None:
     """Streaming UPSERT (CDC apply) into a commit-log table with
     end-to-end exactly-once semantics: each micro-batch MERGEs on
@@ -200,10 +215,10 @@ def stream_merge_exactly_once(
     # safe HERE because MERGE is idempotent per key: the full replayed
     # feed re-applies and converges (the append sink instead fails
     # loudly, where re-application would duplicate rows).
-    app = f"{query_name}#{_checkpoint_identity(checkpoint_dir)}"
+    app = f"{query_name}#{_checkpoint_identity(checkpoint_dir, store)}"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        log = CommitLog(table_path)
+        log = CommitLog(table_path, store)
         if (app, batch_id) in log.known_txns():
             return  # replayed batch — already applied (survives log expiry)
         others = [c for c in batch_df.columns if c != key]
@@ -238,7 +253,7 @@ def stream_merge_exactly_once(
             # the append path and silently duplicated keys (ADVICE r7)
             from ..catalog.commitlog import append_dataframe_txn
 
-            append_dataframe_txn(dedup, table_path, app, batch_id)
+            append_dataframe_txn(dedup, table_path, app, batch_id, store)
             return
         merge_into(
             batch_df.sparkSession,
@@ -246,6 +261,7 @@ def stream_merge_exactly_once(
             dedup,
             key,
             extra_metadata={"txn_app": app, "txn_version": batch_id},
+            store=store,
         )
 
     q = (

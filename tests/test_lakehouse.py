@@ -275,3 +275,104 @@ def test_release_checkpoints_sweeps_blocks(spark):
     # nothing persistent remains; fresh work is unaffected
     assert release_checkpoints(spark) == 0
     assert spark.range(10).count() == 10
+
+
+# Round 10 (ADVICE r9): hash-dedup across sibling branches + the
+# mode='ignore' Observation hang.
+
+
+def test_hash_dedup_across_sibling_branches(spark, tmp_path):
+    """Reference get_stat_or_artifact dedups across ALL non-trash
+    branches (~Q(branch_id=-1), artifact.py:454): the same bytes
+    registered on two sibling work branches must resolve to ONE
+    artifact row, not duplicate rows + payload copies."""
+    from lamindb_spark.catalog.lakehouse import Lakehouse
+
+    root = str(tmp_path / "lake")
+    lh_a = Lakehouse(spark, root, current_branch_id=7)
+    a = lh_a.register_artifact(f"{SF_DIR}/nation.parquet", key="b/nation.parquet")
+    lh_b = Lakehouse(spark, root, current_branch_id=8)
+    b = lh_b.register_artifact(f"{SF_DIR}/nation.parquet", key="b2/nation.parquet")
+    assert b["id"] == a["id"]  # dedup hit across sibling branches
+    assert lh_b.read_raw("artifact").filter("hash = '%s'" % a["hash"]).count() == 1
+
+
+def test_hash_dedup_prefers_visible_branch(spark, tmp_path):
+    """When BOTH a sibling-branch row and a visible (main) row carry
+    the hash, the visible one wins so the caller can open it."""
+    from lamindb_spark.catalog.lakehouse import Lakehouse
+
+    root = str(tmp_path / "lake")
+    lh_sib = Lakehouse(spark, root, current_branch_id=9)
+    lh_sib.register_artifact(f"{SF_DIR}/region.parquet", key="s/region.parquet")
+    lh_main = Lakehouse(spark, root)  # main branch
+    # force a second row with the same hash on main: register via a
+    # fresh content copy under a different key on the main lakehouse
+    import shutil
+
+    src = f"{SF_DIR}/region.parquet"
+    cp = str(tmp_path / "region_copy.parquet")
+    shutil.copy(src, cp)
+    # sibling row exists -> dedup returns it even for main (non-trash
+    # scope), so simulate the two-row state via save()
+    sib_row = lh_main.read_raw("artifact").first().asDict()
+    main_row = dict(sib_row)
+    main_row["id"] = sib_row["id"] + 1000
+    main_row["uid"] = sib_row["uid"][:-4] + "zzzz"
+    main_row["branch_id"] = 1
+    main_row["key"] = "m/region.parquet"
+    lh_main.save("artifact", [main_row])
+    got = lh_main.register_artifact(cp, key="x/region.parquet")
+    assert got["branch_id"] == 1  # visible-scope hit preferred
+    assert got["key"] == "m/region.parquet"
+
+
+def test_save_dataframe_mode_ignore_existing_target_no_hang(lakehouse, spark):
+    """SaveMode.Ignore with an existing target runs NO job, so the
+    observed row-count metric never fires — the sink must not block on
+    obs.get (ADVICE r9) and must return the existing artifact row."""
+    df = spark.range(5).withColumnRenamed("id", "x")
+    first = lakehouse.save_dataframe(df, "ig/t.parquet")
+    assert first["n_observations"] == 5
+    # pre-fix this call hung forever; now it returns the deduped row
+    again = lakehouse.save_dataframe(
+        spark.range(9).withColumnRenamed("id", "x"), "ig/t.parquet", mode="ignore"
+    )
+    assert again["id"] == first["id"]
+    assert again["n_observations"] == 5  # existing payload untouched
+
+
+def test_export_artifact_mode_ignore_existing_target_no_hang(lakehouse, spark):
+    df = spark.range(3).withColumnRenamed("id", "x")
+    first = lakehouse.export_artifact(df, "ig/t.csv")
+    again = lakehouse.export_artifact(
+        spark.range(8).withColumnRenamed("id", "x"), "ig/t.csv", mode="ignore"
+    )
+    assert again["id"] == first["id"]
+
+
+def test_register_dir_one_artifact_per_file(lakehouse, tmp_path):
+    """VERDICT r9 #4 — reference Artifact.from_dir semantics
+    (artifact.py:2698-2808): count == n_files, keys mirror the
+    hierarchy, re-ingest is a no-op, intra-dir duplicate bytes
+    consolidate to one row."""
+    d = tmp_path / "bundle"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("alpha")
+    (d / "sub" / "b.txt").write_text("beta")
+    (d / "sub" / "a_copy.txt").write_text("alpha")  # duplicate bytes
+
+    arts = lakehouse.register_dir(str(d), run_id=None)
+    assert len(arts) == 3
+    keys = sorted(a["key"] for a in arts)
+    # duplicate bytes -> the EXISTING a.txt row returns for a_copy.txt
+    # (reference duplicate-hash consolidation), so its key appears twice
+    assert keys == ["bundle/a.txt", "bundle/a.txt", "bundle/sub/b.txt"]
+    assert len({a["id"] for a in arts}) == 2
+    n_rows = lakehouse.read_raw("artifact").count()
+    assert n_rows == 2  # 3 files, 2 distinct contents
+
+    # re-ingest: same rows come back, registry unchanged
+    again = lakehouse.register_dir(str(d))
+    assert sorted(a["id"] for a in again) == sorted(a["id"] for a in arts)
+    assert lakehouse.read_raw("artifact").count() == n_rows

@@ -294,12 +294,17 @@ def test_mapped_union_distributed_plan(spark):
     u = mapped_union([s1, s2], ["a", "b"])
     plan = u._jdf.queryExecution().executedPlan().toString()
     sp_children = re.findall(
-        r"Exchange SinglePartition[^\n]*\n[^\n]*?\+\- (\w+)", plan
+        r"Exchange SinglePartition[^\n]*\n[^\n]*?\+\- ([^\n]+)", plan
     )
     assert sp_children, "expected tiny-offsets exchanges in plan"
-    assert all(c == "HashAggregate" for c in sp_children), (
-        f"SinglePartition exchange over non-aggregated rows: {sp_children}"
-    )
+    # allowed under SinglePartition: an aggregate (the #partitions-row
+    # counts) or the checkpointed #shards-row counts RDD (r10: only the
+    # tiny aggregate is materialized, never the data rows)
+    assert all(
+        c.startswith("HashAggregate")
+        or (c.startswith("Scan ExistingRDD") and "__shard_ord" in c)
+        for c in sp_children
+    ), f"SinglePartition exchange over non-aggregated rows: {sp_children}"
     assert "row_number" not in plan, "no row_number funnel on data rows"
     # full-width correctness at this scale: index == sorted id order
     rows = sorted((r["__global_idx"], r["id"]) for r in u.collect())

@@ -132,3 +132,48 @@ def test_feature_predicate_objects(lakehouse, spark):
     # presence filter
     have = {r["id"] for r in qs.filter(Feature("gc_content").is_null(False)).df().collect()}
     assert {a1["id"], a2["id"]} <= have
+
+
+# Round 10 (VERDICT r9 #2): to_dataframe default-limit + truncation
+# semantics (reference query_set.py:1167-1189, 1294-1297).
+
+
+def test_to_dataframe_default_limit_truncates_and_warns(lakehouse, caplog):
+    import logging
+
+    lakehouse.save("ulabel", [{"name": f"lbl-{i:03d}"} for i in range(25)])
+    with caplog.at_level(logging.WARNING, logger="lamindb_spark"):
+        pdf = QuerySet(lakehouse, "ulabel").to_dataframe()
+    assert len(pdf) == 20
+    assert any("truncated query result to limit=20" in r.message for r in caplog.records)
+    # default order_by="-id": newest ids first, order preserved in pandas
+    ids = list(pdf["id"])
+    assert ids == sorted(ids, reverse=True)
+
+
+def test_to_dataframe_explicit_limit_no_warning(lakehouse, caplog):
+    import logging
+
+    lakehouse.save("ulabel", [{"name": f"lbl-{i:03d}"} for i in range(25)])
+    with caplog.at_level(logging.WARNING, logger="lamindb_spark"):
+        pdf = QuerySet(lakehouse, "ulabel").to_dataframe(limit=5)
+    assert len(pdf) == 5
+    assert not any("truncated query result" in r.message for r in caplog.records)
+
+
+def test_to_dataframe_limit_none_full_export(lakehouse):
+    lakehouse.save("ulabel", [{"name": f"lbl-{i:03d}"} for i in range(25)])
+    pdf = QuerySet(lakehouse, "ulabel").to_dataframe(limit=None)
+    assert len(pdf) == 25
+
+
+def test_to_dataframe_respects_existing_order(lakehouse):
+    lakehouse.save("ulabel", [{"name": f"lbl-{i:03d}"} for i in range(25)])
+    pdf = QuerySet(lakehouse, "ulabel").order_by("name").to_dataframe(limit=3)
+    assert list(pdf["name"]) == ["lbl-000", "lbl-001", "lbl-002"]
+
+
+def test_to_dataframe_under_limit_no_truncation(lake):
+    # small registry: all rows, no warning path, include/features intact
+    pdf = qs(lake, "artifact").to_dataframe(features=["species"])
+    assert len(pdf) == 2

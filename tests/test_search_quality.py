@@ -42,3 +42,34 @@ def test_search_top1(spark, query, expected_top1):
     reg = literal_table(spark, _REGISTRY, ["id", "name", "synonyms"])
     got = search(reg, query, fields=["name"], synonyms_field="synonyms", limit=1).collect()
     assert got and got[0]["name"] == expected_top1, f"{query!r} → {[r['name'] for r in got]}"
+
+
+# Round 10 (VERDICT r9 #6): truncate_string parity — the reference
+# trims queries >5 chars to 80% length before ranking
+# (query_manager.py:99-102) and adds a name-startswith bonus
+# (:155-166), so long queries with noisy tails still find their row.
+
+
+def test_truncate_query_lengths():
+    from lamindb_spark.operators.search import truncate_query
+
+    assert truncate_query("abcde") == "abcde"          # <=5: untouched
+    assert truncate_query("abcdef") == "abcd"          # 6 -> 4 (80%)
+    assert truncate_query("hematopoietic") == "hematopoie"  # 13 -> 10
+
+
+def test_search_truncate_string_recovers_noisy_tail(spark):
+    df = literal_table(
+        spark, _REGISTRY, ["id", "name", "synonyms"]
+    )
+    # 'hematopoietic stem cellXYZ' (26 chars) truncates to 20 chars ->
+    # 'hematopoietic stem c' which prefix-matches; untruncated finds nothing
+    noisy = "hematopoietic stem cellXYZ"
+    plain = search(df, noisy, fields=["name"], synonyms_field="synonyms")
+    assert plain.count() == 0
+    trunc = search(
+        df, noisy, fields=["name"], synonyms_field="synonyms",
+        truncate_string=True,
+    )
+    rows = trunc.collect()
+    assert rows and rows[0]["name"] == "hematopoietic stem cell"
