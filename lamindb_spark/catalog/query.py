@@ -548,7 +548,7 @@ class QuerySet:
                 limited_ids = limited_ids[:limit]
             if not limited_ids:
                 base = base.limit(0)
-            else:
+            elif len(limited_ids) <= 256:
                 # preserved-order re-filter (reference Case/When over
                 # enumerate(limited_ids)): an isin prunes the scan, a
                 # literal-array position keeps the probed order through
@@ -559,6 +559,18 @@ class QuerySet:
                         F.array(*[F.lit(i) for i in limited_ids]), F.col("id")
                     ),
                 )
+            else:
+                # large EXPLICIT limits: a literal array expression of
+                # that size bloats the plan (ADVICE r10) — ship the
+                # probed (id, position) pairs as a broadcast inner
+                # join instead; same filtering + order columns.
+                pos_df = base.sparkSession.createDataFrame(
+                    [(int(i), i_pos + 1) for i_pos, i in enumerate(limited_ids)],
+                    "__pid bigint, __pos bigint",
+                )
+                base = base.join(
+                    F.broadcast(pos_df), base["id"] == F.col("__pid")
+                ).drop("__pid")
         for path in include or []:
             col_df, name, to_many = self._include_column(base, path)
             col_df = col_df.withColumnRenamed("__eid", "__inc_id")

@@ -279,8 +279,13 @@ def domain_for_component(lh, comp: dict[str, Any]):
         ).drop("__type_pk")
     for k, v in _parse_filter_str(comp["filter_str"] or "").items():
         if k.endswith("__uid") and k[:-5] in ("type", "schema"):
-            # relation filter on a FK's uid: resolve through the target
-            target = "record" if k.startswith("type") else "schema"
+            # relation filter on a FK's uid: `type` is a SELF-
+            # referential FK in the reference (ULabel.type -> ULabel,
+            # Feature.type -> Feature; sqlrecord.py HasType), so it
+            # resolves through the component's OWN registry — per-
+            # registry id sequences collide, so routing it through
+            # 'record' matched wrong (or no) rows (ADVICE r10).
+            target = comp["registry"] if k.startswith("type") else "schema"
             tgt = lh.read_raw(target).filter(F.col("uid") == v).select(
                 F.col("id").alias("__fk_pk")
             )

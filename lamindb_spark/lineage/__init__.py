@@ -1,1 +1,1 @@
-from .context import Context, track, finish  # noqa: F401
+from .context import Context, track, finish, view_lineage  # noqa: F401

@@ -198,3 +198,120 @@ def tracked(lakehouse: Lakehouse, key: str | None = None, kind: str = "function"
         return wrapper
 
     return deco
+
+
+# --------------------------------------------------------------- rendering
+
+TRANSFORM_VIOLET = "#eff2ff"  # run-node fill (reference has_parents.py:27)
+
+
+def _dot_quote(s: str) -> str:
+    return '"' + str(s).replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _html_escape(s: str) -> str:
+    return (
+        str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def view_lineage(
+    lh: Lakehouse,
+    artifact_id: int,
+    with_children: bool = True,
+    max_hops: int = 20,
+    return_graph: bool = False,
+):
+    """Render an artifact's run-lineage graph as Graphviz DOT
+    (reference ``view_lineage``, ``has_parents.py:254-321``): white
+    rounded boxes for artifacts, violet for runs, ``input artifact →
+    run → output artifact`` edges, walked ``max_hops`` upstream (and
+    downstream when ``with_children``).
+
+    Returns the DOT source string; with ``return_graph=True`` and the
+    ``graphviz`` package importable, a ``graphviz.Source`` instead (the
+    package is display-only — the traversal and DOT emission are
+    self-contained). Interactive API: lineage neighborhoods are
+    human-sized, so the three ``collect``s here are bounded by the
+    walked closure, never a table scan.
+    """
+    anc = artifact_ancestors(lh, artifact_id, max_hops=max_hops)
+    ids = {r["id"] for r in anc.select("id").collect()} | {artifact_id}
+    if with_children:
+        desc = artifact_descendants(lh, artifact_id, max_hops=max_hops)
+        ids |= {r["id"] for r in desc.select("id").collect()}
+    id_list = sorted(ids)
+    arts = {
+        r["id"]: r.asDict()
+        for r in lh.read_raw("artifact")
+        .filter(F.col("id").isin(id_list))
+        .select("id", "uid", "key", "run_id")
+        .collect()
+    }
+    run_ids = sorted({a["run_id"] for a in arts.values() if a["run_id"] is not None})
+    runs: dict[int, dict] = {}
+    if run_ids:
+        tf = lh.read_raw("transform").select(
+            F.col("id").alias("transform_id"), F.col("key").alias("transform_key")
+        )
+        runs = {
+            r["id"]: r.asDict()
+            for r in lh.read_raw("run")
+            .filter(F.col("id").isin(run_ids))
+            .join(F.broadcast(tf), "transform_id", "left")
+            .select("id", "uid", "transform_key", "started_at")
+            .collect()
+        }
+    in_edges = (
+        lh.read_raw("run_input_artifacts")
+        .filter(F.col("run_id").isin(run_ids) & F.col("artifact_id").isin(id_list))
+        .select("run_id", "artifact_id")
+        .collect()
+        if run_ids
+        else []
+    )
+
+    root = arts.get(artifact_id, {"uid": str(artifact_id), "key": None})
+    lines = [
+        f"digraph {_dot_quote('artifact_' + str(root['uid']))} {{",
+        "  node [fillcolor=white color=darkgrey fontname=Helvetica"
+        " fontsize=10 shape=box style=\"rounded,filled\"];",
+        "  edge [arrowsize=0.5 color=dimgrey];",
+    ]
+    for a in arts.values():
+        label = _html_escape(a["key"] if a["key"] is not None else a["uid"])
+        lines.append(
+            f"  {_dot_quote('artifact_' + a['uid'])} [label=<{label}>];"
+        )
+    for r in runs.values():
+        title = _html_escape(r["transform_key"] or r["uid"])
+        sub = f"run at {r['started_at']}" if r["started_at"] is not None else "run"
+        lines.append(
+            f"  {_dot_quote('run_' + r['uid'])} [label=<{title}<BR/>"
+            f'<FONT COLOR="GREY" POINT-SIZE="10">{_html_escape(sub)}</FONT>>'
+            f' fillcolor="{TRANSFORM_VIOLET}"];'
+        )
+    for row in in_edges:  # input artifact -> run
+        a, r = arts.get(row["artifact_id"]), runs.get(row["run_id"])
+        if a and r:
+            lines.append(
+                f"  {_dot_quote('artifact_' + a['uid'])} -> "
+                f"{_dot_quote('run_' + r['uid'])};"
+            )
+    for a in arts.values():  # run -> output artifact
+        r = runs.get(a["run_id"]) if a["run_id"] is not None else None
+        if r:
+            lines.append(
+                f"  {_dot_quote('run_' + r['uid'])} -> "
+                f"{_dot_quote('artifact_' + a['uid'])};"
+            )
+    lines.append("}")
+    dot = "\n".join(lines)
+    if return_graph:
+        try:
+            import graphviz  # display-only dependency
+
+            return graphviz.Source(dot)
+        except ImportError:
+            pass
+    return dot

@@ -156,6 +156,27 @@ def test_scalar_dtype_has_no_domain(curation_lake):
     assert union_domain(lh, "int") is None
 
 
+def test_type_uid_filter_resolves_through_own_registry(curation_lake):
+    """ADVICE r10: `type` is a SELF-referential FK (ULabel.type ->
+    ULabel, sqlrecord.py HasType), so a `type__uid` filter on ULabel
+    must resolve through the ULABEL registry — routing it through
+    'record' matched colliding per-registry ids (or nothing) and
+    validated against a silently wrong domain."""
+    lh, _t = curation_lake
+    ut = lh.save("ulabel", [{"name": "Stage", "is_type": True}])[0]
+    lh.save(
+        "ulabel",
+        [
+            {"name": "train", "type_id": ut["id"]},
+            {"name": "test", "type_id": ut["id"]},
+        ],
+    )
+    dom = union_domain(lh, f"cat[ULabel[type__uid='{ut['uid']}']]")
+    # pre-fix: the uid lookup ran against 'record' (no such uid there,
+    # or a colliding id) -> empty/wrong domain; now: the two members
+    assert sorted(r["__v"] for r in dom.collect()) == ["test", "train"]
+
+
 # ------------------------------------------------ curator integration
 
 

@@ -84,3 +84,36 @@ def test_tracked_decorator_records_run_and_params(lakehouse):
         boom()
     run2 = lakehouse.read("run").orderBy(F.desc("id")).first()
     assert run2["status_code"] == -1
+
+
+def test_view_lineage_renders_dot(lakehouse, spark):
+    """VERDICT r10 gap #2 — reference view_lineage
+    (has_parents.py:254-321): DOT source with white artifact boxes,
+    violet run boxes, and input→run→output edges over the walked
+    closure."""
+    from lamindb_spark.lineage.context import view_lineage
+
+    ctx1 = Context(lakehouse).track("p/a.py", source_code="sa")
+    raw = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="vr.parquet")
+    df = lakehouse.open_artifact(raw["uid"])
+    out1 = lakehouse.save_dataframe(df.limit(3), key="vo1.parquet")
+    ctx1.finish()
+    ctx2 = Context(lakehouse).track("p/b.py", source_code="sb")
+    df2 = lakehouse.open_artifact(out1["uid"])
+    out2 = lakehouse.save_dataframe(df2.limit(1), key="vo2.parquet")
+    ctx2.finish()
+
+    dot = view_lineage(lakehouse, out2["id"])
+    assert dot.startswith("digraph")
+    # all three artifacts and both runs appear as nodes
+    for a in (raw, out1, out2):
+        assert f'"artifact_{a["uid"]}"' in dot
+    assert dot.count("#eff2ff") == 2  # two violet run nodes
+    assert "p/a.py" in dot and "p/b.py" in dot
+    # input -> run -> output chain: raw feeds run1, run1 emits out1
+    assert f'"artifact_{raw["uid"]}" -> "run_' in dot
+    assert f'" -> "artifact_{out1["uid"]}"' in dot
+    # with_children=False from the MIDDLE artifact drops out2
+    up_only = view_lineage(lakehouse, out1["id"], with_children=False)
+    assert f'"artifact_{out2["uid"]}"' not in up_only
+    assert f'"artifact_{raw["uid"]}"' in up_only

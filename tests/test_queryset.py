@@ -167,6 +167,18 @@ def test_to_dataframe_limit_none_full_export(lakehouse):
     assert len(pdf) == 25
 
 
+def test_to_dataframe_large_explicit_limit_broadcast_path(lakehouse):
+    """ADVICE r10: limits past the literal-array threshold take the
+    broadcast (id, pos) join — same rows, same preserved order, no
+    plan-sized literal array."""
+    lakehouse.save("ulabel", [{"name": f"lbl-{i:04d}"} for i in range(320)])
+    pdf = QuerySet(lakehouse, "ulabel").to_dataframe(limit=300)
+    assert len(pdf) == 300
+    ids = list(pdf["id"])
+    assert ids == sorted(ids, reverse=True)  # default -id order preserved
+    assert "__pos" not in pdf.columns
+
+
 def test_to_dataframe_respects_existing_order(lakehouse):
     lakehouse.save("ulabel", [{"name": f"lbl-{i:03d}"} for i in range(25)])
     pdf = QuerySet(lakehouse, "ulabel").order_by("name").to_dataframe(limit=3)

@@ -42,20 +42,60 @@ def test_reregister_same_bytes_is_idempotent(lake, tmp_path):
     assert r2["uid"] == r1["uid"]  # content-hash dedup, no new version
 
 
-def test_hash_dedup_scope_is_caller_visible(spark, tmp_path):
-    """A hash hit on an UNRELATED branch must not satisfy dedup: the
-    returned row would be invisible to read()/open_artifact on the
-    caller's branch."""
+def test_hash_dedup_scope_matches_reference(spark, tmp_path):
+    """Reference parity (artifact.py:454, ``~Q(branch_id=-1)``): a hash
+    hit on ANY non-trash branch satisfies dedup — the same bytes on a
+    sibling work branch resolve to the existing row instead of a
+    duplicate row + payload copy. A visible-scope (caller branch/main)
+    hit is preferred when one exists. (Round 10 replaced the earlier
+    visible-only scope this test used to pin; see
+    test_lakehouse.py::test_hash_dedup_across_sibling_branches.)"""
     root = str(tmp_path / "lake")
     src = tmp_path / "d.csv"
     src.write_text("a,b\n1,2\n")
     other = Lakehouse(spark, root, current_branch_id=3)
-    other.register_artifact(str(src), key="theirs.csv")
+    theirs = other.register_artifact(str(src), key="theirs.csv")
     mine = Lakehouse(spark, root, current_branch_id=2)
     row = mine.register_artifact(str(src), key="mine.csv")
-    assert row["branch_id"] == 2  # a NEW row on the caller's branch
-    # and it is openable in the caller's scope
-    assert mine.open_artifact(row["uid"], is_run_input=False) is not None
+    # sibling-branch hit IS returned: no duplicate row, no payload copy
+    assert row["id"] == theirs["id"]
+    assert row["branch_id"] == 3
+    assert mine.read_raw("artifact").filter(
+        F.col("hash") == theirs["hash"]
+    ).count() == 1
+    # once a VISIBLE row with the hash exists, it wins over the sibling
+    main = Lakehouse(spark, root)  # main branch (visible to everyone)
+    vis = dict(theirs)
+    vis["id"] = theirs["id"] + 1000
+    vis["uid"] = theirs["uid"][:-4] + "zzzz"
+    vis["branch_id"] = 1
+    vis["key"] = "main.csv"
+    main.save("artifact", [vis])
+    again = mine.register_artifact(str(src), key="mine2.csv")
+    assert again["branch_id"] == 1  # visible-scope hit preferred
+
+
+def test_empty_file_skips_hash_dedup(spark, tmp_path):
+    """Empty files all share one content hash; the reference skips the
+    hash lookup for them (artifact.py:421-424) so each new empty path
+    registers a NEW artifact instead of deduping to an unrelated one."""
+    root = str(tmp_path / "lake")
+    a = tmp_path / "empty_a.txt"
+    b = tmp_path / "empty_b.txt"
+    a.write_text("")
+    b.write_text("")
+    lake = Lakehouse(spark, root)
+    ra = lake.register_artifact(str(a), key="ea.txt")
+    rb = lake.register_artifact(str(b), key="eb.txt")
+    assert ra["hash"] == rb["hash"]  # same content hash...
+    assert ra["uid"] != rb["uid"]  # ...but distinct artifacts
+    # re-registering the same empty path creates a NEW VERSION in the
+    # key family (reference: with the hash lookup skipped, the key
+    # lookup finds only a previous version to revise)
+    ra2 = lake.register_artifact(str(a), key="ea.txt")
+    assert ra2["uid"][:16] == ra["uid"][:16]  # same version family
+    assert ra2["uid"] != ra["uid"]  # revised, not deduped
+    assert ra2["is_latest"]
 
 
 def test_relative_root_recognizes_managed_paths(spark, tmp_path):
