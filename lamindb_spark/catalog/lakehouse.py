@@ -40,6 +40,12 @@ from pyspark.sql import functions as F
 from ..functions.ids import base62, generate_uid, increment_suffix
 from ..operators.windows import mark_latest
 from ..sources.readers import read_payload
+from .payloadstore import (
+    PayloadStore,
+    PosixPayloadStore,
+    has_scheme,
+    store_for_root,
+)
 from .schemas import (
     MAIN_BRANCH_ID,
     REGISTRY_SCHEMAS,
@@ -47,6 +53,9 @@ from .schemas import (
     UID_LENGTHS,
     VERSIONED_REGISTRIES,
 )
+
+
+_POSIX_STORE = PosixPayloadStore()
 
 
 def _now() -> datetime.datetime:
@@ -86,30 +95,28 @@ def _local_path(path: str) -> str:
     return path
 
 
-def hash_file(path: str) -> str:
-    """Content hash of a local file (md5, streamed) — same role as the
-    reference's ingest hashing (``artifact.py:399-418``)."""
-    h = hashlib.md5()
-    with open(path, "rb") as fh:
-        for chunk in iter(lambda: fh.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
+def hash_file(path: str, store: PayloadStore | None = None) -> str:
+    """Content hash of a payload file (md5, streamed) — same role as
+    the reference's ingest hashing (``artifact.py:399-418``). Routed
+    through the payload store so schemed roots hash JVM-side."""
+    return (store or _POSIX_STORE).md5(path)
 
 
-def hash_dir(path: str) -> tuple[str, int, int]:
+def hash_dir(path: str, store: PayloadStore | None = None) -> tuple[str, int, int]:
     """(hash, total_size, n_files) for a directory: md5 of sorted
     per-file hashes (order-independent, like the reference's dir hash)."""
+    store = store or _POSIX_STORE
     hashes = []
     total = 0
     n = 0
-    for dirpath, _dirnames, filenames in os.walk(path):
-        for fn in filenames:
-            if fn.startswith(("_", ".")):
-                continue  # spark _SUCCESS / checksums
-            fp = os.path.join(dirpath, fn)
-            hashes.append(hash_file(fp))
-            total += os.path.getsize(fp)
-            n += 1
+    base = path.rstrip("/")
+    for rel in store.walk_files(path):
+        if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
+            continue  # spark _SUCCESS / checksums
+        fp = f"{base}/{rel}"
+        hashes.append(store.md5(fp))
+        total += store.size(fp)
+        n += 1
     agg = hashlib.md5("".join(sorted(hashes)).encode()).hexdigest()
     return agg, total, n
 
@@ -127,11 +134,21 @@ def _group_feature_values(ann_rows) -> dict:
 class Lakehouse:
     """SparkSession-scoped engine catalog (SURVEY §7.0 design stance)."""
 
-    def __init__(self, spark: SparkSession, root: str, current_branch_id: int = MAIN_BRANCH_ID):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        current_branch_id: int = MAIN_BRANCH_ID,
+        payload_store: PayloadStore | None = None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.current_branch_id = current_branch_id
         self.current_run_id: int | None = None
+        # payload ingest I/O seam (VERDICT r10 #4): posix for local
+        # roots, Hadoop-FS for schemed ones; injectable for tests and
+        # deployments with their own client
+        self.payload_store = payload_store or store_for_root(spark, self.root)
         os.makedirs(f"{self.root}/registries", exist_ok=True)
         os.makedirs(f"{self.root}/storage", exist_ok=True)
         self._init_core_rows()
@@ -538,7 +555,8 @@ class Lakehouse:
         Lakehouse created with a RELATIVE root must still recognize its
         own managed paths, or managed files get re-copied under
         flattened keys (review finding)."""
-        apath = os.path.abspath(_local_path(path))
+        schemed = has_scheme(path) and not path.startswith("file:")
+        apath = path if schemed else os.path.abspath(_local_path(path))
         rows = (
             self.read_raw("storage")
             .orderBy(F.length("root").desc())
@@ -546,7 +564,11 @@ class Lakehouse:
             .collect()
         )
         for r in rows:
-            aroot = os.path.abspath(_local_path(r["root"]))
+            aroot = (
+                r["root"]
+                if has_scheme(r["root"]) and not r["root"].startswith("file:")
+                else os.path.abspath(_local_path(r["root"]))
+            )
             if apath.startswith(aroot.rstrip("/") + "/"):
                 return int(r["id"]), aroot
         return None
@@ -573,11 +595,12 @@ class Lakehouse:
         loses ``is_latest``.
         """
         path = _local_path(path)
-        if os.path.isdir(path):
-            content_hash, size, n_files = hash_dir(path)
+        store = self.payload_store
+        if store.is_dir(path):
+            content_hash, size, n_files = hash_dir(path, store)
             suffix = os.path.splitext(path.rstrip("/"))[1]
         else:
-            content_hash, size, n_files = hash_file(path), os.path.getsize(path), None
+            content_hash, size, n_files = store.md5(path), store.size(path), None
             suffix = os.path.splitext(path)[1]
         arts = self.read_raw("artifact")
         # dedup scope (reference get_stat_or_artifact, artifact.py:454
@@ -614,14 +637,18 @@ class Lakehouse:
         managed = self._storage_for_path(path)
         if managed is not None:
             storage_id, storage_root = managed
-            key = key or os.path.relpath(os.path.abspath(path), storage_root)
+            if key is None:
+                key = (
+                    path[len(storage_root.rstrip("/")) + 1 :]
+                    if has_scheme(path)
+                    else os.path.relpath(os.path.abspath(path), storage_root)
+                )
         else:
             storage_id, storage_root = self._resolve_storage_root()
             key = key if key is not None else os.path.basename(path.rstrip("/"))
-            target = os.path.join(_local_path(storage_root), key)
-            os.makedirs(os.path.dirname(target), exist_ok=True)
+            target = _local_path(storage_root).rstrip("/") + "/" + key
             need_copy = True
-            if os.path.exists(target):
+            if store.exists(target):
                 # same key, existing payload: copy only if the BYTES
                 # differ — skipping unconditionally registered a row
                 # whose hash described bytes that never landed (review
@@ -630,22 +657,19 @@ class Lakehouse:
                 # version's payload; older rows keep their hash as
                 # provenance — the reference's key-path semantics).
                 existing_hash = (
-                    hash_dir(target)[0]
-                    if os.path.isdir(target)
-                    else hash_file(target)
+                    hash_dir(target, store)[0]
+                    if store.is_dir(target)
+                    else store.md5(target)
                 )
                 if existing_hash == content_hash:
                     need_copy = False
                 else:
-                    if os.path.isdir(target):
-                        shutil.rmtree(target)
-                    else:
-                        os.remove(target)
+                    store.remove(target)
             if need_copy:
-                if os.path.isdir(path):
-                    shutil.copytree(path, target)
+                if store.is_dir(path):
+                    store.copy_tree(path, target)
                 else:
-                    shutil.copy2(path, target)
+                    store.copy_file(path, target)
         family = (
             arts.filter(
                 (F.col("key") == key) & (F.col("branch_id") == self.current_branch_id)
@@ -722,19 +746,19 @@ class Lakehouse:
         reference ``artifact.py:421-424``).
         """
         path = _local_path(path)
-        if not os.path.isdir(path):
+        store = self.payload_store
+        if not store.is_dir(path):
             raise NotADirectoryError(path)
         folder_key = (key or os.path.basename(path.rstrip("/"))).rstrip("/")
 
         # 1. driver-side walk: (src, key, hash, size) per file — no jobs
+        base = path.rstrip("/")
         batch: list[tuple[str, str, str, int]] = []
-        for dirpath, _dirnames, filenames in os.walk(path):
-            for fn in sorted(filenames):
-                fp = os.path.join(dirpath, fn)
-                rel = os.path.relpath(fp, path)
-                batch.append(
-                    (fp, f"{folder_key}/{rel}", hash_file(fp), os.path.getsize(fp))
-                )
+        for rel in store.walk_files(path):
+            fp = f"{base}/{rel}"
+            batch.append(
+                (fp, f"{folder_key}/{rel}", store.md5(fp), store.size(fp))
+            )
         if not batch:
             return []
         arts = self.read_raw("artifact")
@@ -823,10 +847,9 @@ class Lakehouse:
                     out.append(hit)
                     continue
             if managed is None:  # external: copy; managed: in place
-                target = os.path.join(storage_root, fkey)
-                os.makedirs(os.path.dirname(target), exist_ok=True)
-                if not os.path.exists(target) or hash_file(target) != content_hash:
-                    shutil.copy2(src, target)
+                target = storage_root.rstrip("/") + "/" + fkey
+                if not store.exists(target) or store.md5(target) != content_hash:
+                    store.copy_file(src, target)
             stem = stem_by_key.get(fkey)
             if stem is not None:
                 uid = stem + next_suffix[stem]
