@@ -41,10 +41,10 @@ from ..functions.ids import base62, generate_uid, increment_suffix
 from ..operators.windows import mark_latest
 from ..sources.readers import read_payload
 from .payloadstore import (
+    HadoopPayloadStore,
     PayloadStore,
     PosixPayloadStore,
-    has_scheme,
-    store_for_root,
+    is_remote_scheme,
 )
 from .schemas import (
     MAIN_BRANCH_ID,
@@ -71,10 +71,7 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     deployments the guard was added for). Falls back to ``os.path``
     only when no JVM gateway is reachable (never in practice)."""
     try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
+        return HadoopPayloadStore(spark).exists(path)
     except Exception:
         return os.path.exists(path)
 
@@ -89,8 +86,16 @@ def _local_path(path: str) -> str:
     Hadoop FS guard, not these helpers)."""
     if path.startswith("file:"):
         rest = path[5:]
-        while rest.startswith("//"):
-            rest = rest[1:]
+        if rest.startswith("//"):
+            # RFC 8089 authority form: file://<host>/x — only an empty
+            # or localhost authority is the local filesystem; anything
+            # else must not be silently rewritten to /<host>/x
+            authority, _, tail = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                raise ValueError(
+                    f"non-local file URI authority {authority!r} in {path!r}"
+                )
+            rest = "/" + tail
         return rest or "/"
     return path
 
@@ -142,16 +147,45 @@ class Lakehouse:
         payload_store: PayloadStore | None = None,
     ):
         self.spark = spark
-        self.root = root.rstrip("/")
+        self.root = _local_path(root.rstrip("/"))
+        if is_remote_scheme(self.root):
+            # the registry layer (bucketed parquet + counter sidecar +
+            # compaction swaps) is documented single-writer LOCAL I/O;
+            # a schemed lake root would split-brain it (registries
+            # written via Spark, read via posix). Remote PAYLOADS are
+            # supported the other way around: register a schemed
+            # storage-row root — ingest then routes through the
+            # Hadoop payload store per path (`_store_for`).
+            raise ValueError(
+                f"registry root must be a local path, got {root!r}; "
+                "use a schemed STORAGE root (storage registry row) for "
+                "object-store payloads"
+            )
         self.current_branch_id = current_branch_id
         self.current_run_id: int | None = None
-        # payload ingest I/O seam (VERDICT r10 #4): posix for local
-        # roots, Hadoop-FS for schemed ones; injectable for tests and
-        # deployments with their own client
-        self.payload_store = payload_store or store_for_root(spark, self.root)
+        # payload ingest I/O seam (VERDICT r10 #4): posix by default,
+        # upgraded per path to the Hadoop store for remote-schemed
+        # paths (`_store_for`); injectable for tests and deployments
+        # with their own client
+        self.payload_store = payload_store or PosixPayloadStore()
+        self._hadoop_store: HadoopPayloadStore | None = None
         os.makedirs(f"{self.root}/registries", exist_ok=True)
         os.makedirs(f"{self.root}/storage", exist_ok=True)
         self._init_core_rows()
+
+    def _store_for(self, *paths: str) -> PayloadStore:
+        """The payload store that can serve ALL of ``paths``: the
+        configured store unless any path is remote-schemed, in which
+        case the (cached) Hadoop store — it resolves the filesystem
+        per path, so mixed local/remote pairs (ingest a local file
+        into an ``s3a://`` storage root) work through one store."""
+        if any(is_remote_scheme(p) for p in paths) and not isinstance(
+            self.payload_store, HadoopPayloadStore
+        ):
+            if self._hadoop_store is None:
+                self._hadoop_store = HadoopPayloadStore(self.spark)
+            return self._hadoop_store
+        return self.payload_store
 
     # ---------------------------------------------------------- registry io
     #
@@ -555,8 +589,9 @@ class Lakehouse:
         Lakehouse created with a RELATIVE root must still recognize its
         own managed paths, or managed files get re-copied under
         flattened keys (review finding)."""
-        schemed = has_scheme(path) and not path.startswith("file:")
-        apath = path if schemed else os.path.abspath(_local_path(path))
+        apath = (
+            path if is_remote_scheme(path) else os.path.abspath(_local_path(path))
+        )
         rows = (
             self.read_raw("storage")
             .orderBy(F.length("root").desc())
@@ -566,7 +601,7 @@ class Lakehouse:
         for r in rows:
             aroot = (
                 r["root"]
-                if has_scheme(r["root"]) and not r["root"].startswith("file:")
+                if is_remote_scheme(r["root"])
                 else os.path.abspath(_local_path(r["root"]))
             )
             if apath.startswith(aroot.rstrip("/") + "/"):
@@ -595,7 +630,7 @@ class Lakehouse:
         loses ``is_latest``.
         """
         path = _local_path(path)
-        store = self.payload_store
+        store = self._store_for(path)
         if store.is_dir(path):
             content_hash, size, n_files = hash_dir(path, store)
             suffix = os.path.splitext(path.rstrip("/"))[1]
@@ -640,13 +675,14 @@ class Lakehouse:
             if key is None:
                 key = (
                     path[len(storage_root.rstrip("/")) + 1 :]
-                    if has_scheme(path)
+                    if is_remote_scheme(path)
                     else os.path.relpath(os.path.abspath(path), storage_root)
                 )
         else:
             storage_id, storage_root = self._resolve_storage_root()
             key = key if key is not None else os.path.basename(path.rstrip("/"))
             target = _local_path(storage_root).rstrip("/") + "/" + key
+            store = self._store_for(path, target)  # remote target ⇒ Hadoop
             need_copy = True
             if store.exists(target):
                 # same key, existing payload: copy only if the BYTES
@@ -743,22 +779,43 @@ class Lakehouse:
         and intra-directory duplicate bytes resolve to ONE artifact row
         — the reference's duplicate-hash consolidation. Empty files
         skip the hash lookup (all empty files share one hash;
-        reference ``artifact.py:421-424``).
+        reference ``artifact.py:421-424``) and instead dedup by key:
+        an unchanged empty file re-ingests as the same row. Marker and
+        hidden files (``_SUCCESS``, ``.part-*.crc``) are skipped —
+        same rule as ``hash_dir``, so the per-file and one-artifact
+        views of a directory agree. A directory already under a
+        managed storage root is referenced in place with ROOT-relative
+        keys (``folder_key`` is ignored — the key must resolve to the
+        payload's actual location through ``artifact_path``).
         """
         path = _local_path(path)
-        store = self.payload_store
+        store = self._store_for(path)
         if not store.is_dir(path):
             raise NotADirectoryError(path)
-        folder_key = (key or os.path.basename(path.rstrip("/"))).rstrip("/")
+        managed = self._storage_for_path(path)  # one storage scan —
+        # every file shares the directory's root, managed or external
+        if managed is not None:
+            storage_id, storage_root = managed
+            prefix = (
+                path if is_remote_scheme(path)
+                else os.path.abspath(path)
+            )[len(storage_root.rstrip("/")) + 1 :]
+            folder_key = prefix.rstrip("/")
+        else:
+            storage_id, storage_root = self._resolve_storage_root()
+            storage_root = _local_path(storage_root)
+            folder_key = (key or os.path.basename(path.rstrip("/"))).rstrip("/")
+            store = self._store_for(path, storage_root)
 
-        # 1. driver-side walk: (src, key, hash, size) per file — no jobs
+        # 1. driver-side walk: (src, key, hash, size) per file — no
+        # jobs, no per-file stat round-trips (walk_stats carries sizes)
         base = path.rstrip("/")
         batch: list[tuple[str, str, str, int]] = []
-        for rel in store.walk_files(path):
+        for rel, sz in store.walk_stats(path):
+            if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
+                continue  # spark _SUCCESS / checksums / hidden files
             fp = f"{base}/{rel}"
-            batch.append(
-                (fp, f"{folder_key}/{rel}", store.md5(fp), store.size(fp))
-            )
+            batch.append((fp, f"{folder_key}/{rel}", store.md5(fp), sz))
         if not batch:
             return []
         arts = self.read_raw("artifact")
@@ -790,6 +847,7 @@ class Lakehouse:
         ]
         stem_len = self._stem_len("artifact")
         stem_by_key: dict[str, str] = {}
+        head_by_key: dict[str, dict[str, Any]] = {}
         next_suffix: dict[str, str] = {}
         if new_keys:
             for r in (
@@ -798,10 +856,10 @@ class Lakehouse:
                     & (F.col("branch_id") == self.current_branch_id)
                 )
                 .orderBy(F.desc("created_at"))
-                .select("key", "uid")
                 .collect()
             ):
                 stem_by_key.setdefault(r["key"], r["uid"][:stem_len])
+                head_by_key.setdefault(r["key"], r.asDict())
             if stem_by_key:
                 from ..functions.ids import decode_base62
 
@@ -826,13 +884,7 @@ class Lakehouse:
                 }
 
         # 4. land payloads + build rows; one id block for the batch
-        managed = self._storage_for_path(path)  # one storage scan —
-        # every file shares the directory's root, managed or external
-        if managed is not None:
-            storage_id, storage_root = managed
-        else:
-            storage_id, storage_root = self._resolve_storage_root()
-            storage_root = _local_path(storage_root)
+        # (storage_id/storage_root/managed resolved once above)
         n_new_max = len(new_keys)
         first_id = self.take_ids("artifact", n_new_max) if n_new_max else 0
         now = _now()
@@ -845,6 +897,16 @@ class Lakehouse:
                 hit = by_hash.get(content_hash) or batch_by_hash.get(content_hash)
                 if hit is not None:
                     out.append(hit)
+                    continue
+            else:
+                # empty file: hash dedup is skipped (all empty files
+                # share one hash), but an UNCHANGED empty file at the
+                # same key re-ingests as the same row — otherwise a
+                # retried pipeline appends a version per run and the
+                # documented no-op re-ingest is false (review finding)
+                head = head_by_key.get(fkey)
+                if head is not None and head["hash"] == content_hash:
+                    out.append(head)
                     continue
             if managed is None:  # external: copy; managed: in place
                 target = storage_root.rstrip("/") + "/" + fkey

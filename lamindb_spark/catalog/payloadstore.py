@@ -50,6 +50,13 @@ def has_scheme(path: str) -> bool:
     return all(c in _SCHEME_CHARS for c in head)
 
 
+def is_remote_scheme(path: str) -> bool:
+    """Schemed AND not local: the one predicate deciding 'posix calls
+    cannot serve this' (``file:`` is local — normalized by the caller
+    via ``_local_path``-style stripping)."""
+    return has_scheme(path) and not path.startswith("file:")
+
+
 class PayloadStore(ABC):
     """Driver-side payload I/O: stat, hash, copy. Implementations MUST
     keep ``md5`` byte-identical to ``hashlib.md5`` so content-hash
@@ -69,6 +76,15 @@ class PayloadStore(ABC):
         """Every file under ``path`` (recursive) as a sorted,
         ``/``-separated path RELATIVE to ``path``."""
         ...
+
+    def walk_stats(self, path: str) -> Iterator[tuple[str, int]]:
+        """(relative path, size) pairs — same order as ``walk_files``.
+        Implementations that get sizes for free during listing (the
+        Hadoop ``LocatedFileStatus``) override this so a 100k-file
+        walk costs zero extra stat round-trips."""
+        base = path.rstrip("/")
+        for rel in self.walk_files(path):
+            yield rel, self.size(f"{base}/{rel}")
 
     @abstractmethod
     def md5(self, path: str) -> str: ...
@@ -96,12 +112,18 @@ class PosixPayloadStore(PayloadStore):
         return os.path.getsize(path)
 
     def walk_files(self, path: str) -> Iterator[str]:
+        for rel, _sz in self.walk_stats(path):
+            yield rel
+
+    def walk_stats(self, path: str) -> Iterator[tuple[str, int]]:
         out = []
         for dirpath, _dirnames, filenames in os.walk(path):
             for fn in filenames:
+                fp = os.path.join(dirpath, fn)
                 out.append(
-                    os.path.relpath(os.path.join(dirpath, fn), path).replace(
-                        os.sep, "/"
+                    (
+                        os.path.relpath(fp, path).replace(os.sep, "/"),
+                        os.path.getsize(fp),
                     )
                 )
         yield from sorted(out)
@@ -165,6 +187,10 @@ class HadoopPayloadStore(PayloadStore):
         return int(self._fs(p).getFileStatus(p).getLen())
 
     def walk_files(self, path: str) -> Iterator[str]:
+        for rel, _sz in self.walk_stats(path):
+            yield rel
+
+    def walk_stats(self, path: str) -> Iterator[tuple[str, int]]:
         p = self._path(path)
         fs = self._fs(p)
         base = fs.makeQualified(p).toString().rstrip("/")
@@ -174,7 +200,9 @@ class HadoopPayloadStore(PayloadStore):
             st = it.next()
             if st.isFile():
                 full = st.getPath().toString()
-                out.append(full[len(base) + 1 :])
+                # LocatedFileStatus carries the length — no extra
+                # getFileStatus round-trip per file
+                out.append((full[len(base) + 1 :], int(st.getLen())))
         yield from sorted(out)  # listFiles order is FS-dependent
 
     def md5(self, path: str) -> str:
@@ -217,6 +245,6 @@ def store_for_root(spark, root: str) -> PayloadStore:
     """Default store selection: posix for plain local roots (no JVM
     round-trips on the hot sandbox path), Hadoop for any schemed
     root. An explicit ``payload_store=`` always wins."""
-    if has_scheme(root) and not root.startswith("file:"):
+    if is_remote_scheme(root):
         return HadoopPayloadStore(spark)
     return PosixPayloadStore()

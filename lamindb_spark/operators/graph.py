@@ -304,23 +304,23 @@ def pagerank(
         # zero below (review finding; closure() handles empty edges
         # the same way)
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    graph = e.join(outdeg, "src").localCheckpoint(eager=True)
     # Small graphs (vocab co-occurrence, lineage DAGs) iterate on ONE
     # partition: with 32 shuffle partitions a 20k-node graph pays 32
     # task launches per join/agg/checkpoint job and the scheduler — not
     # the math — dominates (measured in SCALE.md §pagerank; results
-    # are bit-identical, round_to makes summation-order moot). Big
-    # graphs keep the parallel layout — the threshold is node count,
-    # the one number already in hand.
-    small = n <= 1_000_000
+    # are bit-identical, round_to makes summation-order moot). Guarded
+    # on EDGES too — a 1M-node graph can carry 10^7+ edges, and
+    # single-tasking those joins would trade the scheduler floor for a
+    # one-core iteration (review finding). graph.count() reads the
+    # just-checkpointed blocks, ~free.
+    small = n <= 200_000 and graph.count() <= 2_000_000
     if small:
-        # no re-checkpoint: coalesce over the checkpointed frame just
+        # no re-checkpoint: coalesce over the checkpointed frames just
         # narrows every downstream stage to one task
         nodes = nodes.coalesce(1)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    graph = e.join(outdeg, "src")
-    if small:
         graph = graph.coalesce(1)
-    graph = graph.localCheckpoint(eager=True)
     # Teleport constant via DECIMAL subtraction: SQL engines constant-
     # fold `1.0 - 0.85` exactly (0.15 → nearest double 0.1499…94),
     # while Python float subtraction gives 0.15000…02 — the two land on

@@ -467,3 +467,48 @@ def test_register_dir_version_bump_on_changed_bytes(lakehouse, tmp_path):
         .collect()
     )
     assert [h["uid"] for h in heads] == [new["uid"]]  # old head demoted
+
+
+def test_register_dir_managed_keys_resolve_to_payload(lakehouse, spark):
+    """Review finding: a managed nested directory must be keyed ROOT-
+    relative so artifact_path(key) points at the in-place payload —
+    basename keys registered rows whose payload location didn't
+    exist."""
+    import os
+
+    _sid, root = lakehouse._resolve_storage_root()
+    d = os.path.join(root, "proj", "batchA")
+    os.makedirs(d)
+    with open(os.path.join(d, "x.csv"), "w") as fh:
+        fh.write("a\n1\n")
+    rows = lakehouse.register_dir(d)
+    assert [r["key"] for r in rows] == ["proj/batchA/x.csv"]
+    p = lakehouse.artifact_path(rows[0])
+    assert os.path.exists(p)  # key resolves to the in-place payload
+    assert open(p).read() == "a\n1\n"
+
+
+def test_register_dir_skips_marker_files_and_empty_reingest_noop(
+    lakehouse, tmp_path
+):
+    """Review findings: (1) _SUCCESS/.crc marker files are skipped —
+    same rule as hash_dir, so the per-file and one-artifact views
+    agree; (2) an unchanged EMPTY file re-ingests as the same row
+    (hash dedup is skipped for empty files, so the no-op contract
+    needs key dedup)."""
+    d = tmp_path / "sparkout"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    (d / ".part-0.crc").write_bytes(b"\x00")
+    (d / "part-0.txt").write_text("data")
+    (d / "empty.txt").write_text("")
+
+    rows = lakehouse.register_dir(str(d))
+    assert sorted(r["key"] for r in rows) == [
+        "sparkout/empty.txt",
+        "sparkout/part-0.txt",
+    ]
+    n0 = lakehouse.read_raw("artifact").count()
+    again = lakehouse.register_dir(str(d))
+    assert sorted(r["uid"] for r in again) == sorted(r["uid"] for r in rows)
+    assert lakehouse.read_raw("artifact").count() == n0  # true no-op
