@@ -149,17 +149,24 @@ def _q_star_revenue(spark, sf):
         .filter(F.col("r_name") == "ASIA")
         .select("c_custkey", "n_name")
     )
-    # Pre-aggregate revenue per order BEFORE the joins: shrinks the fact
-    # side ~4×, the join then reuses the same orderkey partitioning, and
-    # the per-nation countDistinct(order) collapses to a plain count
-    # (one row per order survives the pre-agg) — no expand/2-phase
-    # distinct aggregation.
+    # Filter the fact side FIRST (r11): orders join the ASIA dim before
+    # lineitem touches anything, so the per-order aggregation shuffles
+    # ~1/5 of lineitem instead of all of it (the selective dim is the
+    # cheapest predicate and AQE broadcasts the filtered order side
+    # while it is small). The per-(order, nation) pre-agg keeps
+    # n_orders a plain count — no expand/2-phase distinct.
+    ord_asia = (
+        o.select("o_orderkey", "o_custkey")
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        .select("o_orderkey", "n_name")
+    )
     rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
-    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev"))
-    joined = per_order.join(
-        o.select("o_orderkey", "o_custkey"), per_order.l_orderkey == F.col("o_orderkey")
-    ).join(dim, F.col("o_custkey") == dim.c_custkey)
-    return joined.groupBy("n_name").agg(
+    per_order = (
+        li.join(ord_asia, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "n_name")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    return per_order.groupBy("n_name").agg(
         F.sum("rev").alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
@@ -793,19 +800,24 @@ def _q_tpch_q21(spark, sf):
             "late"
         ),
     )
-    per_order = lo_.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # Per-(order, supplier) pre-aggregate first (r11): the two
+    # count_distincts compiled to an Expand that doubled the joined
+    # stream; max(late) per pair costs one map-side-combined shuffle,
+    # the per-order counts become plain count/sum, and the 'waiting'
+    # branch reuses the SAME exchange (no second scan, no distinct).
+    ps = lo_.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    per_order = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late_supp"),
     )
     waiting = (
-        lo_.filter(F.col("late"))
+        ps.filter(F.col("late"))
         .join(
             per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
             "l_orderkey",
             "left_semi",
         )
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         waiting.groupBy("l_suppkey")
@@ -1054,6 +1066,17 @@ def _q_minhash_portable(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return minhash_signatures_portable(d, "text", "doc_id", n_hashes=8)
+
+
+def _q_lsh_admission(spark, sf):
+    """Pipeline: LSH near-dup ADMISSION summary (cross-engine portable
+    twin of the streaming admission gate, streaming/dedup.py): a doc
+    is admitted iff no band bucket is claimed by a lower-id doc; per
+    source, admitted/total counts + admitted-id checksum."""
+    from lamindb_spark.pipeline.dedup import lsh_admission_portable
+
+    d = load_table(spark, sf, "documents")
+    return lsh_admission_portable(d, "text", "doc_id", n_hashes=8, rows_per_band=2)
 
 
 def _q_simhash_portable(spark, sf):
@@ -2636,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "minhash_portable": _q_minhash_portable,
+        "lsh_admission": _q_lsh_admission,
         "simhash_portable": _q_simhash_portable,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -4753,6 +4777,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS BIGINT) AS hash_idx,
                    list_min(list_transform(sh, x -> ((2*i+1)*x + 12345*i + 7) % 1000000007)) AS sig
             FROM s, generate_series(0, 7) g(i)
+        """,
+        "lsh_admission": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks, tk ->
+                         list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                                        list_transform(string_split(tk, ''), c -> CAST(ascii(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 1000000007)) AS th
+                FROM t
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(th) < 2
+                            THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                                              (a, b) -> (a * 37 + b) % 1000000007)]
+                            ELSE list_transform(range(1, len(th)),
+                                                i -> (th[i] * 37 + th[i+1]) % 1000000007)
+                       END AS sh
+                FROM h
+            ), sig AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS hash_idx,
+                       list_min(list_transform(sh, x -> ((2*i+1)*x + 12345*i + 7) % 1000000007)) AS sig
+                FROM s, generate_series(0, 7) g(i)
+            ), keyed AS (
+                SELECT doc_id, hash_idx // 2 AS band,
+                       SUM(sig * CASE WHEN hash_idx % 2 = 0 THEN 1 ELSE 37 END) AS bucket
+                FROM sig GROUP BY doc_id, hash_idx // 2
+            ), bm AS (
+                SELECT band, bucket, MIN(doc_id) AS bucket_min
+                FROM keyed GROUP BY band, bucket
+            ), adm AS (
+                SELECT k.doc_id,
+                       SUM(CASE WHEN bm.bucket_min < k.doc_id THEN 1 ELSE 0 END) = 0 AS admit
+                FROM keyed k JOIN bm USING (band, bucket)
+                GROUP BY k.doc_id
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+                   CAST(sum(CASE WHEN admit THEN d.doc_id ELSE 0 END) AS BIGINT) AS admitted_id_sum
+            FROM documents d JOIN adm USING (doc_id)
+            GROUP BY d.source
         """,
         "quantiles": """
             SELECT c_mktsegment,

@@ -180,6 +180,86 @@ def minhash_signatures(
     return rows.groupBy(id_col).agg(F.expr(f"array({mins})").alias("signature"))
 
 
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) — the LSH banding step on its own: each
+    band's ``rows_per_band`` signature slots hash to one bucket value.
+    Shared by :func:`lsh_candidate_pairs` (batch pair mining) and the
+    streaming near-dup admission gate
+    (:func:`lamindb_spark.streaming.dedup.stream_admit_neardup`),
+    which persists these rows as its corpus index — one kernel, one
+    bucket semantics."""
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"signature[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    # one SQL parse for the whole banding expression (vs ~n_bands ×
+    # rows_per_band py4j calls); inline() explodes straight to columns
+    return signatures.selectExpr(id_col, f"inline(array({band_structs}))")
+
+
+def lsh_admission_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Batch LSH admission summary with CROSS-ENGINE values: a doc is
+    ADMITTED iff it shares no band bucket with any lower-id doc — the
+    order-deterministic core of near-dup admission control (the
+    streaming gate in ``streaming/dedup.py`` applies the same rule
+    against an accumulated index; this batch twin is what a SQL oracle
+    can replay value-for-value).
+
+    Buckets combine each band's portable signature slots with an
+    order-insensitive multiplier sum ``Σ sig·37^(slot)`` — exact int64
+    arithmetic (sig < 1e9+7, 37³·1e9 ≪ 2^63), reproducible in ANSI
+    SQL. Output: one row per source with admitted/total counts and an
+    admitted-id checksum. One shuffle (per-bucket min) + one per-doc
+    agg + one per-source agg, all map-side-combinable.
+    """
+    sigs = minhash_signatures_portable(df, text_col, id_col, n_hashes)
+    keyed = sigs.selectExpr(
+        id_col,
+        f"CAST(hash_idx DIV {rows_per_band} AS BIGINT) AS band",
+        f"sig * CAST(pow(37, hash_idx % {rows_per_band}) AS BIGINT) AS term",
+    ).groupBy(id_col, "band").agg(F.sum("term").alias("bucket"))
+    bucket_min = keyed.groupBy("band", "bucket").agg(
+        F.min(id_col).alias("bucket_min")
+    )
+    admitted = (
+        keyed.join(bucket_min, ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(
+            (F.sum((F.col("bucket_min") < F.col(id_col)).cast("int")) == 0).alias(
+                "admit"
+            )
+        )
+    )
+    return (
+        df.select(id_col, "source")
+        .join(admitted, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("admit").cast("long")).alias("n_admitted"),
+            F.sum(F.when(F.col("admit"), F.col(id_col)).otherwise(F.lit(0)).cast("long")).alias(
+                "admitted_id_sum"
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -212,18 +292,7 @@ def lsh_candidate_pairs(
        signatures), which is unaffected by the cap — see
        ``tests/test_pipeline.py::test_star_mode_jaccard_verification``.
     """
-    band_structs = ", ".join(
-        "struct({b} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
-            b=b,
-            cols=", ".join(
-                f"signature[{b * rows_per_band + r}]" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(n_bands)
-    )
-    # one SQL parse for the whole banding expression (vs ~n_bands ×
-    # rows_per_band py4j calls); inline() explodes straight to columns
-    bands = signatures.selectExpr(id_col, f"inline(array({band_structs}))")
+    bands = band_buckets(signatures, id_col, n_bands, rows_per_band)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

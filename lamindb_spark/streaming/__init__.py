@@ -4,3 +4,4 @@ from .events import (  # noqa: F401
     session_windows,
     stream_dedup,
 )
+from .dedup import stream_admit_neardup  # noqa: F401

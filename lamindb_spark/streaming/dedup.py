@@ -1,0 +1,183 @@
+"""Streaming near-duplicate admission control: continuous corpus
+ingestion where each micro-batch of documents is MinHash-LSH-checked
+against everything admitted so far, and only novel documents land.
+
+This is the streaming composition of two certified batch kernels —
+``pipeline.dedup.minhash_signatures`` + ``band_buckets`` — with the
+commit-log's exactly-once txn sink: the admitted documents AND their
+bucket index entries append through
+``catalog.commitlog.append_dataframe_txn`` keyed on the micro-batch
+id, so a replayed batch (the documented at-least-once edge of
+``foreachBatch``) is recognized and skipped instead of re-admitting.
+
+Admission rule (the online greedy LSH dedup used by large-corpus
+pipelines): a document is admitted iff none of its band buckets is
+already claimed — by the persisted index (prior batches) or by an
+earlier-``id`` admitted document of the SAME batch. Rejected documents
+claim nothing, so a near-dup of a REJECTED doc that is novel w.r.t.
+every admitted doc still gets in — greedy semantics, matching what a
+sequential one-at-a-time ingest would do.
+
+Scale shape: the common case (no collision anywhere) is fully
+vectorized — signatures, banding, one broadcast-or-shuffle semi-join
+against the index, one in-batch bucket count. Only the COLLIDING
+subset is resolved driver-side (greedy order dependence is inherently
+sequential); its size is bounded by the batch's duplicate mass, and a
+cap fails loudly rather than silently collecting an unbounded set.
+
+Crash-window audit (same discipline as ``stream_append_exactly_once``):
+the two txn appends share the batch id. If the docs-append commits and
+the index-append crashes, the replay recomputes the SAME admitted set
+(minhash is deterministic and the index cannot yet contain this
+batch's keys — that append is the one that failed), skips the
+docs-append via its txn marker, and lands the index rows. A batch is
+never judged against its own index entries because both appends carry
+its txn identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.commitlog import CommitLog, append_dataframe_txn, read_committed
+from ..pipeline.dedup import band_buckets, minhash_signatures
+
+
+def _admit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    k_shingle: int,
+    n_hashes: int,
+    n_bands: int,
+    rows_per_band: int,
+    max_conflicts: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(admitted docs, their band keys) for one micro-batch."""
+    sigs = minhash_signatures(batch_df, text_col, id_col, k_shingle, n_hashes)
+    keys = band_buckets(sigs, id_col, n_bands, rows_per_band).localCheckpoint(
+        eager=True
+    )  # consumed 3× below (index probe, in-batch counts, admitted keys)
+    try:
+        index = read_committed(spark, index_path).select("band", "bucket")
+    except FileNotFoundError:  # first batch: no index table yet
+        index = None
+    hit_index = (
+        keys.join(index, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+        if index is not None
+        else None
+    )
+    in_batch = (
+        keys.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("lo"))
+        .filter(F.col("n") > 1)
+    )
+    shared = (
+        keys.join(in_batch.select("band", "bucket"), ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    conflicted = (
+        shared.unionByName(hit_index) if hit_index is not None else shared
+    ).distinct()
+    # fast path: untouched docs admit vectorized, no driver involvement
+    clean_keys = keys.join(conflicted, [id_col], "left_anti")
+
+    # slow path: greedy resolution of the colliding subset, id order
+    n_conf = conflicted.count()
+    if n_conf > max_conflicts:
+        raise ValueError(
+            f"{n_conf} colliding docs in one micro-batch exceeds "
+            f"max_conflicts={max_conflicts}; reduce the trigger batch "
+            "size (the greedy resolution is driver-side by design)"
+        )
+    resolved_ids: list = []
+    if n_conf:
+        conf_keys = keys.join(conflicted, [id_col], "left_semi")
+        hit_ids = (
+            {r[0] for r in hit_index.collect()} if hit_index is not None else set()
+        )
+        by_doc: dict = {}
+        for r in conf_keys.collect():
+            by_doc.setdefault(r[id_col], []).append((r["band"], r["bucket"]))
+        claimed: set = set()
+        for doc in sorted(by_doc):
+            if doc in hit_ids:
+                continue  # index-claimed bucket: rejected, claims nothing
+            if any(bb in claimed for bb in by_doc[doc]):
+                continue  # loses to an earlier admitted batch peer
+            claimed.update(by_doc[doc])
+            resolved_ids.append(doc)
+
+    admitted_ids = clean_keys.select(id_col).distinct()
+    if resolved_ids:
+        extra = spark.createDataFrame(
+            [(i,) for i in resolved_ids], admitted_ids.schema
+        )
+        admitted_ids = admitted_ids.unionByName(extra)
+    admitted_docs = batch_df.join(admitted_ids, [id_col], "left_semi")
+    admitted_keys = keys.join(admitted_ids, [id_col], "left_semi")
+    return admitted_docs, admitted_keys
+
+
+def stream_admit_neardup(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    query_name: str = "neardup",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_conflicts: int = 100_000,
+    timeout_sec: float = 300,
+):
+    """Drain ``docs_stream`` through the near-dup admission gate:
+    admitted documents append to the ``accepted_path`` commit-log
+    table, their band keys to ``index_path`` (the accumulated corpus
+    index), both exactly-once per micro-batch. ``availableNow``
+    trigger — processes everything currently in the source and stops
+    (call again on the same checkpoint for incremental re-drains).
+    """
+    spark = docs_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        docs, keys = _admit_batch(
+            spark,
+            batch_df,
+            index_path,
+            text_col,
+            id_col,
+            k_shingle,
+            n_hashes,
+            n_bands,
+            rows_per_band,
+            max_conflicts,
+        )
+        append_dataframe_txn(docs, accepted_path, f"{query_name}:docs", batch_id)
+        append_dataframe_txn(keys, index_path, f"{query_name}:index", batch_id)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{query_name}' did not drain within {timeout_sec}s"
+        )
+    versions = CommitLog(accepted_path).versions()
+    return versions[-1] if versions else None

@@ -1,0 +1,111 @@
+"""Streaming near-dup admission gate (streaming/dedup.py): MinHash-LSH
+micro-batch admission against the accumulated commit-log index —
+exact/near duplicates rejected across batches AND within a batch
+(greedy id order), novel docs admitted, replays exactly-once."""
+
+import json
+import os
+
+import pytest
+
+from lamindb_spark.catalog.commitlog import read_committed
+from lamindb_spark.streaming.dedup import stream_admit_neardup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles carry mottled baskets of ripe apricots across "
+    "the shallow river delta toward the old stone lighthouse "
+)
+
+
+def _write_batch(src_dir, rows, name):
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _drain(spark, src, tmp, query_name="nd"):
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    return stream_admit_neardup(
+        stream,
+        accepted_path=f"{tmp}/accepted",
+        index_path=f"{tmp}/index",
+        checkpoint_dir=f"{tmp}/ckpt",
+        query_name=query_name,
+        n_hashes=64,
+        n_bands=16,
+        rows_per_band=4,
+    )
+
+
+def test_stream_admission_across_and_within_batches(spark, tmp_path):
+    tmp = str(tmp_path)
+    src = f"{tmp}/src"
+    # batch 1: A novel; B exact copy of A (higher id, rejected);
+    # C novel (admitted)
+    _write_batch(
+        src,
+        [
+            {"doc_id": 1, "text": BASE * 3},
+            {"doc_id": 2, "text": BASE * 3},
+            {"doc_id": 3, "text": "completely different content about maritime "
+                                  "chronometers and the longitude problem " * 5},
+        ],
+        "b1.json",
+    )
+    _drain(spark, src, tmp)
+    got = {r["doc_id"] for r in read_committed(spark, f"{tmp}/accepted").collect()}
+    assert got == {1, 3}
+
+    # idempotent re-drain: nothing new in the source -> no change
+    _drain(spark, src, tmp)
+    assert (
+        read_committed(spark, f"{tmp}/accepted").count() == 2
+    ), "re-drain must not re-admit"
+
+    # batch 2: D near-dup of A (one word changed) rejected against the
+    # INDEX; E novel admitted; F/G near-identical to each other (novel
+    # vs index) -> greedy keeps the lower id F, rejects G
+    pair = (
+        "forty silver weather balloons drifted over the terraced "
+        "vineyard while the census takers argued about ledger ink " * 4
+    )
+    _write_batch(
+        src,
+        [
+            {"doc_id": 10, "text": (BASE * 3).replace("lazy", "sleepy")},
+            {"doc_id": 11, "text": "a short novel note on tidal harmonics and "
+                                   "the resonance of enclosed basins " * 6},
+            {"doc_id": 12, "text": pair},
+            {"doc_id": 13, "text": pair.replace("silver", "copper")},
+        ],
+        "b2.json",
+    )
+    _drain(spark, src, tmp)
+    got = {r["doc_id"] for r in read_committed(spark, f"{tmp}/accepted").collect()}
+    assert got == {1, 3, 11, 12}
+    # the index grew only by admitted docs' band keys (16 bands each)
+    idx = read_committed(spark, f"{tmp}/index")
+    assert idx.count() == 4 * 16
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == got
+
+
+def test_stream_admission_conflict_cap(spark, tmp_path):
+    tmp = str(tmp_path)
+    src = f"{tmp}/src"
+    _write_batch(
+        src,
+        [{"doc_id": i, "text": BASE * 2} for i in range(1, 5)],
+        "b1.json",
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    # the ValueError surfaces wrapped in Spark's StreamingQueryException
+    with pytest.raises(Exception, match="max_conflicts"):
+        stream_admit_neardup(
+            stream,
+            accepted_path=f"{tmp}/accepted",
+            index_path=f"{tmp}/index",
+            checkpoint_dir=f"{tmp}/ckpt",
+            max_conflicts=2,
+        )
