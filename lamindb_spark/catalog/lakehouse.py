@@ -115,12 +115,11 @@ def hash_dir(path: str, store: PayloadStore | None = None) -> tuple[str, int, in
     total = 0
     n = 0
     base = path.rstrip("/")
-    for rel in store.walk_files(path):
+    for rel, sz in store.walk_stats(path):
         if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
             continue  # spark _SUCCESS / checksums
-        fp = f"{base}/{rel}"
-        hashes.append(store.md5(fp))
-        total += store.size(fp)
+        hashes.append(store.md5(f"{base}/{rel}"))
+        total += sz
         n += 1
     agg = hashlib.md5("".join(sorted(hashes)).encode()).hexdigest()
     return agg, total, n

@@ -75,9 +75,20 @@ _MAX_EXCHANGES = {
     "tpch_q18": 3,
     "tpch_q19": 2,
     "tpch_q20": 9,         # nested exists chain
-    "tpch_q21": 7,         # lineitem self-joins (exists + not-exists)
+    # r11 rewrite: the per-(order,supplier) pre-agg removed the Expand
+    # (count_distinct pair doubled the joined stream) at the cost of
+    # ONE textual exchange — the pre-agg subtree appears under both the
+    # per-order counts and the waiting branch, and AQE collapses the
+    # duplicate to a ReusedExchange at runtime (verified: post-exec
+    # plan has exactly 1 ReusedExchange), so physical shuffles stayed 7.
+    "tpch_q21": 8,
     "tpch_q22": 5,
     "dedup_exact": 1,      # hash-groupBy
+    # (doc,band) agg + (band,bucket) min + two joins back (doc agg,
+    # source agg) over the ZERO-shuffle portable-signature scan; the
+    # keyed subtree repeats textually under both join sides and AQE
+    # reuses it at runtime — same pattern as tpch_q21
+    "lsh_admission": 7,
     "gopher_rules": 0,     # quality gate is a pure map pass
     "top_bigram": 2,       # explode → (doc,bigram) partial agg → per-doc agg
     # pack_sequences: range shuffle + pid-local window exchange on the
