@@ -1394,6 +1394,50 @@ class Lakehouse:
         if name in VERSIONED_REGISTRIES:
             self._reconcile_is_latest(name)
 
+    def delete_artifact(
+        self,
+        artifact_id: int,
+        permanent: bool = False,
+        storage: bool = False,
+    ) -> None:
+        """Reference ``Artifact.delete`` (``artifact.py:3229-3267`` +
+        ``delete_permanently`` ``:1076-1140``): first call trashes the
+        row (``branch_id=-1``); ``permanent=True`` removes it, and
+        ``storage=True`` ALSO removes the payload through the payload
+        store — but only when no surviving row still references the
+        same (storage_id, key): version families share the key path
+        (``root/key`` serves the newest version's bytes), so the
+        payload goes only with its LAST row. The reference prompts
+        interactively before deleting keyed payloads; a library can't,
+        so payload deletion stays an explicit opt-in (default False,
+        the row-only behavior)."""
+        row = (
+            self.read_raw("artifact").filter(F.col("id") == artifact_id).first()
+        )
+        if row is None:
+            raise KeyError(f"artifact id {artifact_id} not found")
+        if not permanent:
+            self.delete("artifact", [artifact_id])
+            return
+        self.delete("artifact", [artifact_id], permanent=True)
+        if storage and row["key"] is not None:
+            survivors = (
+                self.read_raw("artifact")
+                .filter(
+                    (F.col("key") == row["key"])
+                    & (F.col("storage_id") == row["storage_id"])
+                )
+                .count()
+            )
+            if survivors == 0:
+                st = (
+                    self.read_raw("storage")
+                    .filter(F.col("id") == row["storage_id"])
+                    .first()
+                )
+                target = _local_path(st["root"]).rstrip("/") + "/" + row["key"]
+                self._store_for(target).remove(target)
+
     def restore(self, name: str, ids: list[int], branch_id: int | None = None) -> None:
         df = self.read_raw(name)
         target = branch_id if branch_id is not None else self.current_branch_id

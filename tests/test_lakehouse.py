@@ -512,3 +512,41 @@ def test_register_dir_skips_marker_files_and_empty_reingest_noop(
     again = lakehouse.register_dir(str(d))
     assert sorted(r["uid"] for r in again) == sorted(r["uid"] for r in rows)
     assert lakehouse.read_raw("artifact").count() == n0  # true no-op
+
+
+def test_delete_artifact_trash_then_permanent_with_storage(lakehouse, spark, tmp_path):
+    """Reference Artifact.delete parity (artifact.py:3229-3267 +
+    delete_permanently): trash first, then permanent; storage=True
+    removes the payload only with the key's LAST row (version families
+    share root/key)."""
+    import os
+
+    src = tmp_path / "p.csv"
+    src.write_text("a\n1\n")
+    v1 = lakehouse.register_artifact(str(src), key="del/p.csv")
+    src.write_text("a\n2\n")
+    v2 = lakehouse.register_artifact(str(src), key="del/p.csv")  # new version
+    payload = lakehouse.artifact_path(v2)
+    assert os.path.exists(payload)
+
+    # soft: trash branch, payload untouched
+    lakehouse.delete_artifact(v1["id"])
+    raw = lakehouse.read_raw("artifact").filter(F.col("id") == v1["id"]).first()
+    assert raw["branch_id"] == -1
+    assert os.path.exists(payload)
+
+    # permanent of the OLD version with storage=True: v2 still holds
+    # the key -> payload must survive
+    lakehouse.delete_artifact(v1["id"], permanent=True, storage=True)
+    assert lakehouse.read_raw("artifact").filter(F.col("id") == v1["id"]).count() == 0
+    assert os.path.exists(payload)
+
+    # permanent of the LAST row with storage=True: payload removed
+    lakehouse.delete_artifact(v2["id"], permanent=True, storage=True)
+    assert not os.path.exists(payload)
+
+    # unknown id raises
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lakehouse.delete_artifact(99999)
