@@ -1438,6 +1438,68 @@ class Lakehouse:
                 target = _local_path(st["root"]).rstrip("/") + "/" + row["key"]
                 self._store_for(target).remove(target)
 
+    def replace_artifact(
+        self,
+        artifact_id: int,
+        path: str,
+        run_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Reference ``Artifact.replace`` (``artifact.py:2809-2919``):
+        overwrite the artifact's CONTENT in storage without creating a
+        new version — same row, same uid, updated hash/size/suffix.
+        Like the reference, a source path already inside a managed
+        storage root is rejected (replace is for external content),
+        and replacing with identical bytes is a no-op. File↔directory
+        replacement is rejected (the reference's overwrite_versions
+        shape check)."""
+        row = (
+            self.read_raw("artifact").filter(F.col("id") == artifact_id).first()
+        )
+        if row is None:
+            raise KeyError(f"artifact id {artifact_id} not found")
+        path = _local_path(path)
+        if self._storage_for_path(path) is not None:
+            raise ValueError(
+                "can only replace with a path not in any managed storage "
+                f"(got {path!r})"
+            )
+        store = self._store_for(path)
+        src_is_dir = store.is_dir(path)
+        was_dir = row["n_files"] is not None
+        if src_is_dir != was_dir:
+            raise ValueError(
+                "cannot replace a %s with a %s"
+                % ("folder" if was_dir else "file", "folder" if src_is_dir else "file")
+            )
+        if src_is_dir:
+            content_hash, size, n_files = hash_dir(path, store)
+            suffix = os.path.splitext(path.rstrip("/"))[1]
+        else:
+            content_hash, size, n_files = store.md5(path), store.size(path), None
+            suffix = os.path.splitext(path)[1]
+        if content_hash == row["hash"]:
+            return row.asDict()  # identical bytes: no-op
+        st = (
+            self.read_raw("storage").filter(F.col("id") == row["storage_id"]).first()
+        )
+        target = _local_path(st["root"]).rstrip("/") + "/" + row["key"]
+        tstore = self._store_for(path, target)
+        tstore.remove(target)
+        if src_is_dir:
+            tstore.copy_tree(path, target)
+        else:
+            tstore.copy_file(path, target)
+        updated = row.asDict()
+        updated.update(
+            hash=content_hash,
+            size=size,
+            n_files=n_files,
+            suffix=suffix,
+            run_id=run_id if run_id is not None else updated["run_id"],
+        )
+        self.save("artifact", [updated])
+        return updated
+
     def restore(self, name: str, ids: list[int], branch_id: int | None = None) -> None:
         df = self.read_raw(name)
         target = branch_id if branch_id is not None else self.current_branch_id

@@ -550,3 +550,43 @@ def test_delete_artifact_trash_then_permanent_with_storage(lakehouse, spark, tmp
 
     with _pytest.raises(KeyError):
         lakehouse.delete_artifact(99999)
+
+
+def test_replace_artifact_in_place_no_new_version(lakehouse, spark, tmp_path):
+    """Reference Artifact.replace (artifact.py:2809-2919): content
+    overwritten in storage, SAME row/uid (no version bump), hash/size
+    updated; identical bytes no-op; managed paths and file<->dir shape
+    changes rejected."""
+    src = tmp_path / "r.csv"
+    src.write_text("a\n1\n")
+    art = lakehouse.register_artifact(str(src), key="rep/r.csv")
+    n0 = lakehouse.read_raw("artifact").count()
+
+    new = tmp_path / "r2.csv"
+    new.write_text("a\n999\n")
+    upd = lakehouse.replace_artifact(art["id"], str(new))
+    assert upd["uid"] == art["uid"]  # same identity, no new version
+    assert upd["hash"] != art["hash"]
+    assert lakehouse.read_raw("artifact").count() == n0
+    # storage holds the NEW bytes at the same key path
+    assert open(lakehouse.artifact_path(upd)).read() == "a\n999\n"
+    # registry row reflects the update
+    row = lakehouse.read_raw("artifact").filter(F.col("id") == art["id"]).first()
+    assert row["hash"] == upd["hash"] and row["size"] == upd["size"]
+
+    # identical bytes: no-op
+    again = lakehouse.replace_artifact(art["id"], str(new))
+    assert again["hash"] == upd["hash"]
+
+    # a managed path is rejected (replace is for external content)
+    import pytest as _pytest
+
+    managed = lakehouse.artifact_path(upd)
+    with _pytest.raises(ValueError, match="managed storage"):
+        lakehouse.replace_artifact(art["id"], managed)
+    # file -> folder shape change rejected
+    d = tmp_path / "dirpayload"
+    d.mkdir()
+    (d / "x.txt").write_text("x")
+    with _pytest.raises(ValueError, match="cannot replace"):
+        lakehouse.replace_artifact(art["id"], str(d))
