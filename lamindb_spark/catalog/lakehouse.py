@@ -1207,6 +1207,74 @@ class Lakehouse:
 
     # ---------------------------------------------------------- collections
 
+    def lazy_artifact(
+        self,
+        suffix: str = "",
+        key: str | None = None,
+        description: str | None = None,
+        otype: str | None = None,
+        run_id: int | None = None,
+    ) -> "LazyArtifact":
+        """Reference ``Artifact.from_lazy`` / ``LazyArtifact``
+        (``artifact.py:2199-2243``): reserve a MANAGED storage path to
+        stream into — ``df.write.parquet(lazy.path)``, a
+        ``writeStream`` sink, any writer — then ``lazy.save()``
+        registers the written payload in place (no copy; the path is
+        already under the storage root). Without ``key`` the path is
+        auto-generated under ``.lamindb/{uid}{suffix}``, the
+        reference's internal-path convention."""
+        _sid, storage_root = self._resolve_storage_root()
+        if key is None:
+            key = f".lamindb/{generate_uid(20)}{suffix}"
+        elif suffix and not key.endswith(suffix):
+            key = key + suffix
+        path = _local_path(storage_root).rstrip("/") + "/" + key
+        return LazyArtifact(self, path, key, description, otype, run_id)
+
+    def verify_collection_schema(self, key_or_uid: str) -> None:
+        """Reference ``Collection.verify_schema``
+        (``collection.py:601-612``): every member artifact's payload
+        schema must be union-compatible with the collection — here,
+        EQUAL to the first member's (column name → type), since
+        ``open_collection`` is a multi-path scan. Raises ``ValueError``
+        naming each offending member and its diff; footer-only reads,
+        no data scanned."""
+        from ..sources.readers import read_payload
+
+        cols = self.read("collection").filter(F.col("is_latest"))
+        hit = (
+            cols.filter((F.col("uid") == key_or_uid) | (F.col("key") == key_or_uid))
+            .orderBy(F.desc("created_at"))
+            .first()
+        )
+        if hit is None:
+            raise KeyError(f"no collection with uid/key {key_or_uid!r}")
+        members = self.collection_members(hit["id"])
+        if not members:
+            return
+        schemas = []
+        for m in members:
+            df = read_payload(self.spark, self.artifact_path(m))
+            schemas.append((m, {f.name: f.dataType.simpleString() for f in df.schema.fields}))
+        _m0, base = schemas[0]
+        problems = []
+        for m, sch in schemas[1:]:
+            if sch != base:
+                extra = sorted(set(sch) - set(base))
+                missing = sorted(set(base) - set(sch))
+                retyped = sorted(
+                    k for k in set(sch) & set(base) if sch[k] != base[k]
+                )
+                problems.append(
+                    f"{m['key'] or m['uid']}: extra={extra} missing={missing} "
+                    f"retyped={retyped}"
+                )
+        if problems:
+            raise ValueError(
+                f"collection {key_or_uid!r} members do not share one schema: "
+                + "; ".join(problems)
+            )
+
     def create_collection(
         self,
         key: str,
@@ -1596,3 +1664,34 @@ class Lakehouse:
                     }
                 )
         self._append("annotation", rows)
+
+
+class LazyArtifact:
+    """A reserved managed-storage path awaiting caller-driven writes
+    (reference ``LazyArtifact``, ``artifact.py:2199-2243``): stream or
+    write to :attr:`path`, then :meth:`save` registers the payload in
+    place as a normal artifact (content-hash dedup and key versioning
+    included). ``save`` before anything was written raises."""
+
+    def __init__(self, lh, path, key, description, otype, run_id):
+        self._lh = lh
+        self.path = path
+        self.key = key
+        self._description = description
+        self._otype = otype
+        self._run_id = run_id
+
+    def save(self) -> dict:
+        store = self._lh._store_for(self.path)
+        if not store.exists(self.path):
+            raise FileNotFoundError(
+                f"nothing was written to the lazy path {self.path!r}; "
+                "write or stream to `.path` before `.save()`"
+            )
+        return self._lh.register_artifact(
+            self.path,
+            key=self.key,
+            description=self._description,
+            otype=self._otype,
+            run_id=self._run_id,
+        )

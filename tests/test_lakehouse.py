@@ -590,3 +590,50 @@ def test_replace_artifact_in_place_no_new_version(lakehouse, spark, tmp_path):
     (d / "x.txt").write_text("x")
     with _pytest.raises(ValueError, match="cannot replace"):
         lakehouse.replace_artifact(art["id"], str(d))
+
+
+def test_lazy_artifact_stream_then_save(lakehouse, spark):
+    """Reference Artifact.from_lazy (artifact.py:2199-2243): reserve a
+    managed path, write into it with Spark, save registers IN PLACE
+    (no copy) under the reserved key."""
+    import os
+
+    lazy = lakehouse.lazy_artifact(suffix=".parquet", key="lz/data")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="lazy path"):
+        lazy.save()  # nothing written yet
+    spark.range(7).withColumnRenamed("id", "x").write.parquet(lazy.path)
+    art = lazy.save()
+    assert art["key"] == "lz/data.parquet"
+    assert art["n_files"] >= 1  # directory payload, markers skipped
+    back = lakehouse.open_artifact(art["uid"], is_run_input=False)
+    assert back.count() == 7
+    # auto-generated internal path when key is omitted
+    lazy2 = lakehouse.lazy_artifact(suffix=".parquet")
+    assert "/.lamindb/" in lazy2.path and lazy2.key.startswith(".lamindb/")
+    spark.range(2).write.parquet(lazy2.path)
+    a2 = lazy2.save()
+    assert os.path.isdir(lakehouse.artifact_path(a2))
+
+
+def test_verify_collection_schema(lakehouse, spark):
+    """Reference Collection.verify_schema (collection.py:601-612):
+    member payload schemas must agree; the error names the offender
+    and its column diff."""
+    a = lakehouse.save_dataframe(spark.range(3).withColumnRenamed("id", "x"), "vs/a.parquet")
+    b = lakehouse.save_dataframe(spark.range(2).withColumnRenamed("id", "x"), "vs/b.parquet")
+    lakehouse.create_collection("vs-ok", [a["id"], b["id"]])
+    lakehouse.verify_collection_schema("vs-ok")  # no raise
+
+    from pyspark.sql import functions as F2
+
+    c = lakehouse.save_dataframe(
+        spark.range(2).select(F2.col("id").cast("string").alias("x"), F2.lit(1).alias("y")),
+        "vs/c.parquet",
+    )
+    lakehouse.create_collection("vs-bad", [a["id"], c["id"]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vs/c.parquet.*extra=\\['y'\\]"):
+        lakehouse.verify_collection_schema("vs-bad")
