@@ -1568,6 +1568,55 @@ class Lakehouse:
         self.save("artifact", [updated])
         return updated
 
+    def delete_where(
+        self, name: str, matched: DataFrame, permanent: bool = False
+    ) -> None:
+        """Set-based delete (reference ``QuerySet.delete``,
+        ``query_set.py:1312``): every registry row whose ``id`` appears
+        in ``matched`` moves to trash (or is removed) via ONE join —
+        no driver-side id list, so a million-row queryset deletes
+        without collecting anything."""
+        ids = matched.select(F.col("id").alias("__del_id")).distinct()
+        df = self.read_raw(name)
+        if permanent:
+            out = df.join(ids, df["id"] == F.col("__del_id"), "left_anti")
+        else:
+            out = (
+                df.join(ids, df["id"] == F.col("__del_id"), "left")
+                .withColumn(
+                    "branch_id",
+                    F.when(
+                        F.col("__del_id").isNotNull(), F.lit(TRASH_BRANCH_ID)
+                    ).otherwise(F.col("branch_id")),
+                )
+                .drop("__del_id")
+            )
+        self._overwrite(name, out)
+        if name in VERSIONED_REGISTRIES:
+            self._reconcile_is_latest(name)
+
+    def update_where(self, name: str, matched: DataFrame, **values: Any) -> None:
+        """Set-based column update (the reference's Django
+        ``QuerySet.update(**values)``): literal values applied to every
+        matched row through one join + bucket-scoped rewrite."""
+        ids = matched.select(F.col("id").alias("__upd_id")).distinct()
+        df = self.read_raw(name)
+        out = df.join(ids, df["id"] == F.col("__upd_id"), "left")
+        for k, v in values.items():
+            if k not in df.columns:
+                raise KeyError(f"unknown column {k!r} on registry {name!r}")
+            out = out.withColumn(
+                k,
+                F.when(F.col("__upd_id").isNotNull(), F.lit(v)).otherwise(
+                    F.col(k)
+                ),
+            )
+        self._overwrite(name, out.drop("__upd_id"))
+        if name in VERSIONED_REGISTRIES and (
+            "is_latest" in values or "branch_id" in values
+        ):
+            self._reconcile_is_latest(name)
+
     def restore(self, name: str, ids: list[int], branch_id: int | None = None) -> None:
         df = self.read_raw(name)
         target = branch_id if branch_id is not None else self.current_branch_id

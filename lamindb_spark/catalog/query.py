@@ -688,6 +688,65 @@ class QuerySet:
             return out
         return qs.one()
 
+    def delete(self, permanent: bool = False) -> None:
+        """Reference ``QuerySet.delete`` (``query_set.py:1312``): trash
+        (or permanently remove) every row this queryset matches — one
+        set-based join in the catalog, no collected id list."""
+        self.lh.delete_where(
+            self.registry, self.all()._df.select("id"), permanent=permanent
+        )
+
+    def update(self, **values: Any) -> None:
+        """Django-style ``QuerySet.update(**values)``: literal column
+        updates applied to every matched row (one join + bucket-scoped
+        rewrite in the catalog)."""
+        self.lh.update_where(self.registry, self.all()._df.select("id"), **values)
+
+    def validate(self, values: list, field: str = "name") -> list[bool]:
+        """Reference ``QuerySet.validate`` (``query_set.py:1434``,
+        CanCurate): membership of each value in THIS queryset's rows,
+        returned in input order."""
+        from ..curation.validate import validate_values
+
+        spark = self.lh.spark
+        vdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "__pos long, __v string"
+        )
+        flagged = validate_values(vdf, self.all()._df, "__v", field)
+        hit = {r["__pos"]: r["validated"] for r in flagged.collect()}
+        return [bool(hit.get(i, False)) for i in range(len(values))]
+
+    def inspect(self, values: list, field: str = "name") -> dict:
+        """Reference ``QuerySet.inspect`` (``query_set.py:1439``):
+        ``{"validated": [...], "non_validated": [...]}`` preserving
+        input order."""
+        ok = self.validate(values, field)
+        return {
+            "validated": [v for v, k in zip(values, ok) if k],
+            "non_validated": [v for v, k in zip(values, ok) if not k],
+        }
+
+    def standardize(
+        self,
+        values: list,
+        field: str = "name",
+        synonyms_field: str = "synonyms",
+    ) -> list[str]:
+        """Reference ``QuerySet.standardize`` (``query_set.py:1444``):
+        map values through the queryset's synonym table to canonical
+        names; unmatched pass through, input order preserved."""
+        from ..curation.validate import standardize_values
+
+        spark = self.lh.spark
+        vdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "__pos long, __v string"
+        )
+        out = standardize_values(
+            vdf, self.all()._df, "__v", field, synonyms_field
+        )
+        got = {r["__pos"]: r["standardized"] for r in out.collect()}
+        return [got.get(i, values[i]) for i in range(len(values))]
+
     def search(
         self,
         query: str,

@@ -189,3 +189,50 @@ def test_to_dataframe_under_limit_no_truncation(lake):
     # small registry: all rows, no warning path, include/features intact
     pdf = qs(lake, "artifact").to_dataframe(features=["species"])
     assert len(pdf) == 2
+
+
+def test_queryset_delete_and_update_set_based(lakehouse):
+    """Reference QuerySet.delete (query_set.py:1312) + Django-style
+    update: set-based joins in the catalog, no collected id lists."""
+    lakehouse.save("ulabel", [{"name": f"qd-{i}"} for i in range(6)])
+    QuerySet(lakehouse, "ulabel").filter(
+        name__startswith="qd-"
+    ).filter(name__gt="qd-2").delete()
+    # fresh queryset: plans built before a rewrite pin the old files
+    left = set(QuerySet(lakehouse, "ulabel").all().to_list("name"))
+    assert left == {"qd-0", "qd-1", "qd-2"}
+    # trashed, not removed: raw still sees them on the trash branch
+    assert lakehouse.read_raw("ulabel").filter("branch_id = -1").count() == 3
+    # permanent removes rows
+    QuerySet(lakehouse, "ulabel").filter(name="qd-0").delete(permanent=True)
+    assert lakehouse.read_raw("ulabel").filter("name = 'qd-0'").count() == 0
+
+    QuerySet(lakehouse, "ulabel").filter(name="qd-1").update(
+        description="bulk-updated"
+    )
+    row = lakehouse.read_raw("ulabel").filter("name = 'qd-1'").first()
+    assert row["description"] == "bulk-updated"
+    with pytest.raises(KeyError, match="unknown column"):
+        QuerySet(lakehouse, "ulabel").filter(name="qd-1").update(nope=1)
+
+
+def test_queryset_validate_inspect_standardize(lakehouse):
+    """Reference CanCurate surface ON the queryset
+    (query_set.py:1434-1479): order-preserving membership, split, and
+    synonym standardization against the queryset's own rows."""
+    lakehouse.save(
+        "ulabel",
+        [
+            {"name": "T cell", "synonyms": "T-cell|T lymphocyte"},
+            {"name": "B cell", "synonyms": None},
+        ],
+    )
+    qs = QuerySet(lakehouse, "ulabel")
+    assert qs.validate(["T cell", "nope", "B cell"]) == [True, False, True]
+    insp = qs.inspect(["T cell", "nope"])
+    assert insp == {"validated": ["T cell"], "non_validated": ["nope"]}
+    assert qs.standardize(["T-cell", "B cell", "mystery"]) == [
+        "T cell",
+        "B cell",
+        "mystery",
+    ]
