@@ -1,1 +1,8 @@
-from .context import Context, track, finish, view_lineage  # noqa: F401
+from .context import (  # noqa: F401
+    Context,
+    track,
+    finish,
+    view_lineage,
+    transform_from_path,
+    latest_run,
+)

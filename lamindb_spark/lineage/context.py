@@ -40,50 +40,7 @@ class Context:
         kind: str = "pipeline",
         params: dict[str, Any] | None = None,
     ) -> "Context":
-        src_hash = hashlib.md5(source_code.encode()).hexdigest()
-        # reuse is scoped to the key's uid family (reference
-        # core/_context.py:700-760): same key AND same source hash →
-        # same transform; a hash match under a different key is a
-        # different pipeline and must not collapse onto it.
-        existing = (
-            self.lh.read_raw("transform")
-            .filter((F.col("hash") == src_hash) & (F.col("key") == key))
-            .orderBy(F.desc("created_at"))
-            .first()
-        )
-        if existing is not None:
-            self.transform = existing.asDict()
-        else:
-            family = (
-                self.lh.read_raw("transform")
-                .filter(F.col("key") == key)
-                .orderBy(F.desc("created_at"))
-                .first()
-            )
-            if family is not None:
-                # 16-char transform uid = 12-char stem + 4-char version
-                uid = self.lh.next_version_uid("transform", family["uid"][:12])
-            else:
-                uid = base62(12) + "0000"
-            row = {
-                "id": self.lh.next_id("transform"),
-                "uid": uid,
-                "key": key,
-                "kind": kind,
-                "source_code": source_code,
-                "hash": src_hash,
-                "is_latest": True,
-                "branch_id": self.lh.current_branch_id,
-                "created_at": _now(),
-            }
-            self.lh._append("transform", [row])
-            self.transform = row
-            if family is not None:
-                # demote the previous head so QuerySet.get(key=...)
-                # keeps seeing exactly one is_latest row per family —
-                # scoped to THIS family (review finding: the unscoped
-                # call rewrote the whole transform registry per run)
-                self.lh._reconcile_is_latest("transform", stems=[uid[:12]])
+        self.transform = _get_or_create_transform(self.lh, key, source_code, kind)
         run_row = {
             "id": self.lh.next_id("run"),
             "uid": generate_uid(20),
@@ -120,8 +77,105 @@ class Context:
         self.run = None
 
 
+def _get_or_create_transform(
+    lh: Lakehouse, key: str, source_code: str, kind: str
+) -> dict[str, Any]:
+    """Get-or-create a Transform by (key, source hash). Reuse is scoped
+    to the key's uid family (reference ``core/_context.py:700-760``):
+    same key AND same source hash → same transform; a hash match under
+    a DIFFERENT key is a different pipeline and must not collapse onto
+    it. Changed source under the same key bumps the version family."""
+    src_hash = hashlib.md5(source_code.encode()).hexdigest()
+    existing = (
+        lh.read_raw("transform")
+        .filter((F.col("hash") == src_hash) & (F.col("key") == key))
+        .orderBy(F.desc("created_at"))
+        .first()
+    )
+    if existing is not None:
+        return existing.asDict()
+    family = (
+        lh.read_raw("transform")
+        .filter(F.col("key") == key)
+        .orderBy(F.desc("created_at"))
+        .first()
+    )
+    if family is not None:
+        # 16-char transform uid = 12-char stem + 4-char version
+        uid = lh.next_version_uid("transform", family["uid"][:12])
+    else:
+        uid = base62(12) + "0000"
+    row = {
+        "id": lh.next_id("transform"),
+        "uid": uid,
+        "key": key,
+        "kind": kind,
+        "source_code": source_code,
+        "hash": src_hash,
+        "is_latest": True,
+        "branch_id": lh.current_branch_id,
+        "created_at": _now(),
+    }
+    lh._append("transform", [row])
+    if family is not None:
+        # demote the previous head so QuerySet.get(key=...) keeps
+        # seeing exactly one is_latest row per family — scoped to THIS
+        # family (review finding: the unscoped call rewrote the whole
+        # transform registry per run)
+        lh._reconcile_is_latest("transform", stems=[uid[:12]])
+    return row
+
+
 def track(lakehouse: Lakehouse, key: str, **kwargs: Any) -> Context:
     return Context(lakehouse).track(key, **kwargs)
+
+
+_NOTEBOOK_SUFFIXES = (".ipynb", ".Rmd", ".qmd")
+
+
+def transform_from_path(
+    lh: Lakehouse,
+    path: str,
+    key: str | None = None,
+    kind: str | None = None,
+) -> dict[str, Any]:
+    """Reference ``Transform.from_path`` (``transform.py:756-805``):
+    register a local script/notebook file as a Transform — key defaults
+    to the file name, kind is inferred from the suffix (``.ipynb`` /
+    ``.Rmd`` / ``.qmd`` → notebook, else script), same source hash
+    under the same key reuses the row, changed source bumps the version
+    family. (``from_git`` needs network access and is out of scope for
+    this environment.)"""
+    import os
+
+    with open(path) as fh:
+        source = fh.read()
+    if key is None:
+        key = os.path.basename(path)
+    if kind is None:
+        kind = "notebook" if path.endswith(_NOTEBOOK_SUFFIXES) else "script"
+    # registers the transform only — from_path opens NO run
+    return _get_or_create_transform(lh, key, source, kind)
+
+
+def latest_run(lh: Lakehouse, transform_key: str) -> dict[str, Any] | None:
+    """Reference ``Transform.latest_run`` (``transform.py:926-930``):
+    the newest run of the transform's latest version, or None."""
+    tf = (
+        lh.read_raw("transform")
+        .filter((F.col("key") == transform_key) & F.col("is_latest"))
+        .orderBy(F.desc("created_at"))
+        .first()
+    )
+    if tf is None:
+        return None
+    run = (
+        lh.read_raw("run")
+        .filter(F.col("transform_id") == tf["id"])
+        .orderBy(F.desc("started_at"), F.desc("id"))
+        .first()
+    )
+    return run.asDict() if run is not None else None
 
 
 def finish(ctx: Context, status_code: int = 0) -> None:

@@ -117,3 +117,40 @@ def test_view_lineage_renders_dot(lakehouse, spark):
     up_only = view_lineage(lakehouse, out1["id"], with_children=False)
     assert f'"artifact_{out2["uid"]}"' not in up_only
     assert f'"artifact_{raw["uid"]}"' in up_only
+
+
+def test_transform_from_path_and_latest_run(lakehouse, tmp_path):
+    """Reference Transform.from_path (transform.py:756-805) +
+    latest_run (:926): file registration with suffix-inferred kind, no
+    run opened; same source reuses, changed source bumps the family;
+    latest_run returns the newest run of the latest version."""
+    from lamindb_spark.lineage.context import (
+        latest_run,
+        transform_from_path,
+    )
+
+    script = tmp_path / "etl.py"
+    script.write_text("print('v1')\n")
+    t1 = transform_from_path(lakehouse, str(script))
+    assert t1["key"] == "etl.py" and t1["kind"] == "script"
+    assert lakehouse.read_raw("run").count() == 0  # no run opened
+    # same bytes -> same transform
+    assert transform_from_path(lakehouse, str(script))["uid"] == t1["uid"]
+    # changed source -> new version in the family
+    script.write_text("print('v2')\n")
+    t2 = transform_from_path(lakehouse, str(script))
+    assert t2["uid"][:12] == t1["uid"][:12] and t2["uid"] != t1["uid"]
+    # notebook kind inferred
+    nb = tmp_path / "analysis.ipynb"
+    nb.write_text("{}")
+    assert transform_from_path(lakehouse, str(nb))["kind"] == "notebook"
+
+    # latest_run: none yet, then the run we open
+    assert latest_run(lakehouse, "etl.py") is None
+    ctx = Context(lakehouse).track("etl.py", source_code="print('v2')\n")
+    ctx.finish()
+    lr = latest_run(lakehouse, "etl.py")
+    assert lr is not None
+    assert lr["transform_id"] == t2["id"]  # newest version's run
+    assert lr["status_code"] == 0  # finished
+    assert latest_run(lakehouse, "missing.py") is None
