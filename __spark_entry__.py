@@ -1069,10 +1069,12 @@ def _q_minhash_portable(spark, sf):
 
 
 def _q_lsh_admission(spark, sf):
-    """Pipeline: LSH near-dup ADMISSION summary (cross-engine portable
-    twin of the streaming admission gate, streaming/dedup.py): a doc
-    is admitted iff no band bucket is claimed by a lower-id doc; per
-    source, admitted/total counts + admitted-id checksum."""
+    """Pipeline: LSH near-dup ADMISSION summary — the conservative
+    (no-lower-id-collision) rule over the same signature/banding
+    kernel the streaming gate (streaming/dedup.py) uses; the gate's
+    greedy chain refinement is non-SQL-expressible and is pinned by
+    its own streaming tests. Per source: admitted/total counts +
+    admitted-id checksum."""
     from lamindb_spark.pipeline.dedup import lsh_admission_portable
 
     d = load_table(spark, sf, "documents")

@@ -1238,9 +1238,11 @@ class Lakehouse:
         EQUAL to the first member's (column name → type), since
         ``open_collection`` is a multi-path scan. Raises ``ValueError``
         naming each offending member and its diff; footer-only reads,
-        no data scanned."""
-        from ..sources.readers import read_payload
-
+        no data scanned. Members are read exactly the way
+        ``open_collection`` reads them — ``spark.read.parquet`` — so a
+        verification pass guarantees the scan it exists to protect
+        (suffix-dispatched readers would pass collections the scan
+        cannot open; review finding)."""
         cols = self.read("collection").filter(F.col("is_latest"))
         hit = (
             cols.filter((F.col("uid") == key_or_uid) | (F.col("key") == key_or_uid))
@@ -1254,7 +1256,7 @@ class Lakehouse:
             return
         schemas = []
         for m in members:
-            df = read_payload(self.spark, self.artifact_path(m))
+            df = self.spark.read.parquet(self.artifact_path(m))
             schemas.append((m, {f.name: f.dataType.simpleString() for f in df.schema.fields}))
         _m0, base = schemas[0]
         problems = []
@@ -1525,6 +1527,15 @@ class Lakehouse:
         )
         if row is None:
             raise KeyError(f"artifact id {artifact_id} not found")
+        if not row["is_latest"]:
+            # every version of a key shares ONE payload path (root/key
+            # serves the newest bytes) — replacing a non-latest row
+            # would silently clobber the latest version's payload
+            # (review finding)
+            raise ValueError(
+                "can only replace the LATEST version of an artifact; "
+                f"id {artifact_id} is a previous version"
+            )
         path = _local_path(path)
         if self._storage_for_path(path) is not None:
             raise ValueError(
@@ -1552,11 +1563,19 @@ class Lakehouse:
         )
         target = _local_path(st["root"]).rstrip("/") + "/" + row["key"]
         tstore = self._store_for(path, target)
-        tstore.remove(target)
+        # copy-then-swap (the _overwrite pattern): a failed copy must
+        # not have destroyed the only payload copy (review finding) —
+        # the slow, failure-prone copy lands on a temp sibling first
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
         if src_is_dir:
-            tstore.copy_tree(path, target)
+            tstore.copy_tree(path, tmp)
         else:
-            tstore.copy_file(path, target)
+            tstore.copy_file(path, tmp)
+        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        if tstore.exists(target):
+            tstore.rename(target, old)
+        tstore.rename(tmp, target)
+        tstore.remove(old)
         updated = row.asDict()
         updated.update(
             hash=content_hash,
@@ -1737,10 +1756,18 @@ class LazyArtifact:
                 f"nothing was written to the lazy path {self.path!r}; "
                 "write or stream to `.path` before `.save()`"
             )
-        return self._lh.register_artifact(
+        row = self._lh.register_artifact(
             self.path,
             key=self.key,
             description=self._description,
             otype=self._otype,
             run_id=self._run_id,
         )
+        if row["key"] != self.key:
+            # content-hash dedup matched an EXISTING artifact: the
+            # bytes just streamed to the reserved path belong to that
+            # row's key, not this one — remove them so managed storage
+            # holds no untracked orphan (review finding); callers get
+            # the canonical row and must drop their `lazy.path` handle
+            store.remove(self.path)
+        return row

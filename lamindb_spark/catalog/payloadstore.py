@@ -98,6 +98,11 @@ class PayloadStore(ABC):
     @abstractmethod
     def remove(self, path: str) -> None: ...
 
+    @abstractmethod
+    def rename(self, src: str, dst: str) -> None:
+        """Fast move within one filesystem (replace/swap steps)."""
+        ...
+
 
 class PosixPayloadStore(PayloadStore):
     """Local-filesystem store — the sandbox/test default."""
@@ -148,6 +153,10 @@ class PosixPayloadStore(PayloadStore):
             shutil.rmtree(path)
         elif os.path.exists(path):
             os.remove(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)  # rename(2): files and dirs alike
 
 
 class HadoopPayloadStore(PayloadStore):
@@ -239,6 +248,15 @@ class HadoopPayloadStore(PayloadStore):
     def remove(self, path: str) -> None:
         p = self._path(path)
         self._fs(p).delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        sp, dp = self._path(src), self._path(dst)
+        fs = self._fs(dp)
+        parent = dp.getParent()
+        if parent is not None:
+            fs.mkdirs(parent)
+        if not fs.rename(sp, dp):
+            raise IOError(f"hadoop rename failed: {src} -> {dst}")
 
 
 def store_for_root(spark, root: str) -> PayloadStore:

@@ -216,10 +216,14 @@ def lsh_admission_portable(
 ) -> DataFrame:
     """Batch LSH admission summary with CROSS-ENGINE values: a doc is
     ADMITTED iff it shares no band bucket with any lower-id doc — the
-    order-deterministic core of near-dup admission control (the
-    streaming gate in ``streaming/dedup.py`` applies the same rule
-    against an accumulated index; this batch twin is what a SQL oracle
-    can replay value-for-value).
+    CONSERVATIVE (non-greedy) admission rule, chosen because it is the
+    strongest rule a SQL oracle can replay value-for-value (greedy
+    chain resolution is inherently sequential). What this certifies for
+    the streaming gate in ``streaming/dedup.py`` is the shared kernel —
+    signatures, banding, bucket collision semantics — plus this rule;
+    the gate's GREEDY refinement (a doc colliding only with a REJECTED
+    doc is admitted) deliberately differs on collision chains and is
+    pinned by ``tests/test_streaming_dedup.py`` instead.
 
     Buckets combine each band's portable signature slots with an
     order-insensitive multiplier sum ``Σ sig·37^(slot)`` — exact int64

@@ -26,13 +26,15 @@ sequential); its size is bounded by the batch's duplicate mass, and a
 cap fails loudly rather than silently collecting an unbounded set.
 
 Crash-window audit (same discipline as ``stream_append_exactly_once``):
-the two txn appends share the batch id. If the docs-append commits and
-the index-append crashes, the replay recomputes the SAME admitted set
-(minhash is deterministic and the index cannot yet contain this
-batch's keys — that append is the one that failed), skips the
-docs-append via its txn marker, and lands the index rows. A batch is
-never judged against its own index entries because both appends carry
-its txn identity.
+the two txn appends share the batch id and run docs-first. If the
+docs-append commits and the index-append crashes, the replay
+recomputes the SAME admitted set (minhash is deterministic and the
+index cannot yet contain this batch's keys — that append is the one
+that failed), skips the docs-append via its txn marker, and lands the
+index rows. If BOTH committed and only the streaming checkpoint was
+lost, the sink detects the batch's index txn marker and skips before
+recomputing — a recompute would see the batch's own index entries and
+mis-flag every doc as conflicted (review finding).
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ def _admit_batch(
     )
     in_batch = (
         keys.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("lo"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
     shared = (
@@ -152,6 +154,21 @@ def stream_admit_neardup(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # Fully-applied replay guard (review finding): if the INDEX
+        # append (the second/last txn) already carries this batch id,
+        # both appends landed and the batch must skip BEFORE
+        # recomputing — a recompute would see the batch's own index
+        # entries, flag every doc as conflicted, and a batch larger
+        # than max_conflicts would then wedge the stream on every
+        # restart. (Index-committed implies docs-committed: the
+        # appends are sequential.)
+        try:
+            if (f"{query_name}:index", batch_id) in CommitLog(
+                index_path
+            ).known_txns():
+                return
+        except FileNotFoundError:
+            pass  # no index table yet — first batch
         docs, keys = _admit_batch(
             spark,
             batch_df,

@@ -637,3 +637,39 @@ def test_verify_collection_schema(lakehouse, spark):
 
     with _pytest.raises(ValueError, match="vs/c.parquet.*extra=\\['y'\\]"):
         lakehouse.verify_collection_schema("vs-bad")
+
+
+def test_replace_artifact_rejects_non_latest_version(lakehouse, tmp_path):
+    """Review finding: all versions share root/key (the newest bytes);
+    replacing a NON-latest row would silently clobber the latest
+    version's payload — rejected instead."""
+    src = tmp_path / "nl.csv"
+    src.write_text("a\n1\n")
+    v1 = lakehouse.register_artifact(str(src), key="nl/d.csv")
+    src.write_text("a\n2\n")
+    v2 = lakehouse.register_artifact(str(src), key="nl/d.csv")
+    ext = tmp_path / "other.csv"
+    ext.write_text("a\n3\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LATEST version"):
+        lakehouse.replace_artifact(v1["id"], str(ext))
+    # the latest's payload is untouched
+    assert open(lakehouse.artifact_path(v2)).read() == "a\n2\n"
+
+
+def test_lazy_artifact_dedup_hit_cleans_orphan(lakehouse, spark, tmp_path):
+    """Review finding: when the streamed bytes content-hash-match an
+    EXISTING artifact, save() returns that row and must remove the
+    freshly written payload (no untracked orphan in managed storage)."""
+    import os
+
+    src = tmp_path / "seed.csv"
+    src.write_text("x\n42\n")
+    seed = lakehouse.register_artifact(str(src), key="lzc/seed.csv")
+    lazy = lakehouse.lazy_artifact(key="lzc/dup.csv")
+    with open(lazy.path, "w") as fh:
+        fh.write("x\n42\n")  # same bytes as the seed
+    got = lazy.save()
+    assert got["id"] == seed["id"]  # dedup hit, canonical row returned
+    assert not os.path.exists(lazy.path)  # orphan removed

@@ -109,3 +109,36 @@ def test_stream_admission_conflict_cap(spark, tmp_path):
             checkpoint_dir=f"{tmp}/ckpt",
             max_conflicts=2,
         )
+
+
+def test_replay_after_checkpoint_loss_skips_before_recompute(spark, tmp_path):
+    """Review finding: if BOTH txn appends committed but the streaming
+    checkpoint was lost, the replayed batch must skip via the index
+    txn marker BEFORE recomputing — a recompute would see the batch's
+    own index entries, flag every doc conflicted, and (past the cap)
+    wedge the stream on every restart. max_conflicts=0 makes any
+    recompute-with-conflicts raise, so passing proves the skip."""
+    import shutil
+
+    tmp = str(tmp_path)
+    src = f"{tmp}/src"
+    _write_batch(
+        src,
+        [{"doc_id": 1, "text": BASE * 3}, {"doc_id": 2, "text": "tidal basins " * 40}],
+        "b1.json",
+    )
+    _drain(spark, src, tmp)
+    n_acc = read_committed(spark, f"{tmp}/accepted").count()
+    assert n_acc == 2
+    shutil.rmtree(f"{tmp}/ckpt")  # lose the checkpoint, keep both tables
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    stream_admit_neardup(
+        stream,
+        accepted_path=f"{tmp}/accepted",
+        index_path=f"{tmp}/index",
+        checkpoint_dir=f"{tmp}/ckpt",
+        query_name="nd",
+        max_conflicts=0,  # any conflicted recompute would raise
+    )
+    assert read_committed(spark, f"{tmp}/accepted").count() == n_acc  # no dupes
+    assert read_committed(spark, f"{tmp}/index").count() == n_acc * 16
