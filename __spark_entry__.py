@@ -1604,15 +1604,27 @@ def _q_rollup_revenue(spark, sf):
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("c_custkey", "r_name", "n_name")
     )
-    # Same shape as _q_star_revenue: pre-aggregate per order (4× fewer
-    # join rows, the rollup's grouping-set expansion runs on the small
-    # side); orders/customer joins unhinted — AQE decides at runtime.
+    # r11: aggregate per CUSTOMER after the lineitem⋈orders join (AQE
+    # broadcasts the 2-col orders side while it is small, sort-merge at
+    # scale) — ONE shuffle whose map-side partials are bounded by the
+    # customer count, instead of the per-order shuffle (4× more groups)
+    # plus a second rollup exchange. 0.91→0.70 s at sf0.1, identical
+    # values; the rollup's grouping-set expansion runs on customer-count
+    # rows.
     rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
-    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev"))
-    joined = per_order.join(
-        o.select("o_orderkey", "o_custkey"), per_order.l_orderkey == F.col("o_orderkey")
-    ).join(dim, F.col("o_custkey") == dim.c_custkey)
-    return joined.rollup("r_name", "n_name").agg(F.sum("rev").alias("revenue_cents"))
+    per_cust = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    return (
+        per_cust.join(dim, F.col("o_custkey") == dim.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(F.sum("rev").alias("revenue_cents"))
+    )
 
 
 def _q_search_synonyms(spark, sf):
