@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog.lakehouse import Lakehouse, _now
 from ..functions.ids import base62, generate_uid
 from ..operators.graph import closure
+from .redaction import redact_params as _redact_params
 
 
 class Context:
@@ -47,7 +48,9 @@ class Context:
             "transform_id": self.transform["id"],
             "started_at": _now(),
             "status_code": 1,  # started
-            "params": json.dumps(params or {}),
+            # sensitive param keys / credentialed-URL values are
+            # redacted before storage (reference core/_context.py:424)
+            "params": json.dumps(_redact_params(params or {})),
             # nested tracking: the run that was active when this one
             # started is its initiator (reference Run.initiated_by_run)
             "initiated_by_run_id": self.lh.current_run_id,
@@ -85,6 +88,13 @@ def _get_or_create_transform(
     same key AND same source hash → same transform; a hash match under
     a DIFFERENT key is a different pipeline and must not collapse onto
     it. Changed source under the same key bumps the version family."""
+    # hardcoded credential literals never land in the registry
+    # (reference core/_context.py:454 + _secret_redaction.py); hashing
+    # the REDACTED text keeps the same-source→same-transform contract
+    # consistent for re-runs of the same (redacted) code
+    from .redaction import redact_source
+
+    source_code, _n = redact_source(source_code)
     src_hash = hashlib.md5(source_code.encode()).hexdigest()
     existing = (
         lh.read_raw("transform")
