@@ -36,7 +36,14 @@ from .curation import (  # noqa: F401
     validate_values,
 )
 from .curation.curator import CategoricalSpec, DataFrameCurator  # noqa: F401
-from .lineage.context import finish, track, tracked  # noqa: F401
+from .lineage.context import (  # noqa: F401
+    finish,
+    latest_run,
+    track,
+    tracked,
+    transform_from_path,
+    view_lineage,
+)
 
 
 def connect(spark, root: str, branch_id: int = 1) -> Lakehouse:
