@@ -1624,11 +1624,15 @@ class Lakehouse:
         for k, v in values.items():
             if k not in df.columns:
                 raise KeyError(f"unknown column {k!r} on registry {name!r}")
+            # cast to the REGISTRY schema's type: an uncast literal of a
+            # wider type (1.5 into a long column) coerces the whole
+            # column, the rewrite lands mismatched parquet, and every
+            # later fixed-schema read of the registry fails (review
+            # finding — permanently bricked table)
+            lit = F.lit(v).cast(df.schema[k].dataType)
             out = out.withColumn(
                 k,
-                F.when(F.col("__upd_id").isNotNull(), F.lit(v)).otherwise(
-                    F.col(k)
-                ),
+                F.when(F.col("__upd_id").isNotNull(), lit).otherwise(F.col(k)),
             )
         self._overwrite(name, out.drop("__upd_id"))
         if name in VERSIONED_REGISTRIES and (

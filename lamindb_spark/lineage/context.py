@@ -140,7 +140,7 @@ def track(lakehouse: Lakehouse, key: str, **kwargs: Any) -> Context:
     return Context(lakehouse).track(key, **kwargs)
 
 
-_NOTEBOOK_SUFFIXES = (".ipynb", ".Rmd", ".qmd")
+_NOTEBOOK_SUFFIXES = (".ipynb", ".rmd", ".qmd")  # compared lowercased
 
 
 def transform_from_path(
@@ -163,7 +163,8 @@ def transform_from_path(
     if key is None:
         key = os.path.basename(path)
     if kind is None:
-        kind = "notebook" if path.endswith(_NOTEBOOK_SUFFIXES) else "script"
+        ext = os.path.splitext(path)[1].lower()
+        kind = "notebook" if ext in _NOTEBOOK_SUFFIXES else "script"
     # registers the transform only — from_path opens NO run
     return _get_or_create_transform(lh, key, source, kind)
 

@@ -53,22 +53,29 @@ def is_secret_value(value: object) -> bool:
 
 # Assignment shapes whose RHS is a QUOTED literal. Each pattern binds
 # `lead` (everything before the literal), `key`, and the quoted
-# literal via `q`/`val`.
+# literal via `q`/`val`. Triple quotes come first in the alternation
+# so '"""secret"""' redacts whole instead of matching the empty string
+# between its first two quotes (review finding).
+_QUOTED = r"(?P<q>'''|\"\"\"|['\"`])(?P<val>(?s:.*?))(?P=q)"
 _SHAPES = [
     # os.environ["API_KEY"] = "value"
     re.compile(
         r"(?P<lead>os\.environ\[\s*(?P<kq>['\"])(?P<key>[^'\"]+)(?P=kq)\s*\]\s*=\s*)"
-        r"(?P<q>['\"`])(?P<val>.*?)(?P=q)"
+        + _QUOTED
+    ),
+    # annotated assignment: password: str = "value" (the generic shape
+    # below can't reach past the annotation; review finding)
+    re.compile(
+        r"(?P<lead>(?P<key>[A-Za-z_][\w.\-]*)\s*:\s*[A-Za-z_][\w.\[\], ]*?\s*=\s*)"
+        + _QUOTED
     ),
     # api_key = "value" | api_key: "value" | api_key := "value"
     re.compile(
-        r"(?P<lead>(?P<key>[A-Za-z_][\w.\-]*)\s*(:=|=|:)\s*)"
-        r"(?P<q>['\"`])(?P<val>.*?)(?P=q)"
+        r"(?P<lead>(?P<key>[A-Za-z_][\w.\-]*)\s*(:=|=|:)\s*)" + _QUOTED
     ),
     # {"client_secret": "value"}
     re.compile(
-        r"(?P<lead>(?P<kq>['\"])(?P<key>[^'\"]+)(?P=kq)\s*:\s*)"
-        r"(?P<q>['\"`])(?P<val>.*?)(?P=q)"
+        r"(?P<lead>(?P<kq>['\"])(?P<key>[^'\"]+)(?P=kq)\s*:\s*)" + _QUOTED
     ),
 ]
 
@@ -95,8 +102,18 @@ def redact_source(source_code: str) -> tuple[str, int]:
 
 def redact_params(params: dict) -> dict:
     """Run-params twin (reference ``core/_context.py:424``): sensitive
-    keys and credentialed-URL values are replaced wholesale."""
-    return {
-        k: REDACTED if is_sensitive_key(str(k)) or is_secret_value(v) else v
-        for k, v in params.items()
-    }
+    keys and credentialed-URL values are replaced wholesale — and the
+    walk RECURSES through nested dicts/lists, because callers naturally
+    pass structured config as params (review finding)."""
+
+    def walk(v):
+        if isinstance(v, dict):
+            return {
+                k: REDACTED if is_sensitive_key(str(k)) else walk(x)
+                for k, x in v.items()
+            }
+        if isinstance(v, (list, tuple)):
+            return [walk(x) for x in v]
+        return REDACTED if is_secret_value(v) else v
+
+    return walk(params)

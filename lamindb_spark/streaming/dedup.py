@@ -162,13 +162,10 @@ def stream_admit_neardup(
         # than max_conflicts would then wedge the stream on every
         # restart. (Index-committed implies docs-committed: the
         # appends are sequential.)
-        try:
-            if (f"{query_name}:index", batch_id) in CommitLog(
-                index_path
-            ).known_txns():
-                return
-        except FileNotFoundError:
-            pass  # no index table yet — first batch
+        # (known_txns returns an empty set for a not-yet-created table
+        # — LogStore.list is [] on a missing prefix — so no guard)
+        if (f"{query_name}:index", batch_id) in CommitLog(index_path).known_txns():
+            return
         docs, keys = _admit_batch(
             spark,
             batch_df,

@@ -236,3 +236,18 @@ def test_queryset_validate_inspect_standardize(lakehouse):
         "B cell",
         "mystery",
     ]
+
+
+def test_queryset_update_casts_to_registry_type(lakehouse):
+    """Review finding: an uncast literal of a wider type (float into a
+    long column) coerced the whole column, the rewrite landed
+    mismatched parquet, and every later fixed-schema read failed —
+    update must cast to the registry schema's type."""
+    lakehouse.save("ulabel", [{"name": "tc-a"}, {"name": "tc-b"}])
+    QuerySet(lakehouse, "ulabel").filter(name="tc-a").update(type_id=1.0)
+    rows = {
+        r["name"]: r["type_id"]
+        for r in lakehouse.read_raw("ulabel").collect()  # readable post-update
+    }
+    assert rows["tc-a"] == 1 and rows["tc-b"] is None
+    assert isinstance(rows["tc-a"], int)  # stayed LongType

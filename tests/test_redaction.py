@@ -61,6 +61,25 @@ def test_redact_source_quoted_literals_only():
     assert "sk-live-123" not in out and "hunter2" not in out
 
 
+def test_redact_source_annotated_and_triple_quoted():
+    """Review findings: annotated assignments and triple-quoted
+    literals must redact cleanly (the lazy quote match previously
+    corrupted triple quotes while leaving the secret)."""
+    src = (
+        'password: str = "hunter2"\n'
+        'token = """multi\nline secret"""\n'
+        "count: int = 3\n"
+        'name: str = "public"\n'
+    )
+    out, n = redact_source(src)
+    assert n == 2
+    assert f'password: str = "{REDACTED}"' in out
+    assert f'token = """{REDACTED}"""' in out
+    assert "hunter2" not in out and "line secret" not in out
+    assert 'name: str = "public"' in out  # non-sensitive annotated: kept
+    assert "count: int = 3" in out
+
+
 def test_redact_params():
     got = redact_params(
         {
@@ -75,6 +94,14 @@ def test_redact_params():
         "lr": 0.1,
         "dsn": REDACTED,
         "note": "fine",
+    }
+    # review finding: nested dicts/lists are walked
+    nested = redact_params(
+        {"db": {"password": "x", "host": "h"}, "urls": ["postgres://u:p@h/d", "ok"]}
+    )
+    assert nested == {
+        "db": {"password": REDACTED, "host": "h"},
+        "urls": [REDACTED, "ok"],
     }
 
 
