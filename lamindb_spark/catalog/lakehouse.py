@@ -238,6 +238,29 @@ class Lakehouse:
         except Exception:  # pragma: no cover — refresh is best-effort
             pass
 
+    #: membership-probe literals above this size become a broadcast
+    #: semi-join (same threshold as ``query.py`` to_dataframe): a
+    #: several-100k-value ``isin`` list bloats the Catalyst plan tree
+    #: (ADVICE r11 — register_dir's batch hashes/keys at its own
+    #: advertised scale recreated the problem this limit fixed there).
+    _PROBE_ISIN_MAX: int = 256
+
+    def _filter_in(self, df: DataFrame, col, values) -> DataFrame:
+        """``df`` rows whose ``col`` (a Column expression) is in
+        ``values``: literal ``isin`` for small sets, broadcast
+        semi-join above ``_PROBE_ISIN_MAX`` — O(1) plan size and a
+        hash-probe instead of a giant OR chain."""
+        vals = sorted(set(values))
+        if not vals:
+            return df.filter(F.lit(False))
+        if len(vals) <= self._PROBE_ISIN_MAX:
+            return df.filter(col.isin(vals))
+        probe = self.spark.createDataFrame([(v,) for v in vals], "__probe_v string")
+        return (
+            df.join(F.broadcast(probe), col == F.col("__probe_v"), "inner")
+            .drop("__probe_v")
+        )
+
     def _has_flat_files(self, name: str) -> bool:
         """Legacy pre-bucketing layout: part files at the table root."""
         try:
@@ -582,12 +605,19 @@ class Lakehouse:
         row = self.read_raw("storage").orderBy(F.length("root").desc()).first()
         return int(row["id"]), row["root"]
 
-    def _storage_for_path(self, path: str) -> tuple[int, str] | None:
+    def _storage_for_path(
+        self, path: str, include_equal: bool = False
+    ) -> tuple[int, str] | None:
         """Longest-prefix storage match (reference ``artifact.py:508-525``
         orders by root length desc — X7). Both sides are abspathed: a
         Lakehouse created with a RELATIVE root must still recognize its
         own managed paths, or managed files get re-copied under
-        flattened keys (review finding)."""
+        flattened keys (review finding).
+
+        ``include_equal=True`` also matches ``path`` BEING a storage
+        root (empty relative key) — register_dir over the root itself
+        must reference files in place with root-relative keys, not
+        re-copy the whole root into itself (ADVICE r11)."""
         apath = (
             path if is_remote_scheme(path) else os.path.abspath(_local_path(path))
         )
@@ -603,7 +633,9 @@ class Lakehouse:
                 if is_remote_scheme(r["root"])
                 else os.path.abspath(_local_path(r["root"]))
             )
-            if apath.startswith(aroot.rstrip("/") + "/"):
+            if apath.startswith(aroot.rstrip("/") + "/") or (
+                include_equal and apath.rstrip("/") == aroot.rstrip("/")
+            ):
                 return int(r["id"]), aroot
         return None
 
@@ -627,6 +659,15 @@ class Lakehouse:
         Versioning: same ``key``, new hash → new version in the same
         uid family (stem reuse + base62 suffix bump); the previous head
         loses ``is_latest``.
+
+        Empty files: the hash lookup is skipped entirely (reference
+        ``artifact.py:421-424`` — all empty files share one hash), so
+        re-ingesting an unchanged empty file at the same key appends a
+        NEW VERSION every call, exactly like the reference. This
+        intentionally diverges from :meth:`register_dir`, whose bulk
+        re-ingest contract ("re-running the directory is a no-op")
+        requires key-dedup of unchanged empty files (ADVICE r11 —
+        divergence documented on both APIs).
         """
         path = _local_path(path)
         store = self._store_for(path)
@@ -779,7 +820,11 @@ class Lakehouse:
         — the reference's duplicate-hash consolidation. Empty files
         skip the hash lookup (all empty files share one hash;
         reference ``artifact.py:421-424``) and instead dedup by key:
-        an unchanged empty file re-ingests as the same row. Marker and
+        an unchanged empty file re-ingests as the same row — a
+        DELIBERATE divergence from :meth:`register_artifact`, which
+        appends a new version per empty-file re-ingest like the
+        reference's single-file path; the bulk contract here is
+        idempotent re-runs (ADVICE r11 — documented on both APIs). Marker and
         hidden files (``_SUCCESS``, ``.part-*.crc``) are skipped —
         same rule as ``hash_dir``, so the per-file and one-artifact
         views of a directory agree. A directory already under a
@@ -791,7 +836,7 @@ class Lakehouse:
         store = self._store_for(path)
         if not store.is_dir(path):
             raise NotADirectoryError(path)
-        managed = self._storage_for_path(path)  # one storage scan —
+        managed = self._storage_for_path(path, include_equal=True)  # one storage scan —
         # every file shares the directory's root, managed or external
         if managed is not None:
             storage_id, storage_root = managed
@@ -814,7 +859,13 @@ class Lakehouse:
             if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
                 continue  # spark _SUCCESS / checksums / hidden files
             fp = f"{base}/{rel}"
-            batch.append((fp, f"{folder_key}/{rel}", store.md5(fp), sz))
+            # folder_key == '' happens when `path` IS the managed
+            # storage root itself — keys must stay root-relative
+            # ('rel', not '/rel'): a leading slash diverges from
+            # register_artifact's key convention and makes
+            # artifact_path emit 'root//rel' (ADVICE r11)
+            fkey = f"{folder_key}/{rel}" if folder_key else rel
+            batch.append((fp, fkey, store.md5(fp), sz))
         if not batch:
             return []
         arts = self.read_raw("artifact")
@@ -825,10 +876,8 @@ class Lakehouse:
         if hashes:
             visible = {self.current_branch_id, MAIN_BRANCH_ID}
             for r in (
-                arts.filter(
-                    F.col("hash").isin(hashes)
-                    & (F.col("branch_id") != TRASH_BRANCH_ID)
-                )
+                self._filter_in(arts, F.col("hash"), hashes)
+                .filter(F.col("branch_id") != TRASH_BRANCH_ID)
                 .orderBy(F.desc("created_at"))
                 .collect()
             ):
@@ -850,10 +899,8 @@ class Lakehouse:
         next_suffix: dict[str, str] = {}
         if new_keys:
             for r in (
-                arts.filter(
-                    F.col("key").isin(new_keys)
-                    & (F.col("branch_id") == self.current_branch_id)
-                )
+                self._filter_in(arts, F.col("key"), new_keys)
+                .filter(F.col("branch_id") == self.current_branch_id)
                 .orderBy(F.desc("created_at"))
                 .collect()
             ):
@@ -865,9 +912,7 @@ class Lakehouse:
                 stems = sorted(set(stem_by_key.values()))
                 best: dict[str, str] = {}
                 for r in (
-                    arts.filter(
-                        F.substring("uid", 1, stem_len).isin(stems)
-                    )
+                    self._filter_in(arts, F.substring("uid", 1, stem_len), stems)
                     .select("uid")
                     .collect()
                 ):
@@ -1565,13 +1610,19 @@ class Lakehouse:
         tstore = self._store_for(path, target)
         # copy-then-swap (the _overwrite pattern): a failed copy must
         # not have destroyed the only payload copy (review finding) —
-        # the slow, failure-prone copy lands on a temp sibling first
-        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+        # the slow, failure-prone copy lands on a temp sibling first.
+        # Temporaries get a '.'-prefixed BASENAME so the hidden-file
+        # skip rule (hash_dir / register_dir walk filters) ignores
+        # them: a crash mid-swap must not leave orphans that a later
+        # bulk ingest over the storage root hashes and registers as
+        # artifacts (ADVICE r11).
+        tdir, tbase = os.path.split(target.rstrip("/"))
+        tmp = f"{tdir}/.{tbase}.tmp-{uuid.uuid4().hex[:8]}"
         if src_is_dir:
             tstore.copy_tree(path, tmp)
         else:
             tstore.copy_file(path, tmp)
-        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        old = f"{tdir}/.{tbase}.old-{uuid.uuid4().hex[:8]}"
         if tstore.exists(target):
             tstore.rename(target, old)
         tstore.rename(tmp, target)

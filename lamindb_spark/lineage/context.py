@@ -265,6 +265,97 @@ def tracked(lakehouse: Lakehouse, key: str | None = None, kind: str = "function"
     return deco
 
 
+def _bound_params(fn, args: tuple, kwargs: dict) -> dict[str, Any]:
+    """ALL call arguments (positional + keyword, defaults applied) as
+    JSON-storable params — the reference binds the full signature
+    (``core/_functions.py:60-63`` ``sig.bind`` + ``apply_defaults``),
+    not just kwargs; non-serializable values fall back to ``repr``."""
+    import inspect
+
+    try:
+        bound = inspect.signature(fn).bind(*args, **kwargs)
+        bound.apply_defaults()
+        raw = dict(bound.arguments)
+    except (TypeError, ValueError):  # builtins / odd signatures
+        raw = dict(kwargs)
+    params = {}
+    for k, v in raw.items():
+        try:
+            json.dumps(v)
+            params[k] = v
+        except (TypeError, ValueError):
+            params[k] = repr(v)
+    return params
+
+
+def _flow_step_decorator(lakehouse: Lakehouse, key, kind, is_flow: bool):
+    import functools
+    import inspect
+
+    def deco(fn):
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = fn.__qualname__
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if is_flow and lakehouse.current_run_id is not None:
+                raise RuntimeError(
+                    "a run is already active — use @step() for nested "
+                    "functions, or finish the active run before @flow()"
+                )
+            if not is_flow and lakehouse.current_run_id is None:
+                raise RuntimeError(
+                    "@step() requires an initiating run: call track() "
+                    "or invoke it from inside a @flow()-decorated function"
+                )
+            ctx = Context(lakehouse).track(
+                key or fn.__qualname__,
+                source_code=src,
+                kind=kind,
+                params=_bound_params(fn, args, kwargs),
+            )
+            try:
+                out = fn(*args, **kwargs)
+            except BaseException:
+                ctx.finish(status_code=-1)
+                raise
+            ctx.finish(status_code=0)
+            return out
+
+        return wrapper
+
+    return deco
+
+
+def flow(lakehouse: Lakehouse, key: str | None = None, kind: str = "pipeline"):
+    """``@flow()`` (reference ``core/_functions.py:137-188``): track a
+    function as a WORKFLOW entry point — opens a top-level run for the
+    call, with the full bound-argument dict as run params and the
+    function source as the transform identity. Raises if a run is
+    already active (the reference's "use @step()" guard): a workflow
+    nested under another run is a step, and silently opening a second
+    top-level run would orphan the nesting lineage.
+
+    Runs opened by steps inside the flow's body link back via
+    ``initiated_by_run_id`` (``Context.track`` captures the enclosing
+    ``current_run_id``, and ``finish`` restores it — same nesting
+    mechanics as the reference's contextvar token set/reset)."""
+    return _flow_step_decorator(lakehouse, key, kind, is_flow=True)
+
+
+def step(lakehouse: Lakehouse, key: str | None = None, kind: str = "function"):
+    """``@step()`` (reference ``core/_functions.py:192-204``; the old
+    ``@tracked`` is its deprecated alias): track a function as a STEP
+    of an active workflow — same run lifecycle as :func:`flow`, but
+    REQUIRES an initiating run (raises without one) and records it as
+    ``initiated_by_run_id``, so the run graph nests step runs under
+    their flow run exactly like the reference's
+    ``Run.initiated_by_run``."""
+    return _flow_step_decorator(lakehouse, key, kind, is_flow=False)
+
+
 # --------------------------------------------------------------- rendering
 
 TRANSFORM_VIOLET = "#eff2ff"  # run-node fill (reference has_parents.py:27)

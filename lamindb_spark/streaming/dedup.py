@@ -21,9 +21,13 @@ sequential one-at-a-time ingest would do.
 Scale shape: the common case (no collision anywhere) is fully
 vectorized — signatures, banding, one broadcast-or-shuffle semi-join
 against the index, one in-batch bucket count. Only the COLLIDING
-subset is resolved driver-side (greedy order dependence is inherently
-sequential); its size is bounded by the batch's duplicate mass, and a
-cap fails loudly rather than silently collecting an unbounded set.
+subset needs greedy resolution: a small conflict set resolves
+driver-side (a few collected rows beat Spark rounds); above
+``max_conflicts`` the DISTRIBUTED kernel takes over
+(:func:`_resolve_conflicts_distributed` — iterative local-minima
+elimination, the parallel form of the same greedy order), so a
+duplicate-heavy batch costs extra Spark rounds, never an unbounded
+driver collect and never a wedged stream.
 
 Crash-window audit (same discipline as ``stream_append_exactly_once``):
 the two txn appends share the batch id and run docs-first. If the
@@ -44,6 +48,88 @@ from pyspark.sql import functions as F
 
 from ..catalog.commitlog import CommitLog, append_dataframe_txn, read_committed
 from ..pipeline.dedup import band_buckets, minhash_signatures
+
+
+def _resolve_conflicts_distributed(
+    keys: DataFrame,
+    conflicted: DataFrame,
+    hit_index: DataFrame | None,
+    id_col: str,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Admitted ids among the colliding subset, resolved DISTRIBUTED
+    (VERDICT r11 #4): the greedy sequential admission — process docs
+    in ascending id, admit unless a bucket is already claimed by an
+    earlier ADMITTED doc — is exactly the lexicographically-first
+    maximal independent set of the conflict graph (docs conflict iff
+    they share a band bucket). That MIS parallelizes as iterative
+    local-minima elimination, never materializing the pairwise graph
+    (a degenerate bucket with B docs would be B² edges):
+
+    per round, over still-UNDECIDED docs: (1) min undecided id per
+    bucket; (2) a doc whose id equals that min in EVERY bucket it
+    holds has no smaller undecided neighbor — sequential greedy would
+    reach it with all its buckets unclaimed, so it is ADMITTED; (3)
+    undecided docs sharing a bucket with a round-admitted doc are
+    REJECTED (their bucket is now claimed by an earlier admitted id);
+    (4) repeat on the remainder. Index-hit docs are rejected up front
+    and claim nothing — same as the sequential gate. Converges in
+    O(longest id-chain through shared buckets) rounds; each round is
+    two bucket-keyed aggregates + semi/anti-joins, checkpointed so the
+    plan never grows. Rejected docs drop out WITHOUT claiming buckets,
+    preserving the greedy "a near-dup of a rejected doc can still be
+    novel" semantics.
+    """
+    conf_keys = keys.join(conflicted, [id_col], "left_semi")
+    undecided = conflicted
+    if hit_index is not None:
+        undecided = undecided.join(hit_index, [id_col], "left_anti")
+    undecided = undecided.select(id_col).localCheckpoint(eager=True)
+    admitted = None
+    for _round in range(max_iters):
+        if not undecided.head(1):
+            break
+        live_keys = conf_keys.join(undecided, [id_col], "left_semi")
+        bucket_min = live_keys.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("__bmin")
+        )
+        round_admitted = (
+            live_keys.join(bucket_min, ["band", "bucket"])
+            .groupBy(id_col)
+            # every bucket's min must be the doc itself; bmin ≤ id
+            # always (the doc sits in the bucket), so min(bmin)==id ⇔
+            # no smaller undecided id shares ANY bucket
+            .agg(F.min("__bmin").alias("__m"))
+            .filter(F.col("__m") == F.col(id_col))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        admitted = (
+            round_admitted
+            if admitted is None
+            else admitted.unionByName(round_admitted).localCheckpoint(eager=True)
+        )
+        claimed = (
+            live_keys.join(round_admitted, [id_col], "left_semi")
+            .select("band", "bucket")
+            .distinct()
+        )
+        losers = (
+            live_keys.join(claimed, ["band", "bucket"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        undecided = undecided.join(losers, [id_col], "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        raise RuntimeError(
+            f"conflict resolution did not converge in {max_iters} rounds "
+            "(id-chain through shared buckets longer than max_iters)"
+        )
+    if admitted is None:
+        return conflicted.select(id_col).limit(0)
+    return admitted
 
 
 def _admit_batch(
@@ -90,14 +176,25 @@ def _admit_batch(
     # fast path: untouched docs admit vectorized, no driver involvement
     clean_keys = keys.join(conflicted, [id_col], "left_anti")
 
-    # slow path: greedy resolution of the colliding subset, id order
+    # slow path: greedy resolution of the colliding subset, id order.
+    # Small conflict sets resolve driver-side (a few collected rows
+    # beat several Spark rounds); above max_conflicts the DISTRIBUTED
+    # equivalent takes over (VERDICT r11 #4) — a duplicate-heavy batch
+    # degrades to extra Spark rounds instead of a ValueError, and the
+    # admitted set is identical (both compute the lex-first MIS of the
+    # shared-bucket conflict graph).
     n_conf = conflicted.count()
     if n_conf > max_conflicts:
-        raise ValueError(
-            f"{n_conf} colliding docs in one micro-batch exceeds "
-            f"max_conflicts={max_conflicts}; reduce the trigger batch "
-            "size (the greedy resolution is driver-side by design)"
+        dist = _resolve_conflicts_distributed(keys, conflicted, hit_index, id_col)
+        admitted_ids = (
+            keys.join(conflicted, [id_col], "left_anti")
+            .select(id_col)
+            .distinct()
+            .unionByName(dist.select(id_col))
         )
+        admitted_docs = batch_df.join(admitted_ids, [id_col], "left_semi")
+        admitted_keys = keys.join(admitted_ids, [id_col], "left_semi")
+        return admitted_docs, admitted_keys
     resolved_ids: list = []
     if n_conf:
         conf_keys = keys.join(conflicted, [id_col], "left_semi")
