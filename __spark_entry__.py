@@ -982,6 +982,45 @@ def _q_validate(spark, sf):
     return validate_values(values, registry, "value", "name")
 
 
+def _q_slot_validate(spark, sf):
+    """Slot-based curation verdict (curation/slots.py — reference
+    ``SlotsCurator``, ``curators/core.py:487-608``): two slots of a
+    composite dataset validated against registry domains, the invalid
+    categorical values returned as ONE distributed frame
+    ``(slot, column, invalid_value)`` — per slot a distinct + broadcast
+    anti-join; the slot frames are never shuffled."""
+    from lamindb_spark.curation.curator import CategoricalSpec
+    from lamindb_spark.curation.schema_check import SchemaSpec
+    from lamindb_spark.curation.slots import AnnDataCurator, SlotSpec
+    from lamindb_spark.sources.anndata_long import AnnDataLong
+
+    cust = load_table(spark, sf, "customer")
+    part = load_table(spark, sf, "part")
+    seg_reg = literal_table(
+        spark,
+        [("AUTOMOBILE",), ("BUILDING",), ("HOUSEHOLD",), ("MACHINERY",)],
+        ["name"],
+    )
+    brand_reg = literal_table(
+        spark, [(f"Brand#{i}",) for i in range(1, 21)], ["name"]
+    )
+    empty_x = spark.createDataFrame([], "obs_id string, var_id string, value double")
+    cur = AnnDataCurator(
+        AnnDataLong(obs=cust, var=part, x=empty_x),
+        {
+            "obs": SlotSpec(
+                spec=SchemaSpec(features={"c_mktsegment": "string"}),
+                categoricals={"c_mktsegment": CategoricalSpec(seg_reg, "name")},
+            ),
+            "var": SlotSpec(
+                spec=SchemaSpec(features={"p_brand": "string"}),
+                categoricals={"p_brand": CategoricalSpec(brand_reg, "name")},
+            ),
+        },
+    )
+    return cur.verdict_frame().orderBy("slot", "column", "invalid_value")
+
+
 def _q_standardize(spark, sf):
     """V3: synonym → canonical mapping via exploded synonym table."""
     d = load_table(spark, sf, "documents")
@@ -2775,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event": _q_latest_event,
         "json_extract": _q_json_extract,
         "validate_values": _q_validate,
+        "slot_validate": _q_slot_validate,
         "standardize_values": _q_standardize,
         "union_sets": _q_union,
         "path_filter": _q_path_filter,
@@ -4154,6 +4194,24 @@ def oracle_sql() -> dict[str, str]:
         "validate_values": """
             SELECT value, value IN ('en','fr','de','es') AS validated
             FROM (SELECT DISTINCT lang AS value FROM documents)
+        """,
+        "slot_validate": """
+            SELECT * FROM (
+                SELECT 'obs' AS slot, 'c_mktsegment' AS "column",
+                       c_mktsegment AS invalid_value
+                FROM (SELECT DISTINCT c_mktsegment FROM customer)
+                WHERE c_mktsegment NOT IN
+                      ('AUTOMOBILE','BUILDING','HOUSEHOLD','MACHINERY')
+                UNION ALL
+                SELECT 'var' AS slot, 'p_brand' AS "column",
+                       p_brand AS invalid_value
+                FROM (SELECT DISTINCT p_brand FROM part)
+                WHERE p_brand NOT IN (
+                    'Brand#1','Brand#2','Brand#3','Brand#4','Brand#5',
+                    'Brand#6','Brand#7','Brand#8','Brand#9','Brand#10',
+                    'Brand#11','Brand#12','Brand#13','Brand#14','Brand#15',
+                    'Brand#16','Brand#17','Brand#18','Brand#19','Brand#20')
+            ) ORDER BY slot, "column", invalid_value
         """,
         "standardize_values": """
             SELECT doc_id, lang,

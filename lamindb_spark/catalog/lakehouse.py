@@ -1126,6 +1126,15 @@ class Lakehouse:
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
             )
+        if hit["otype"] in ("AnnDataLong", "MuDataLong"):
+            # long-form parquet store (the slot curators' distributed
+            # save path — see anndata_long.write_anndata_long_parquet)
+            from ..sources.anndata_long import read_anndata_long_parquet
+            from ..sources.mudata_io import read_mudata_long_parquet
+
+            if hit["otype"] == "MuDataLong":
+                return read_mudata_long_parquet(self.spark, path)
+            return read_anndata_long_parquet(self.spark, path)
         if suffix == ".tiledbsoma":
             # SOMA experiment → same long-form tables (import-gated
             # bridge, reference artifact.py:2642 from_tiledbsoma)

@@ -1,0 +1,368 @@
+"""Slot-based curation of array payloads — the reference's
+``SlotsCurator`` family (``curators/core.py:487-1434``): one
+validation schema PER SLOT of a composite dataset (AnnData ``obs`` /
+``var`` / ``uns``, MuData ``<modality>:obs``, SpatialData
+``tables:<key>:obs``), each slot curated by the engine's
+:class:`~.curator.DataFrameCurator`.
+
+The Spark mapping is direct because the engine's array payloads are
+ALREADY relational: an ``AnnDataLong`` slot IS a DataFrame, so a slot
+curator is a dict of DataFrameCurators — no accessor layer. Reference
+parity points:
+
+- ``validate()`` runs every slot's schema/dtype/categorical pass
+  (``core.py:525-549`` iterates ``self._slots``);
+- ``standardize()`` maps synonyms / fills defaults per slot and
+  REBUILDS the dataset with the standardized frames (the reference
+  mutates the in-memory AnnData; the immutable-DataFrame equivalent
+  is a new ``*Long`` carrying the new frames);
+- ``save_artifact()`` persists the dataset and annotates the artifact
+  with every slot's categorical values, merged LAST-WINS per column
+  name across slots exactly like the reference's ``cat_vectors``
+  merge (``core.py:596-599``).
+
+Scale shape: every categorical check is a distinct + broadcast
+anti-join against the registry domain (the slot frame is never
+shuffled); :meth:`SlotsCurator.verdict_frame` exposes the invalid
+values as one lazy unioned DataFrame so a 100-TB validation verdict
+can be written to a table instead of collected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .curator import CategoricalSpec, CurationError, DataFrameCurator
+from .schema_check import SchemaSpec
+from .validate import synonym_map
+
+
+@dataclass
+class SlotSpec:
+    """One slot's validation constraints — the engine analogue of a
+    per-slot reference ``Schema`` (``schema.slots[slot]``)."""
+
+    spec: SchemaSpec
+    categoricals: dict[str, CategoricalSpec] = field(default_factory=dict)
+    defaults: dict[str, object] = field(default_factory=dict)
+
+
+def _dict_frame(spark, d: dict, name: str) -> DataFrame:
+    """A dict slot (AnnData ``uns``, SpatialData ``attrs``) as a
+    single-row DataFrame — the reference's ``_handle_dict_slots``
+    (``core.py:1085-1152``) does exactly this with pandas."""
+    if not isinstance(d, dict):
+        raise KeyError(f"slot {name!r}: expected a dict, got {type(d).__name__}")
+    row = {k: v if isinstance(v, (str, int, float, bool)) else repr(v) for k, v in d.items()}
+    return spark.createDataFrame([row])
+
+
+def _resolve_dict_path(d: dict, parts: list[str], slot: str) -> dict:
+    for p in parts:
+        if not isinstance(d, dict) or p not in d:
+            raise KeyError(f"slot {slot!r}: key {p!r} not found")
+        d = d[p]
+    if not isinstance(d, dict):
+        raise KeyError(f"slot {slot!r}: path does not resolve to a dict")
+    return d
+
+
+class SlotsCurator:
+    """Base slot curator: subclasses resolve slot names to DataFrames
+    (``_resolve_slot``) and rebuild their dataset from standardized
+    frames (``_rebuild``)."""
+
+    def __init__(self, dataset, slots: dict[str, SlotSpec]):
+        self._dataset = dataset
+        self._slot_specs = dict(slots)
+        self._slots: dict[str, DataFrameCurator] = {}
+        for slot, sspec in self._slot_specs.items():
+            df = self._resolve_slot(slot)
+            self._slots[slot] = DataFrameCurator(
+                df, sspec.spec, sspec.categoricals, sspec.defaults
+            )
+
+    # -- subclass surface ------------------------------------------------
+
+    def _resolve_slot(self, slot: str) -> DataFrame:
+        raise NotImplementedError
+
+    def _rebuild(self, frames: dict[str, DataFrame]):
+        """New dataset with the given slots' frames replaced."""
+        raise NotImplementedError
+
+    def _write_payload(self, lakehouse, key: str) -> tuple[str, str]:
+        """Persist the dataset under the lakehouse storage root;
+        returns (payload path, otype)."""
+        raise NotImplementedError
+
+    # -- reference API ----------------------------------------------------
+
+    @property
+    def slots(self) -> dict[str, DataFrameCurator]:
+        """Per-slot curators (reference ``SlotsCurator.slots``)."""
+        return self._slots
+
+    def validate(self) -> dict:
+        """Every slot's report + aggregate ``is_valid`` (reference
+        ``core.py:525-549``; the engine returns the report dict
+        instead of raising — raising is ``save_artifact``'s job)."""
+        reports = {slot: cur.validate() for slot, cur in self._slots.items()}
+        return {
+            "slots": reports,
+            "is_valid": all(r["is_valid"] for r in reports.values()),
+        }
+
+    def verdict_frame(self) -> DataFrame:
+        """All categorical violations as ONE lazy DataFrame
+        ``(slot, column, invalid_value)`` — the distributed form of
+        ``validate()``'s collected lists: per (slot, column) a
+        distinct + broadcast anti-join against the registry domain
+        (synonyms included), unioned across slots. Nothing collects;
+        at scale the verdict lands in a table."""
+        parts: list[DataFrame] = []
+        for slot, cur in self._slots.items():
+            for col, cspec in cur.categoricals.items():
+                if col not in cur.df.columns:
+                    continue
+                domain = cspec.registry.select(
+                    F.col(cspec.field).alias("__v")
+                ).distinct()
+                if cspec.synonyms_field:
+                    domain = domain.unionByName(
+                        synonym_map(
+                            cspec.registry, cspec.field, cspec.synonyms_field
+                        ).select(F.col("__syn").alias("__v"))
+                    ).distinct()
+                bad = (
+                    cur.df.select(F.col(col).cast("string").alias("__v"))
+                    .filter(F.col("__v").isNotNull())
+                    .distinct()
+                    .join(F.broadcast(domain), "__v", "left_anti")
+                    .select(
+                        F.lit(slot).alias("slot"),
+                        F.lit(col).alias("column"),
+                        F.col("__v").alias("invalid_value"),
+                    )
+                )
+                parts.append(bad)
+        if not parts:
+            spark = next(iter(self._slots.values())).df.sparkSession
+            return spark.createDataFrame(
+                [], "slot string, column string, invalid_value string"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def standardize(self) -> "SlotsCurator":
+        """Per-slot standardize (synonym mapping + default fill),
+        rebuilt into a new curator over the standardized dataset
+        (reference ``Curator.standardize`` applied slot-wise)."""
+        frames = {
+            slot: cur.standardize().df for slot, cur in self._slots.items()
+        }
+        return type(self)(self._rebuild(frames), self._slot_specs)
+
+    def save_artifact(self, lakehouse, key: str, description: str | None = None):
+        """Validate; on success persist the payload and annotate the
+        artifact with each slot's categorical values — canonical
+        names, merged last-wins per column across slots (reference
+        ``core.py:551-608``)."""
+        report = self.validate()
+        if not report["is_valid"]:
+            raise CurationError(f"not valid: {report}")
+        path, otype = self._write_payload(lakehouse, key)
+        art = lakehouse.register_artifact(path, key=key, description=description, otype=otype)
+        merged: dict[str, list] = {}
+        for cur in self._slots.values():  # slot order; later slots win
+            for col, cspec in cur.categoricals.items():
+                if col not in cur.df.columns:
+                    continue
+                vals = sorted(
+                    r[0]
+                    for r in cur.df.select(col)
+                    .filter(F.col(col).isNotNull())
+                    .distinct()
+                    .collect()
+                )
+                if cspec.synonyms_field:
+                    m = {
+                        r["__syn"]: r["__name"]
+                        for r in synonym_map(
+                            cspec.registry, cspec.field, cspec.synonyms_field
+                        ).collect()
+                    }
+                    vals = sorted({m.get(v, v) for v in vals})
+                merged[col] = vals
+        for col, vals in merged.items():
+            lakehouse.annotate("artifact", art["id"], {col: vals}, explode_lists=True)
+        return art
+
+
+class AnnDataCurator(SlotsCurator):
+    """Curator for the long-form AnnData (reference ``AnnDataCurator``,
+    ``curators/core.py:1155-1254``). Slots: ``obs``, ``var``, and
+    ``uns`` / ``uns:key:...`` (dict slots validated as a one-row
+    frame, like the reference's ``_handle_dict_slots``). The
+    reference's ``var.T`` transposition does not exist here — long
+    ``var`` is already one row per variable, so an itype-style check
+    of the var index is just a categorical on ``var_id``."""
+
+    def __init__(self, dataset, slots: dict[str, SlotSpec], uns: dict | None = None):
+        self._uns = uns or {}
+        for slot in slots:
+            if slot not in ("obs", "var") and not slot.startswith("uns"):
+                raise ValueError(
+                    "AnnDataCurator supports the slots 'obs', 'var' and "
+                    f"'uns[:key]', not {slot!r} (long-form var needs no "
+                    "'var.T' — validate 'var_id' as a categorical instead)"
+                )
+        super().__init__(dataset, slots)
+
+    def _resolve_slot(self, slot: str) -> DataFrame:
+        if slot in ("obs", "var"):
+            return getattr(self._dataset, slot)
+        spark = self._dataset.obs.sparkSession
+        parts = slot.split(":")
+        d = self._uns if len(parts) == 1 else _resolve_dict_path(
+            self._uns, parts[1:], slot
+        )
+        return _dict_frame(spark, d, slot)
+
+    def _rebuild(self, frames: dict[str, DataFrame]):
+        from ..sources.anndata_long import AnnDataLong
+
+        return AnnDataLong(
+            obs=frames.get("obs", self._dataset.obs),
+            var=frames.get("var", self._dataset.var),
+            x=self._dataset.x,
+        )
+
+    def standardize(self) -> "AnnDataCurator":
+        frames = {
+            slot: cur.standardize().df
+            for slot, cur in self._slots.items()
+            if slot in ("obs", "var")
+        }
+        return AnnDataCurator(self._rebuild(frames), self._slot_specs, self._uns)
+
+    def _write_payload(self, lakehouse, key: str) -> tuple[str, str]:
+        from ..sources.anndata_long import write_anndata_long_parquet
+
+        _sid, root = lakehouse._resolve_storage_root()
+        target = f"{root}/{key}"
+        write_anndata_long_parquet(self._dataset, target)
+        return target, "AnnDataLong"
+
+
+class MuDataCurator(SlotsCurator):
+    """Curator for the long-form MuData (reference ``MuDataCurator``,
+    ``curators/core.py:1255-1337``). Slots: ``obs`` (the global
+    observation table), ``<modality>:obs`` and ``<modality>:var``."""
+
+    def _resolve_slot(self, slot: str) -> DataFrame:
+        if slot == "obs":
+            if self._dataset.obs is None:
+                raise KeyError("MuData store has no global obs table")
+            return self._dataset.obs
+        parts = slot.split(":")
+        if len(parts) != 2 or parts[1] not in ("obs", "var"):
+            raise ValueError(
+                f"MuDataCurator slots are 'obs', '<modality>:obs' or "
+                f"'<modality>:var', not {slot!r}"
+            )
+        mod, attr = parts
+        if mod not in self._dataset.modalities:
+            raise KeyError(f"modality {mod!r} not in MuData (have {self._dataset.mod_names})")
+        return getattr(self._dataset.modalities[mod], attr)
+
+    def _rebuild(self, frames: dict[str, DataFrame]):
+        from ..sources.anndata_long import AnnDataLong
+        from ..sources.mudata_io import MuDataLong
+
+        mods = {}
+        for name, ad in self._dataset.modalities.items():
+            mods[name] = AnnDataLong(
+                obs=frames.get(f"{name}:obs", ad.obs),
+                var=frames.get(f"{name}:var", ad.var),
+                x=ad.x,
+            )
+        return MuDataLong(
+            modalities=mods, obs=frames.get("obs", self._dataset.obs)
+        )
+
+    def _write_payload(self, lakehouse, key: str) -> tuple[str, str]:
+        from ..sources.mudata_io import write_mudata_long_parquet
+
+        _sid, root = lakehouse._resolve_storage_root()
+        target = f"{root}/{key}"
+        write_mudata_long_parquet(self._dataset, target)
+        return target, "MuDataLong"
+
+
+class SpatialDataCurator(SlotsCurator):
+    """Curator for a SpatialData store (reference
+    ``SpatialDataCurator``, ``curators/core.py:1338-1433``). Slots:
+    ``tables:<key>:obs`` / ``tables:<key>:var``, plus the engine's
+    native element frames ``points:<name>`` and ``shapes:<name>``
+    (real DataFrames in ``SpatialDataLong`` — the reference validates
+    only tables/attrs; curating point/shape metadata is the same
+    broadcast anti-join so it comes for free here). The store is
+    path-backed (lazy pixels), so ``save_artifact`` registers the
+    existing store in place rather than rewriting rasters."""
+
+    def _resolve_slot(self, slot: str) -> DataFrame:
+        parts = slot.split(":")
+        if len(parts) == 3 and parts[0] == "tables" and parts[2] in ("obs", "var"):
+            _t, tkey, attr = parts
+            if tkey not in self._dataset.tables:
+                raise KeyError(f"table {tkey!r} not in sdata.tables")
+            return getattr(self._dataset.tables[tkey], attr)
+        if len(parts) == 2 and parts[0] in ("points", "shapes"):
+            coll = getattr(self._dataset, parts[0])
+            if parts[1] not in coll:
+                raise KeyError(f"{parts[0]} element {parts[1]!r} not found")
+            return coll[parts[1]]
+        raise ValueError(
+            "SpatialDataCurator slots are 'tables:<key>:obs|var', "
+            f"'points:<name>' or 'shapes:<name>', not {slot!r}"
+        )
+
+    def _rebuild(self, frames: dict[str, DataFrame]):
+        from ..sources.anndata_long import AnnDataLong
+        from ..sources.spatialdata_io import SpatialDataLong
+
+        tables = {}
+        for tkey, ad in self._dataset.tables.items():
+            tables[tkey] = AnnDataLong(
+                obs=frames.get(f"tables:{tkey}:obs", ad.obs),
+                var=frames.get(f"tables:{tkey}:var", ad.var),
+                x=ad.x,
+            )
+        points = {
+            n: frames.get(f"points:{n}", df)
+            for n, df in self._dataset.points.items()
+        }
+        shapes = {
+            n: frames.get(f"shapes:{n}", df)
+            for n, df in self._dataset.shapes.items()
+        }
+        return SpatialDataLong(
+            path=self._dataset.path,
+            tables=tables,
+            points=points,
+            shapes=shapes,
+            images=self._dataset.images,
+            labels=self._dataset.labels,
+        )
+
+    def _write_payload(self, lakehouse, key: str) -> tuple[str, str]:
+        # path-backed store: reference the zarr in place (rasters are
+        # lazy; rewriting them to "save" a metadata curation would be
+        # pure waste). Annotations land on the registered artifact.
+        return self._dataset.path, "SpatialData"

@@ -86,6 +86,50 @@ class AnnDataLong:
         return AnnDataLong(self.obs, self.var, x)
 
 
+# ------------------------------------------------------- long-form store
+#
+# The DISTRIBUTED persistence of an annotated matrix: a directory with
+# three parquet datasets (obs/, var/, X/). This is the shape the module
+# docstring promises for scale — at 100 TB the zarr bridge is an ingest
+# device (driver-side, once per file), while the long store is what
+# every downstream op scans: X is just a parquet table, so slicing /
+# pseudobulk / curation all run as pruned distributed scans. The slot
+# curators' save_artifact writes this store (the reference's
+# Artifact.from_anndata writes h5ad/zarr, artifact.py:2374-2444; the
+# Spark-native equivalent keeps the relational form).
+
+
+def write_anndata_long_parquet(ad: AnnDataLong, path: str) -> None:
+    """Persist an :class:`AnnDataLong` as a parquet directory store
+    (``obs/``, ``var/``, ``X/``). X is written sorted within
+    partitions on ``obs_id`` so per-cell reads cluster row-groups (and
+    a cluster deployment can ZORDER/bucket the same layout without an
+    API change)."""
+    ad.obs.write.mode("overwrite").parquet(f"{path}/obs")
+    ad.var.write.mode("overwrite").parquet(f"{path}/var")
+    ad.x.sortWithinPartitions("obs_id").write.mode("overwrite").parquet(
+        f"{path}/X"
+    )
+
+
+def read_anndata_long_parquet(spark, path: str) -> AnnDataLong:
+    """Open a long-form parquet store written by
+    :func:`write_anndata_long_parquet` — three lazy scans, no data
+    moves."""
+    return AnnDataLong(
+        obs=spark.read.parquet(f"{path}/obs"),
+        var=spark.read.parquet(f"{path}/var"),
+        x=spark.read.parquet(f"{path}/X"),
+    )
+
+
+def is_anndata_long_store(path: str) -> bool:
+    """Sniff: a directory with obs/var/X parquet subdirectories."""
+    import os
+
+    return all(os.path.isdir(os.path.join(path, d)) for d in ("obs", "var", "X"))
+
+
 def from_dense(df: DataFrame, obs_id_col: str, var_cols: list[str]) -> AnnDataLong:
     """Build the long form from a wide frame (one column per var):
     unpivot via ``stack``, dropping zeros to keep X sparse."""

@@ -191,6 +191,67 @@ def write_mudata_zarr(
         )
 
 
+def write_mudata_long_parquet(md: MuDataLong, path: str) -> None:
+    """Persist a :class:`MuDataLong` as a parquet directory store:
+    ``mod/<name>/{obs,var,X}`` per modality (each a
+    :func:`~.anndata_long.write_anndata_long_parquet` store) plus an
+    optional root ``obs/`` for the global observation table — the
+    distributed counterpart of :func:`write_mudata_zarr` (see the
+    long-store rationale in ``anndata_long.py``)."""
+    import json as _json
+    import os
+
+    from .anndata_long import write_anndata_long_parquet
+
+    os.makedirs(f"{path}/mod", exist_ok=True)
+    for name, ad in md.modalities.items():
+        write_anndata_long_parquet(ad, f"{path}/mod/{name}")
+    # mod-order marker ('.'-prefixed: invisible to ingest walks)
+    with open(f"{path}/mod/.mod-order.json", "w") as fh:
+        _json.dump(list(md.modalities), fh)
+    if md.obs is not None:
+        md.obs.write.mode("overwrite").parquet(f"{path}/obs")
+
+
+def read_mudata_long_parquet(spark: SparkSession, path: str) -> MuDataLong:
+    """Open a long-form MuData parquet store written by
+    :func:`write_mudata_long_parquet`."""
+    import json as _json
+    import os
+
+    from .anndata_long import read_anndata_long_parquet
+
+    try:
+        with open(f"{path}/mod/.mod-order.json") as fh:
+            names = _json.load(fh)
+    except OSError:
+        names = sorted(
+            d for d in os.listdir(f"{path}/mod") if not d.startswith((".", "_"))
+        )
+    mods = {n: read_anndata_long_parquet(spark, f"{path}/mod/{n}") for n in names}
+    obs = (
+        spark.read.parquet(f"{path}/obs")
+        if os.path.isdir(f"{path}/obs")
+        else None
+    )
+    return MuDataLong(modalities=mods, obs=obs)
+
+
+def is_mudata_long_store(path: str) -> bool:
+    """Sniff: a directory with a mod/ of long-form AnnData stores."""
+    import os
+
+    from .anndata_long import is_anndata_long_store
+
+    mod = os.path.join(path, "mod")
+    if not os.path.isdir(mod):
+        return False
+    subs = [d for d in os.listdir(mod) if not d.startswith((".", "_"))]
+    return bool(subs) and all(
+        is_anndata_long_store(os.path.join(mod, d)) for d in subs
+    )
+
+
 def is_mudata_store(path: str) -> bool:
     """Suffix-blind sniff used by artifact open dispatch: a zarr dir
     whose root attrs say MuData (or that has a mod/ group)."""
