@@ -164,3 +164,71 @@ def test_id_allocator_note_advances_past_explicit_ids():
     assert alloc.take("branch", 2) == 101
     alloc.note("branch", 50)  # behind the ledger: no-op
     assert alloc.take("branch", 1) == 103
+
+
+def test_lineage_and_annotation_flows_on_commitlog_tier(cl_lakehouse, spark, tmp_path):
+    """Higher-level engine flows ride the tier unchanged: tracked
+    runs (run/transform registries), run-input capture, annotation
+    EAV rows, describe, and set-based delete/update rewrites."""
+    import json
+
+    from lamindb_spark.lineage import flow, step, track
+
+    lh = cl_lakehouse
+    ctx = track(lh, "pipe/clean.py", source_code="print('x')")
+    df = spark.range(3).withColumn("v", F.col("id") * 2)
+    art = lh.save_dataframe(df, key="out/clean.parquet")
+    ctx.finish()
+    run = lh.read_raw("run").first()
+    assert art["run_id"] == run["id"] and run["status_code"] == 0
+
+    # nested flow/step on the tier
+    seen = {}
+
+    @step(lh)
+    def s():
+        seen["step"] = lh.current_run_id
+
+    @flow(lh)
+    def wf():
+        seen["flow"] = lh.current_run_id
+        s()
+
+    wf()
+    runs = {r["id"]: r.asDict() for r in lh.read_raw("run").collect()}
+    assert runs[seen["step"]]["initiated_by_run_id"] == seen["flow"]
+
+    # annotation + describe
+    lh.annotate("artifact", art["id"], {"stage": "clean"})
+    doc = json.loads(lh.describe_artifact("out/clean.parquet"))
+    assert doc["features"]["stage"] == "clean"
+
+    # set-based update/delete rewrites (optimistic overwrite commits)
+    lh.save("ulabel", [{"name": "keep"}, {"name": "drop"}])
+    matched = lh.read_raw("ulabel").filter(F.col("name") == "drop")
+    lh.delete_where("ulabel", matched, permanent=True)
+    assert {r["name"] for r in lh.read_raw("ulabel").collect()} == {"keep"}
+
+
+def test_register_dir_and_compaction_on_commitlog_tier(cl_lakehouse, tmp_path):
+    """Bulk ingest appends once; pushing past the compaction
+    threshold swaps the table to one file via a single optimistic
+    commit, and the rows survive bit-identical."""
+    lh = cl_lakehouse
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(5):
+        (d / f"f{i}.txt").write_text(f"payload {i}")
+    rows = lh.register_dir(str(d), key="bulk")
+    assert len(rows) == 5
+    before = {(r["key"], r["hash"]) for r in lh.read_raw("artifact").collect()}
+
+    # force a compaction: many tiny appends, then check live-file count
+    for i in range(8):
+        lh.save("ulabel", [{"name": f"x{i}"}])
+    lh._maybe_compact("ulabel", max_files=4)
+    assert len(lh._cl_files("ulabel")) == 1
+    assert lh.read_raw("ulabel").count() == 8
+    # artifact registry untouched by ulabel compaction
+    after = {(r["key"], r["hash"]) for r in lh.read_raw("artifact").collect()}
+    assert after == before
