@@ -2686,8 +2686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only checks.
     """
     return {
-        # -- block R9: NEW this round (window head; one r6-green entry
-        # at position 50 cedes its slot) --
+        # -- block R12: NEW this round (window head — the driver
+        # value-checks the first 50, so the uncertified newcomer leads
+        # and one long-green entry cedes its window slot) --
+        "slot_validate": _q_slot_validate,
+        # -- block R9: NEW that round --
         "ann_pq_refine": _q_ann_pq_refine,
         # -- block R7: NEW that round (must sit inside the 50-entry
         # driver window; three r6-green entries cede their slots) --
@@ -2814,7 +2817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event": _q_latest_event,
         "json_extract": _q_json_extract,
         "validate_values": _q_validate,
-        "slot_validate": _q_slot_validate,
         "standardize_values": _q_standardize,
         "union_sets": _q_union,
         "path_filter": _q_path_filter,

@@ -128,14 +128,16 @@ class SlotsCurator:
             for col, cspec in cur.categoricals.items():
                 if col not in cur.df.columns:
                     continue
+                # both sides cast to string so a non-string registry
+                # field still joins against the stringified probe
                 domain = cspec.registry.select(
-                    F.col(cspec.field).alias("__v")
+                    F.col(cspec.field).cast("string").alias("__v")
                 ).distinct()
                 if cspec.synonyms_field:
                     domain = domain.unionByName(
                         synonym_map(
                             cspec.registry, cspec.field, cspec.synonyms_field
-                        ).select(F.col("__syn").alias("__v"))
+                        ).select(F.col("__syn").cast("string").alias("__v"))
                     ).distinct()
                 bad = (
                     cur.df.select(F.col(col).cast("string").alias("__v"))

@@ -15,7 +15,9 @@ pivot agg) + broadcast dim join — time should scale ~linearly with
 entity count, with no plan change (the broadcast stays a broadcast,
 the pivot's agg state is 3 counters per entity).
 
-Usage: python scripts/scale_registry.py [sf_dir] [scratch] -> one JSON line.
+Usage: python scripts/scale_registry.py [sf_dir] [scratch] [mults]
+-> one JSON line. ``mults`` is a comma list (default "1,10,120";
+round-12 extension runs "1,1000" for the 1000× point).
 """
 
 from __future__ import annotations
@@ -67,8 +69,13 @@ def main() -> None:
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region")
 
+    mults = (
+        tuple(int(x) for x in sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else (1, 10, 120)
+    )
     out: dict[str, dict] = {}
-    for mult in (1, 10, 120):
+    for mult in mults:
         if mult == 1:
             c, o = c1, o1
         else:
