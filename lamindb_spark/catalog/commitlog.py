@@ -985,11 +985,11 @@ def delete_where(
     }
 
 
-def history(table_path: str) -> list[dict]:
+def history(table_path: str, store: LogStore | None = None) -> list[dict]:
     """The table's commit history, newest first — version, wall-clock
     timestamp, operation, add/remove counts and the full metadata
     (Delta's DESCRIBE HISTORY). Reads only the metadata-sized log."""
-    log = CommitLog(table_path)
+    log = CommitLog(table_path, store)
     out = []
     for v, body in _commit_bodies(log):
         out.append(

@@ -366,10 +366,26 @@ class Lakehouse:
             )
             self._overwrite(name, flat)
 
-    def read_raw(self, name: str) -> DataFrame:
-        """Registry scan WITHOUT default filters (engine internal)."""
+    def read_raw(self, name: str, version: int | None = None) -> DataFrame:
+        """Registry scan WITHOUT default filters (engine internal).
+
+        ``version`` (commit-log tier only) time-travels the registry
+        to an earlier committed snapshot — free from the log, the
+        audit capability the reference models with explicit
+        ``created_at``/history rows. Snapshots older than the log
+        retention window raise from the log layer."""
         if name not in REGISTRY_SCHEMAS:
             raise KeyError(f"unknown registry {name!r}; known: {sorted(REGISTRY_SCHEMAS)}")
+        if version is not None and not self._use_commitlog:
+            raise ValueError(
+                "registry time travel needs the commit-log tier "
+                "(Lakehouse(registry_log_store=...))"
+            )
+        if self._use_commitlog and version is not None:
+            _v, files = self._cl_log(name).snapshot(version)
+            if not files:
+                return self.spark.createDataFrame([], REGISTRY_SCHEMAS[name])
+            return self.spark.read.schema(REGISTRY_SCHEMAS[name]).parquet(*files)
         if self._use_commitlog:
             files = self._cl_files(name)
             # remember the exact snapshot this scan pins (plans bake
@@ -614,6 +630,19 @@ class Lakehouse:
         counters[name] = start + n - 1
         self._persist_counters()
         return start
+
+    def registry_history(self, name: str) -> list[dict]:
+        """Commit history of one registry (commit-log tier): version,
+        timestamp, op, file counts — DESCRIBE HISTORY for the registry
+        audit trail, read from metadata-sized commit objects only."""
+        if not self._use_commitlog:
+            raise ValueError(
+                "registry history needs the commit-log tier "
+                "(Lakehouse(registry_log_store=...))"
+            )
+        from .commitlog import history
+
+        return history(self._table_path(name), self.registry_log_store)
 
     def store_has_ledger(self, name: str) -> bool:
         """True when the id ledger has any reservation for ``name``."""

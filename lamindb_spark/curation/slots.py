@@ -73,14 +73,39 @@ def _resolve_dict_path(d: dict, parts: list[str], slot: str) -> dict:
 class SlotsCurator:
     """Base slot curator: subclasses resolve slot names to DataFrames
     (``_resolve_slot``) and rebuild their dataset from standardized
-    frames (``_rebuild``)."""
+    frames (``_rebuild``).
 
-    def __init__(self, dataset, slots: dict[str, SlotSpec]):
+    The reserved ``__external__`` slot (reference ``core.py:528-544``)
+    validates dataset-EXTERNAL features — a plain dict the caller
+    supplies (``external_features=``) describing context the payload
+    itself cannot carry (assay, organism, batch ids). Declaring the
+    slot without providing the dict raises, like the reference's
+    ValidationError; on save the dict lands as artifact annotation
+    rows alongside the categorical values."""
+
+    def __init__(
+        self,
+        dataset,
+        slots: dict[str, SlotSpec],
+        external_features: dict | None = None,
+    ):
         self._dataset = dataset
         self._slot_specs = dict(slots)
+        self._external = external_features
         self._slots: dict[str, DataFrameCurator] = {}
         for slot, sspec in self._slot_specs.items():
-            df = self._resolve_slot(slot)
+            if slot == "__external__":
+                if external_features is None:
+                    raise CurationError(
+                        "the '__external__' slot is declared but no "
+                        "external_features dict was provided"
+                    )
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                df = _dict_frame(spark, external_features, slot)
+            else:
+                df = self._resolve_slot(slot)
             self._slots[slot] = DataFrameCurator(
                 df, sspec.spec, sspec.categoricals, sspec.defaults
             )
@@ -166,9 +191,15 @@ class SlotsCurator:
         rebuilt into a new curator over the standardized dataset
         (reference ``Curator.standardize`` applied slot-wise)."""
         frames = {
-            slot: cur.standardize().df for slot, cur in self._slots.items()
+            slot: cur.standardize().df
+            for slot, cur in self._slots.items()
+            if slot != "__external__"
         }
-        return type(self)(self._rebuild(frames), self._slot_specs)
+        return type(self)(
+            self._rebuild(frames),
+            self._slot_specs,
+            external_features=self._external,
+        )
 
     def save_artifact(self, lakehouse, key: str, description: str | None = None):
         """Validate; on success persist the payload and annotate the
@@ -203,6 +234,10 @@ class SlotsCurator:
                 merged[col] = vals
         for col, vals in merged.items():
             lakehouse.annotate("artifact", art["id"], {col: vals}, explode_lists=True)
+        if "__external__" in self._slots and self._external:
+            # external features are scalar context values, one row each
+            # (reference: artifact._external_features, core.py:601-602)
+            lakehouse.annotate("artifact", art["id"], dict(self._external))
         return art
 
 
@@ -215,16 +250,26 @@ class AnnDataCurator(SlotsCurator):
     ``var`` is already one row per variable, so an itype-style check
     of the var index is just a categorical on ``var_id``."""
 
-    def __init__(self, dataset, slots: dict[str, SlotSpec], uns: dict | None = None):
+    def __init__(
+        self,
+        dataset,
+        slots: dict[str, SlotSpec],
+        uns: dict | None = None,
+        external_features: dict | None = None,
+    ):
         self._uns = uns or {}
         for slot in slots:
-            if slot not in ("obs", "var") and not slot.startswith("uns"):
+            if (
+                slot not in ("obs", "var", "__external__")
+                and not slot.startswith("uns")
+            ):
                 raise ValueError(
-                    "AnnDataCurator supports the slots 'obs', 'var' and "
-                    f"'uns[:key]', not {slot!r} (long-form var needs no "
-                    "'var.T' — validate 'var_id' as a categorical instead)"
+                    "AnnDataCurator supports the slots 'obs', 'var', "
+                    f"'uns[:key]' and '__external__', not {slot!r} "
+                    "(long-form var needs no 'var.T' — validate "
+                    "'var_id' as a categorical instead)"
                 )
-        super().__init__(dataset, slots)
+        super().__init__(dataset, slots, external_features=external_features)
 
     def _resolve_slot(self, slot: str) -> DataFrame:
         if slot in ("obs", "var"):
@@ -251,7 +296,12 @@ class AnnDataCurator(SlotsCurator):
             for slot, cur in self._slots.items()
             if slot in ("obs", "var")
         }
-        return AnnDataCurator(self._rebuild(frames), self._slot_specs, self._uns)
+        return AnnDataCurator(
+            self._rebuild(frames),
+            self._slot_specs,
+            self._uns,
+            external_features=self._external,
+        )
 
     def _write_payload(self, lakehouse, key: str) -> tuple[str, str]:
         from ..sources.anndata_long import write_anndata_long_parquet

@@ -232,3 +232,32 @@ def test_register_dir_and_compaction_on_commitlog_tier(cl_lakehouse, tmp_path):
     # artifact registry untouched by ulabel compaction
     after = {(r["key"], r["hash"]) for r in lh.read_raw("artifact").collect()}
     assert after == before
+
+
+def test_registry_time_travel_and_history(cl_lakehouse):
+    """Time travel + DESCRIBE HISTORY fall out of the log for free:
+    a registry read at an earlier version returns exactly the rows
+    committed by then; history lists every commit newest-first."""
+    lh = cl_lakehouse
+    lh.save("ulabel", [{"name": "v1"}])
+    v_after_first = lh.registry_history("ulabel")[0]["version"]
+    lh.save("ulabel", [{"name": "v2"}])
+    now = {r["name"] for r in lh.read_raw("ulabel").collect()}
+    assert now == {"v1", "v2"}
+    then = {
+        r["name"]
+        for r in lh.read_raw("ulabel", version=v_after_first).collect()
+    }
+    assert then == {"v1"}
+    hist = lh.registry_history("ulabel")
+    assert [h["version"] for h in hist] == sorted(
+        (h["version"] for h in hist), reverse=True
+    )
+    assert all(h["op"] in ("append", "overwrite") for h in hist)
+
+
+def test_time_travel_rejected_on_bucketed_tier(lakehouse):
+    with pytest.raises(ValueError, match="commit-log tier"):
+        lakehouse.read_raw("branch", version=0)
+    with pytest.raises(ValueError, match="commit-log tier"):
+        lakehouse.registry_history("branch")

@@ -215,3 +215,39 @@ def test_spatialdata_table_and_points_slots(spark, cell_registry, gene_registry)
     assert rep["slots"]["tables:t0:obs"]["categoricals"] == {
         "cell_type": ["NK cell"]
     }
+
+
+def test_external_features_slot(spark, lakehouse, cell_registry, gene_registry):
+    """Reference core.py:528-544: the '__external__' slot validates a
+    caller-supplied dict; declaring it without the dict raises; on
+    save the values land as artifact annotations."""
+    import json
+
+    ad = _adata(spark, cell_types=("T-cell",))
+    slots = {
+        "obs": SlotSpec(
+            spec=SchemaSpec(features={"obs_id": "string", "cell_type": "string"}),
+            categoricals={
+                "cell_type": CategoricalSpec(cell_registry, "name", "synonyms")
+            },
+        ),
+        "__external__": SlotSpec(
+            spec=SchemaSpec(features={"assay": "string", "organism": "string"})
+        ),
+    }
+    with pytest.raises(Exception, match="external"):
+        AnnDataCurator(ad, slots)  # declared but not provided
+
+    bad = AnnDataCurator(ad, slots, external_features={"assay": "10x"})
+    rep = bad.validate()
+    assert not rep["is_valid"]
+    assert rep["slots"]["__external__"]["columns"]["missing"] == ["organism"]
+
+    ok = AnnDataCurator(
+        ad, slots, external_features={"assay": "10x", "organism": "human"}
+    ).standardize()
+    assert ok.validate()["is_valid"]
+    art = ok.save_artifact(lakehouse, "arrays/ext.anndata")
+    feats = json.loads(lakehouse.describe_artifact("arrays/ext.anndata"))["features"]
+    assert feats["assay"] == "10x" and feats["organism"] == "human"
+    assert feats["cell_type"] == "T cell"
