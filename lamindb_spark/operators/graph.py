@@ -254,6 +254,71 @@ def creates_cycle(
     return reached.filter(F.col("id") == new_child).limit(1).count() > 0
 
 
+def _round_half_up(arr, digits: int):
+    """Vectorized ROUND_HALF_UP matching Spark's ``F.round`` on
+    doubles exactly. Spark rounds via Scala ``BigDecimal(double)`` =
+    ``java.math.BigDecimal.valueOf`` — HALF_UP on the double's
+    SHORTEST decimal repr, which is precisely Python's
+    ``Decimal(repr(x))``. The fast path is the floor(+0.5) trick;
+    values whose scaled fraction sits inside a relative guard band of
+    the .5 boundary (where the float multiply cannot attest the side
+    — including the systematic teleport/n midpoints documented below)
+    re-round through Decimal, deduped by value, so the exact path
+    costs O(unique boundary values), not O(n)."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    y = arr * scale
+    fl = np.floor(y)
+    frac = y - fl
+    out = np.where(frac >= 0.5, fl + 1.0, fl) / scale
+    band = np.abs(frac - 0.5) < 1e-9 * np.maximum(1.0, np.abs(y))
+    if band.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-digits)
+        vals = arr[band]
+        cache: dict = {}
+        exact = np.empty(vals.shape, dtype=np.float64)
+        for i, v in enumerate(vals.tolist()):
+            dv = cache.get(v)
+            if dv is None:
+                dv = float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+                cache[v] = dv
+            exact[i] = dv
+        out[band] = exact
+    return out
+
+
+def _pagerank_local(
+    spark, graph_pdf, nodes_pdf, damping, iters, round_to, teleport
+) -> DataFrame:
+    """Driver-local power iteration for under-threshold graphs: the
+    SAME update rule as the distributed loop (round-6 ranks each
+    iteration, no dangling redistribution), as n·iters numpy ops with
+    bincount-summed inflows. Summation order differs from Spark's
+    partial aggregation — moot by the same round_to argument that
+    already licenses AQE task-order nondeterminism in the distributed
+    path (and pinned bit-identical by test + the DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    nodes_list = nodes_pdf["node"].tolist()
+    n = len(nodes_list)
+    index = {v: i for i, v in enumerate(nodes_list)}
+    src_i = graph_pdf["src"].map(index).to_numpy(dtype=np.int64)
+    dst_i = graph_pdf["dst"].map(index).to_numpy(dtype=np.int64)
+    w = 1.0 / graph_pdf["outdeg"].to_numpy(dtype=np.float64)
+    base = teleport / n
+    ranks = _round_half_up(np.full(n, 1.0 / n), round_to)
+    for _ in range(iters):
+        inflow = np.bincount(dst_i, weights=ranks[src_i] * w, minlength=n)
+        ranks = _round_half_up(base + damping * inflow, round_to)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes_list, "rank": ranks})
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -263,6 +328,7 @@ def pagerank(
     round_to: int = 6,
     checkpoint_every: int = 2,
     checkpoint_edges: bool = True,
+    local: bool | None = None,
 ) -> DataFrame:
     """Distributed PageRank (power iteration with damping) — the
     classic importance measure for lineage/citation/link graphs the
@@ -316,11 +382,6 @@ def pagerank(
     # one-core iteration (review finding). graph.count() reads the
     # just-checkpointed blocks, ~free.
     small = n <= 200_000 and graph.count() <= 2_000_000
-    if small:
-        # no re-checkpoint: coalesce over the checkpointed frames just
-        # narrows every downstream stage to one task
-        nodes = nodes.coalesce(1)
-        graph = graph.coalesce(1)
     # Teleport constant via DECIMAL subtraction: SQL engines constant-
     # fold `1.0 - 0.85` exactly (0.15 → nearest double 0.1499…94),
     # while Python float subtraction gives 0.15000…02 — the two land on
@@ -330,6 +391,31 @@ def pagerank(
     from decimal import Decimal
 
     teleport = float(Decimal(1) - Decimal(str(damping)))
+    if small and local is not False:
+        # r12: under the threshold the whole iteration runs DRIVER-
+        # LOCAL — SCALE.md §iterative-job-floors measured the
+        # distributed loop's wall time as ~23 sequential stage
+        # submissions × ~50 ms scheduler floor with microseconds of
+        # math; this is the AQE-style "small enough → local" choice,
+        # with the collect bounded by the SAME threshold that
+        # previously gated single-partition mode (≤200k nodes / ≤2M
+        # edges ≈ tens of MB). Above it, the scale path below is
+        # unchanged. `local=False` forces the distributed loop (the
+        # equality test pins both paths bit-identical).
+        return _pagerank_local(
+            edges.sparkSession,
+            graph.toPandas(),
+            nodes.toPandas(),
+            damping,
+            iters,
+            round_to,
+            teleport,
+        )
+    if small:
+        # no re-checkpoint: coalesce over the checkpointed frames just
+        # narrows every downstream stage to one task
+        nodes = nodes.coalesce(1)
+        graph = graph.coalesce(1)
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), round_to).alias("rank"))
     for it in range(iters):
         contrib = (

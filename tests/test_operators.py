@@ -226,3 +226,47 @@ def test_pagerank_hand_computed_iteration(spark):
     # more iterations keep the hub ordering
     out5 = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
     assert out5[3] > out5[1] > out5[2]
+
+
+def test_pagerank_local_path_bit_identical_to_distributed(spark):
+    """r12 driver-local fast path (under-threshold graphs): the numpy
+    iteration must reproduce the distributed loop's round-6 ranks
+    EXACTLY — same HALF_UP rounding as Spark's F.round (Decimal on
+    the .5 ambiguity band), dangling mass not redistributed."""
+    from lamindb_spark.operators.graph import pagerank
+
+    # star + chain + dangling sink + a 20000-node-style teleport case
+    rows = (
+        [(f"h", f"s{i}") for i in range(50)]
+        + [(f"s{i}", f"s{i+1}") for i in range(49)]
+        + [("a", "b"), ("b", "c"), ("c", "a"), ("x", "dangling")]
+    )
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    loc = {
+        (r["node"], r["rank"])
+        for r in pagerank(edges, iters=5).collect()
+    }
+    dist = {
+        (r["node"], r["rank"])
+        for r in pagerank(edges, iters=5, local=False).collect()
+    }
+    assert loc == dist
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The local path's rounding on adversarial .5-boundary values ==
+    Spark F.round (BigDecimal.valueOf HALF_UP semantics)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.operators.graph import _round_half_up
+
+    vals = [
+        7.5e-06, 6.5e-06, 8.5e-06, 1.5e-06, 2.5e-06,  # exact midpoints
+        0.1499999 / 20000, 0.15 / 20000,              # teleport shapes
+        1.0000005, 0.9999995, 0.12345649999, 0.1234565,
+    ]
+    got = _round_half_up(np.array(vals), 6).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = [r["r"] for r in df.select(F.round("v", 6).alias("r")).collect()]
+    assert got == want
