@@ -230,6 +230,18 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("optional", BooleanType()),
         ]
     ),
+    # composite Schema → per-slot component Schema (reference
+    # ``SchemaComponent``, ``models/schema.py:1573-1581``: unique on
+    # (composite, slot) — a composite AnnData/MuData schema names one
+    # flat component schema per slot)
+    "schema_components": StructType(
+        [
+            _f("composite_id", LongType(), False),
+            _f("component_id", LongType(), False),
+            _f("slot", StringType(), False),
+            _f("created_at", TimestampType()),
+        ]
+    ),
     # EAV annotation long table (unifies the reference's JsonValue /
     # ArtifactJsonValue / RecordJson / ArtifactULabel link tables)
     "annotation": StructType(

@@ -8,3 +8,9 @@ from .slots import (  # noqa: F401
     SlotsCurator,
     SpatialDataCurator,
 )
+from .slots import (  # noqa: F401
+    curator_from_schema,
+    save_composite_schema,
+    save_feature_schema,
+    slotspec_from_schema,
+)

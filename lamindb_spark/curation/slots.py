@@ -70,6 +70,176 @@ def _resolve_dict_path(d: dict, parts: list[str], slot: str) -> dict:
     return d
 
 
+# --------------------------------------------------- registry-backed schemas
+#
+# The reference's SlotsCurator takes a SAVED Schema entity whose
+# ``slots`` map to per-slot component schemas (``Schema(slots={"obs":
+# obs_schema, ...})``, models/schema.py:1392-1410, persisted through
+# the SchemaComponent link table :1573-1581). The engine equivalents:
+# flat schemas live in the ``schema`` + ``schema_features`` registries
+# (already used by sheets), composites in ``schema_components``.
+
+
+def save_feature_schema(
+    lh,
+    name: str,
+    features: dict[str, str],
+    optional: set[str] | None = None,
+    itype: str = "Feature",
+    minimal_set: bool = True,
+    maximal_set: bool = False,
+    ordered_set: bool = False,
+) -> dict:
+    """Persist a FLAT schema: get-or-create its features by name
+    (``feature`` registry, dtype in the reference's dtype-string
+    vocabulary — 'str'/'int'/'float'/'cat[...]'), one ``schema`` row
+    with the column-set flags, one ``schema_features`` link per
+    member. Returns the schema row."""
+    from .validate import from_values
+
+    feats = from_values(
+        lh, "feature", list(features), field="name"
+    ).select("id", "name").collect()
+    fid = {r["name"]: r["id"] for r in feats}
+    row = lh.save(
+        "schema",
+        [{
+            "name": name,
+            "itype": itype,
+            "n_members": len(features),
+            "minimal_set": minimal_set,
+            "maximal_set": maximal_set,
+            "ordered_set": ordered_set,
+        }],
+    )[0]
+    # stamp dtypes on the member features (idempotent re-save by uid)
+    feat_rows = {
+        r["name"]: r.asDict()
+        for r in lh.read_raw("feature").filter(F.col("name").isin(list(features))).collect()
+    }
+    lh.save(
+        "feature",
+        [
+            {**feat_rows[n], "dtype_str": dt}
+            for n, dt in features.items()
+            if feat_rows[n].get("dtype_str") != dt
+        ],
+    )
+    lh._append(
+        "schema_features",
+        [
+            {
+                "schema_id": row["id"],
+                "feature_id": fid[n],
+                "optional": n in (optional or set()),
+            }
+            for n in features
+        ],
+    )
+    return row
+
+
+def save_composite_schema(
+    lh, name: str, slots: dict[str, int], otype: str = "AnnData"
+) -> dict:
+    """Persist a COMPOSITE schema: one ``schema`` row (itype =
+    ``otype``, the reference's composite marker) plus one
+    ``schema_components`` link per (slot, component schema id)."""
+    from ..catalog.lakehouse import _now
+
+    row = lh.save(
+        "schema", [{"name": name, "itype": otype, "n_members": len(slots)}]
+    )[0]
+    lh._append(
+        "schema_components",
+        [
+            {
+                "composite_id": row["id"],
+                "component_id": sid,
+                "slot": slot,
+                "created_at": _now(),
+            }
+            for slot, sid in slots.items()
+        ],
+    )
+    return row
+
+
+def slotspec_from_schema(lh, schema_id: int, categoricals=None) -> SlotSpec:
+    """Rehydrate one flat schema row + its feature links into a
+    :class:`SlotSpec` (dtype strings map through the same table the
+    sheets renderer uses). ``categoricals`` attach registry domains —
+    they are DataFrames, so they stay call-time arguments like the
+    reference's field-attr lookups."""
+    from ..catalog.sheets import schema_feature_specs
+
+    srow = lh.read_raw("schema").filter(F.col("id") == schema_id).first()
+    if srow is None:
+        raise KeyError(f"no schema with id {schema_id}")
+    specs = schema_feature_specs(lh, schema_id)
+    bridge = (
+        lh.read_raw("schema_features")
+        .filter(F.col("schema_id") == schema_id)
+        .select("feature_id", "optional")
+    )
+    feats = lh.read_raw("feature").select(
+        F.col("id").alias("feature_id"), "name"
+    )
+    opt = {
+        r["name"]
+        for r in bridge.join(feats, "feature_id").filter(F.col("optional")).collect()
+    }
+    return SlotSpec(
+        spec=SchemaSpec(
+            features=dict(specs),
+            minimal_set=bool(srow["minimal_set"]) if srow["minimal_set"] is not None else True,
+            maximal_set=bool(srow["maximal_set"] or False),
+            ordered_set=bool(srow["ordered_set"] or False),
+            optional=opt,
+        ),
+        categoricals=categoricals or {},
+    )
+
+
+def curator_from_schema(lh, dataset, composite_schema_id: int, categoricals=None, **kwargs):
+    """The reference entry point: ``SlotsCurator(dataset, schema)``
+    with a SAVED composite schema — resolve its slot links, rehydrate
+    each component into a SlotSpec, and dispatch on the composite's
+    otype (AnnData/MuData/SpatialData). ``categoricals`` maps slot →
+    {column: CategoricalSpec} for registry-domain checks."""
+    srow = lh.read_raw("schema").filter(F.col("id") == composite_schema_id).first()
+    if srow is None:
+        raise KeyError(f"no schema with id {composite_schema_id}")
+    links = (
+        lh.read_raw("schema_components")
+        .filter(F.col("composite_id") == composite_schema_id)
+        .select("slot", "component_id")
+        .collect()
+    )
+    if not links:
+        raise ValueError(
+            f"schema {srow['name']!r} has no slot components — flat "
+            "schemas curate via DataFrameCurator"
+        )
+    slot_specs = {
+        r["slot"]: slotspec_from_schema(
+            lh, r["component_id"], (categoricals or {}).get(r["slot"])
+        )
+        for r in links
+    }
+    cls = {
+        "AnnData": AnnDataCurator,
+        "MuData": MuDataCurator,
+        "SpatialData": SpatialDataCurator,
+    }.get(srow["itype"])
+    if cls is None:
+        raise ValueError(
+            f"composite otype {srow['itype']!r} has no slot curator "
+            "(expected AnnData/MuData/SpatialData)"
+        )
+    return cls(dataset, slot_specs, **kwargs)
+
+
 class SlotsCurator:
     """Base slot curator: subclasses resolve slot names to DataFrames
     (``_resolve_slot``) and rebuild their dataset from standardized

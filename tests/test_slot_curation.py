@@ -251,3 +251,60 @@ def test_external_features_slot(spark, lakehouse, cell_registry, gene_registry):
     feats = json.loads(lakehouse.describe_artifact("arrays/ext.anndata"))["features"]
     assert feats["assay"] == "10x" and feats["organism"] == "human"
     assert feats["cell_type"] == "T cell"
+
+
+def test_saved_composite_schema_drives_curation(spark, lakehouse, cell_registry):
+    """Reference flow: Schema(slots={'obs': obs_schema, 'var':
+    var_schema}, otype='AnnData').save() then SlotsCurator(dataset,
+    schema) — the engine persists flat schemas (schema +
+    schema_features), composites (schema_components), and rehydrates
+    them into a working AnnDataCurator."""
+    from lamindb_spark.curation.slots import (
+        curator_from_schema,
+        save_composite_schema,
+        save_feature_schema,
+    )
+
+    obs_schema = save_feature_schema(
+        lakehouse, "obs-schema", {"obs_id": "str", "cell_type": "str"}
+    )
+    var_schema = save_feature_schema(
+        lakehouse, "var-schema", {"var_id": "str"}
+    )
+    comp = save_composite_schema(
+        lakehouse,
+        "anndata-schema",
+        {"obs": obs_schema["id"], "var": var_schema["id"]},
+        otype="AnnData",
+    )
+
+    ad = _adata(spark, cell_types=("T-cell", "NK cell"))
+    cur = curator_from_schema(
+        lakehouse,
+        ad,
+        comp["id"],
+        categoricals={
+            "obs": {"cell_type": CategoricalSpec(cell_registry, "name", "synonyms")}
+        },
+    )
+    assert isinstance(cur, AnnDataCurator)
+    assert set(cur.slots) == {"obs", "var"}
+    rep = cur.validate()
+    assert not rep["is_valid"]
+    assert rep["slots"]["obs"]["categoricals"] == {"cell_type": ["NK cell"]}
+    assert rep["slots"]["var"]["is_valid"]
+
+    # a frame missing a declared column fails the rehydrated flags
+    from lamindb_spark.sources.anndata_long import AnnDataLong
+
+    bad = AnnDataLong(
+        obs=ad.obs.drop("cell_type"), var=ad.var, x=ad.x
+    )
+    rep2 = curator_from_schema(lakehouse, bad, comp["id"]).validate()
+    assert rep2["slots"]["obs"]["columns"]["missing"] == ["cell_type"]
+
+    # flat schema id -> error with guidance; unknown id -> KeyError
+    with pytest.raises(ValueError, match="no slot components"):
+        curator_from_schema(lakehouse, ad, obs_schema["id"])
+    with pytest.raises(KeyError):
+        curator_from_schema(lakehouse, ad, 99999)
