@@ -83,6 +83,10 @@ RELATIONS: dict[str, dict[str, Rel]] = {
     "collection": {
         "artifacts": Rel("artifact", "id", bridge="collection_artifacts",
                          bridge_local="collection_id", bridge_remote="artifact_id"),
+        "ulabels": Rel("ulabel", "id", bridge="collection_ulabels",
+                       bridge_local="collection_id", bridge_remote="ulabel_id"),
+        "projects": Rel("project", "id", bridge="collection_projects",
+                        bridge_local="collection_id", bridge_remote="project_id"),
     },
     "project": {
         "type": Rel("project", "type_id"),
@@ -773,6 +777,181 @@ class QuerySet:
             truncate_string=truncate_string,
         )
         return self._clone(out, ordered=True)
+
+    # ------------------------------------------------ artifact-set surface
+    # Reference ``ArtifactSet`` (artifact_set.py:34-133): every artifact
+    # query set additionally supports load/open/mapped over the member
+    # payloads, and any record set supports to_artifact export
+    # (artifact_set.py:324-380).
+
+    _ARRAY_OTYPES = ("AnnDataLong", "MuDataLong", "SpatialDataLong")
+    _ARRAY_SUFFIXES = (".h5ad", ".h5mu", ".zarr", ".tiledbsoma")
+
+    def _artifact_rows(self, op: str) -> list:
+        """Materialize the set's artifact rows (the reference iterates
+        the queryset the same way — ``list(self)``,
+        ``artifact_set.py:57``; registry rows are metadata-sized).
+        Warns when unordered, like the reference's UNORDERED_WARNING
+        (``artifact_set.py:28``)."""
+        if self.registry != "artifact":
+            raise TypeError(
+                f".{op}() is only available on artifact query sets, "
+                f"not {self.registry!r}"
+            )
+        if not self._ordered:
+            logger.warning(
+                "this query set is unordered, consider using `.order_by()` "
+                "first to avoid opening the artifacts in an arbitrary order"
+            )
+        rows = self.all()._df.collect()  # bounded: registry metadata rows
+        if not rows:
+            raise ValueError(f"cannot {op}() an empty artifact set")
+        for r in rows:
+            if (r["otype"] in self._ARRAY_OTYPES) or (
+                (r["suffix"] or "") in self._ARRAY_SUFFIXES
+            ):
+                raise NotImplementedError(
+                    f".{op}() concatenates tabular payloads; artifact "
+                    f"{r['uid']} is an array store ({r['otype'] or r['suffix']}) "
+                    "— open it individually via Lakehouse.open_artifact"
+                )
+        return rows
+
+    def _track_inputs(self, rows: list, is_run_input: bool | None) -> None:
+        """L3 run-input lineage for set-level access (reference
+        ``track_run_input`` on the full artifact list,
+        ``artifact_set.py:60``): one bulk append, only after the
+        open/load succeeded."""
+        track = self.lh.current_run_id is not None if is_run_input is None else is_run_input
+        if track and self.lh.current_run_id is not None:
+            self.lh._append(
+                "run_input_artifacts",
+                [
+                    {"run_id": self.lh.current_run_id, "artifact_id": r["id"]}
+                    for r in rows
+                ],
+            )
+
+    def load(self, join: str = "outer", is_run_input: bool | None = None) -> DataFrame:
+        """One DataFrame over every artifact in the set (reference
+        ``ArtifactSet.load`` → ``_load_concat_artifacts``,
+        ``artifact_set.py:47-62``): a lazy union of the member payload
+        scans — ``join='outer'`` is the union of columns (missing →
+        NULL), ``join='inner'`` the intersection, mirroring the pandas
+        concat semantics the reference delegates to. No payload bytes
+        move on the driver; Spark's unionByName is the concat."""
+        from functools import reduce
+
+        from ..sources.readers import read_payload
+
+        if join not in ("inner", "outer"):
+            raise ValueError(f"join must be 'inner' or 'outer', got {join!r}")
+        rows = self._artifact_rows("load")
+        dfs = [
+            read_payload(
+                self.lh.spark, self.lh.artifact_path(r), r["suffix"] or ".parquet"
+            )
+            for r in rows
+        ]
+        if join == "inner":
+            common = set(dfs[0].columns)
+            for d in dfs[1:]:
+                common &= set(d.columns)
+            if not common:
+                raise ValueError("no common columns across artifacts for join='inner'")
+            cols = [c for c in dfs[0].columns if c in common]
+            out = reduce(DataFrame.unionByName, [d.select(*cols) for d in dfs])
+        else:
+            out = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+        self._track_inputs(rows, is_run_input)
+        return out
+
+    def open(self, engine: str = "spark", is_run_input: bool | None = None):
+        """Dataset handle over the member payload paths (reference
+        ``ArtifactSet.open`` → ``_open_dataframe``,
+        ``artifact_set.py:64-82`` / ``_backed_access.py``):
+
+        - ``engine='spark'`` (the engine the reference lacks) — the
+          lazy multi-path parquet scan: implicit UNION ALL with
+          per-file predicate pushdown and partition pruning;
+        - ``engine='pyarrow'`` — a ``pyarrow.dataset.Dataset`` over the
+          paths (reference ``_pyarrow_dataset.py``);
+        - ``engine='polars'`` — an iterator of polars LazyFrames
+          (reference ``_polars_lazy_df.py``), import-gated since polars
+          is not a required dependency."""
+        rows = self._artifact_rows("open")
+        bad = {(r["suffix"] or ".parquet") for r in rows} - {".parquet"}
+        if bad:
+            raise ValueError(
+                f"open() requires parquet payloads; set contains {sorted(bad)}"
+            )
+        paths = [self.lh.artifact_path(r) for r in rows]
+        self._track_inputs(rows, is_run_input)
+        if engine == "spark":
+            return self.lh.spark.read.parquet(*paths)
+        from .lakehouse import _local_path
+
+        local = [_local_path(p) for p in paths]
+        if engine == "pyarrow":
+            import pyarrow.dataset as pads
+
+            # payload paths are directories of part files; a list passed
+            # to pads.dataset must be file paths, so union per-path
+            # datasets instead (pyarrow's documented nested-dataset form)
+            return pads.dataset([pads.dataset(p, format="parquet") for p in local])
+        if engine == "polars":
+            try:
+                import polars as pl  # noqa: F401
+            except ImportError as e:  # pragma: no cover - polars absent here
+                raise ImportError(
+                    "engine='polars' requires the polars package"
+                ) from e
+            return (pl.scan_parquet(p) for p in local)
+        raise ValueError(f"unknown engine {engine!r}")
+
+    def mapped(self, label_col: str | None = None, is_run_input: bool | None = None):
+        """Random-access :class:`~lamindb_spark.pipeline.mapped.
+        MappedCollection` over the set's payloads (reference
+        ``ArtifactSet.mapped``, ``artifact_set.py:85-133``) — the ML
+        DataLoader view; §2.16."""
+        from ..pipeline.mapped import MappedCollection
+        from .lakehouse import _local_path
+
+        rows = self._artifact_rows("mapped")
+        paths = [_local_path(self.lh.artifact_path(r)) for r in rows]
+        self._track_inputs(rows, is_run_input)
+        return MappedCollection(paths, label_col=label_col)
+
+    def to_artifact(
+        self,
+        key: str | None = None,
+        suffix: str | None = None,
+        **kwargs: Any,
+    ) -> dict:
+        """Export the set's wide frame as a saved artifact (reference
+        ``RecordSet.to_artifact``, ``artifact_set.py:324-380``): calls
+        :meth:`to_dataframe` and registers the result under
+        ``record_exports/{registry}_subset{suffix}`` (format from the
+        key's suffix, default ``.csv`` — reference default). Unlike the
+        interactive ``to_dataframe``, the export defaults to the FULL
+        set (``limit=None``) — an export that silently truncated to 20
+        rows would be wrong."""
+        assert key is None or suffix is None, "Only one of key or suffix can be passed."
+        kwargs.setdefault("limit", None)
+        pdf = self.to_dataframe(**kwargs)
+        if key is None:
+            key = f"record_exports/{self.registry}_subset{suffix or '.csv'}"
+        sdf = self.lh.spark.createDataFrame(pdf)
+        # all-null pandas columns infer as VOID, which csv/parquet
+        # writers reject — export them as (null) strings
+        for name, dtype in sdf.dtypes:
+            if dtype == "void":
+                sdf = sdf.withColumn(name, F.col(name).cast("string"))
+        return self.lh.export_artifact(
+            sdf, key, description=f"Export of {self.registry} subset"
+        )
 
 
 class Lookup:
