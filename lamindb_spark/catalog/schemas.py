@@ -78,6 +78,11 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("kind", StringType()),
             _f("source_code", StringType()),
             _f("hash", StringType()),
+            # git provenance (reference ``transform.py`` reference/
+            # reference_type, filled by ``core/_sync_git.py:175-192``:
+            # "{repo_url}/blob/{commit}/{path}" with type "url")
+            _f("reference", StringType()),
+            _f("reference_type", StringType()),
         ]
     ),
     "run": StructType(
@@ -89,6 +94,10 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("status_code", LongType()),
             _f("params", StringType()),  # JSON
             _f("initiated_by_run_id", LongType()),
+            # compute-environment + report artifacts (reference
+            # ``run.py:283`` Run.environment, ``:268`` Run.report)
+            _f("environment_id", LongType()),
+            _f("report_id", LongType()),
         ]
     ),
     "feature": StructType(
@@ -218,6 +227,26 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
     "artifact_projects": StructType(
         [
             _f("artifact_id", LongType(), False),
+            _f("project_id", LongType(), False),
+            _f("feature_id", LongType()),
+            _f("created_at", TimestampType()),
+        ]
+    ),
+    # collection-level label/project links (reference
+    # ``ulabel.py`` CollectionULabel / ``project.py:563``
+    # CollectionProject — e.g. croissant license + project labels land
+    # on the collection as well as its member artifacts)
+    "collection_ulabels": StructType(
+        [
+            _f("collection_id", LongType(), False),
+            _f("ulabel_id", LongType(), False),
+            _f("feature_id", LongType()),
+            _f("created_at", TimestampType()),
+        ]
+    ),
+    "collection_projects": StructType(
+        [
+            _f("collection_id", LongType(), False),
             _f("project_id", LongType(), False),
             _f("feature_id", LongType()),
             _f("created_at", TimestampType()),

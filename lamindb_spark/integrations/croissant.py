@@ -1,0 +1,172 @@
+"""Croissant (MLCommons CroissantML) dataset ingest.
+
+Reference: ``lamindb/integrations/_croissant.py:17-148``
+``curate_from_croissant`` — create annotated artifacts from a
+Croissant JSON-LD document: one artifact per file distribution, a
+``License`` ULabel (typed, get-or-create) from the ``license`` field,
+a Project (get-or-create) from ``cr:projectName``, and a collection
+wrapping the artifacts when the document lists more than one
+distribution. The Croissant format itself is public
+(https://mlcommons.org/croissant).
+
+Engine mapping: registration goes through the lakehouse ingest path
+(content-hash dedup, version families), label/project links land in
+the ``artifact_ulabels``/``artifact_projects`` bridge tables — and,
+for collections, ``collection_ulabels``/``collection_projects`` — so
+the standard relation filters (``filter(ulabels__name="cc-by-4.0")``,
+``filter(projects__name=...)``) reach croissant-ingested data with no
+special casing.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+
+def _get_or_create(lh, registry: str, name: str, **extra: Any) -> dict:
+    """Get-or-create a row by name (reference's filter().first() or
+    save() idiom, ``_croissant.py:69-83``)."""
+    from ..catalog.query import QuerySet
+
+    hit = QuerySet(lh, registry).filter(name=name).first()
+    if hit is not None:
+        return dict(hit.asDict()) if hasattr(hit, "asDict") else dict(hit)
+    return lh.save(registry, [{"name": name, **extra}])[0]
+
+
+def _link(lh, bridge: str, left_col: str, left_id: int, right_col: str, right_id: int) -> None:
+    """Idempotent bridge-row append (unique on the pair, like the
+    reference link models)."""
+    from pyspark.sql import functions as F
+
+    existing = (
+        lh.read_raw(bridge)
+        .filter((F.col(left_col) == left_id) & (F.col(right_col) == right_id))
+        .limit(1)
+        .count()
+    )
+    if not existing:
+        lh._append(bridge, [{left_col: left_id, right_col: right_id}])
+
+
+def curate_from_croissant(
+    lakehouse,
+    croissant_data: str | Path | dict[str, Any],
+    run_id: int | None = None,
+) -> dict[str, Any]:
+    """Create annotated artifacts from a CroissantML document
+    (reference ``_croissant.py:17-148``).
+
+    Returns the registered collection row if the document lists
+    multiple file distributions, otherwise the single artifact row.
+    The returned dict carries ``"_kind"`` (``"artifact"`` |
+    ``"collection"``) so callers need not re-query.
+    """
+    from ..catalog.query import QuerySet
+
+    if isinstance(croissant_data, (str, Path)):
+        p = Path(croissant_data)
+        if not p.exists():
+            raise FileNotFoundError(f"File not found: {croissant_data}")
+        data = json.loads(p.read_text(encoding="utf-8"))
+    elif isinstance(croissant_data, dict):
+        data = croissant_data
+    else:
+        raise ValueError(
+            "croissant_data must be a file path, JSON string, or dictionary"
+        )
+
+    if data.get("@type") != "Dataset":
+        raise ValueError("CroissantML @type must be 'Dataset'")
+    if "name" not in data:
+        raise ValueError("CroissantML must have a 'name' field")
+
+    dataset_name = data["name"]
+    description = data.get("description")
+    version = data.get("version")
+    license_info = data.get("license")
+    project_name = data.get("cr:projectName")
+
+    # License → typed ULabel, get-or-create (reference :66-78)
+    license_label = None
+    if license_info:
+        license_type = _get_or_create(lakehouse, "ulabel", "License", is_type=True)
+        license_label = _get_or_create(
+            lakehouse,
+            "ulabel",
+            license_info,
+            description="Dataset license",
+            type_id=license_type["id"],
+        )
+    project_label = None
+    if project_name:
+        project_label = _get_or_create(lakehouse, "project", project_name)
+
+    distributions = data.get("distribution", [])
+    if not distributions:
+        raise ValueError("No file distributions found in croissant data")
+
+    artifacts: list[dict[str, Any]] = []
+    for dist in distributions:
+        file_id = dist.get("@id", "")
+        if file_id and Path(file_id).exists():
+            file_path = file_id
+        else:
+            file_path = dist.get("contentUrl", "") or data.get("url", "")
+        if not file_path:
+            raise ValueError(f"No file path found in croissant distribution: {dist}")
+        if not Path(file_path).exists():
+            raise ValueError(f"Inferred file path does not exist: {file_path}")
+        if len(distributions) == 1:
+            # dataset-level naming belongs on the artifact only when it
+            # IS the dataset (reference :116-123)
+            art_description = dataset_name + (
+                f" - {description}" if description is not None else ""
+            )
+        else:
+            art_description = None
+        key = (file_id or file_path).lstrip("/")
+        art = lakehouse.register_artifact(
+            file_path,
+            key=key,
+            description=art_description,
+            kind="dataset",
+            run_id=run_id,
+        )
+        if version:
+            QuerySet(lakehouse, "artifact").filter(id=art["id"]).update(
+                version_tag=version
+            )
+            art["version_tag"] = version
+        if license_label:
+            _link(lakehouse, "artifact_ulabels", "artifact_id", art["id"],
+                  "ulabel_id", license_label["id"])
+        if project_label:
+            _link(lakehouse, "artifact_projects", "artifact_id", art["id"],
+                  "project_id", project_label["id"])
+        artifacts.append(art)
+
+    if len(artifacts) == 1:
+        out = dict(artifacts[0])
+        out["_kind"] = "artifact"
+        return out
+
+    coll = lakehouse.create_collection(
+        dataset_name, [a["id"] for a in artifacts], description=description
+    )
+    if version:
+        QuerySet(lakehouse, "collection").filter(id=coll["id"]).update(
+            version_tag=version
+        )
+        coll["version_tag"] = version
+    if license_label:
+        _link(lakehouse, "collection_ulabels", "collection_id", coll["id"],
+              "ulabel_id", license_label["id"])
+    if project_label:
+        _link(lakehouse, "collection_projects", "collection_id", coll["id"],
+              "project_id", project_label["id"])
+    out = dict(coll)
+    out["_kind"] = "collection"
+    return out
