@@ -40,8 +40,29 @@ class Context:
         source_code: str = "",
         kind: str = "pipeline",
         params: dict[str, Any] | None = None,
+        source_path: str | None = None,
+        sync_git: bool = False,
+        track_environment: bool = False,
     ) -> "Context":
-        self.transform = _get_or_create_transform(self.lh, key, source_code, kind)
+        """Open a tracked run. ``source_path`` reads the source from a
+        file (and is what ``sync_git=True`` resolves the git
+        provenance of — reference ``core/_sync_git.py``);
+        ``track_environment=True`` freezes the Python environment into
+        a hash-deduped artifact linked as ``run.environment``
+        (reference does this unconditionally at ``_context.py:815``;
+        here it is a flag because a pip-freeze subprocess per run is a
+        measurable cost in an engine context)."""
+        if source_path is not None and not source_code:
+            with open(source_path) as fh:
+                source_code = fh.read()
+        git_ref = None
+        if sync_git and source_path is not None:
+            from .environment import transform_reference_from_git
+
+            git_ref = transform_reference_from_git(source_path)
+        self.transform = _get_or_create_transform(
+            self.lh, key, source_code, kind, git_ref=git_ref
+        )
         run_row = {
             "id": self.lh.next_id("run"),
             "uid": generate_uid(20),
@@ -66,11 +87,24 @@ class Context:
         # stamped run_id=None on its outputs)
         self._parent_run_id = self.lh.current_run_id
         self.lh.current_run_id = run_row["id"]
+        if track_environment:
+            from .environment import track_python_environment
+
+            env = track_python_environment(self.lh, run_row)
+            if env is not None:
+                self.run["environment_id"] = env["id"]
         return self
 
-    def finish(self, status_code: int = 0) -> None:
+    def finish(self, status_code: int = 0, report_path: str | None = None) -> None:
+        """Close the run; ``report_path`` registers the file as the
+        run's report artifact (reference ``_finish.py:97-106``)."""
         if self.run is None:
             return
+        if report_path is not None:
+            from .environment import attach_report
+
+            rep = attach_report(self.lh, self.run, report_path)
+            self.run["report_id"] = rep["id"]
         self.lh.save(
             "run",
             [{**self.run, "finished_at": _now(), "status_code": status_code}],
@@ -81,7 +115,11 @@ class Context:
 
 
 def _get_or_create_transform(
-    lh: Lakehouse, key: str, source_code: str, kind: str
+    lh: Lakehouse,
+    key: str,
+    source_code: str,
+    kind: str,
+    git_ref: tuple[str, str] | None = None,
 ) -> dict[str, Any]:
     """Get-or-create a Transform by (key, source hash). Reuse is scoped
     to the key's uid family (reference ``core/_context.py:700-760``):
@@ -103,7 +141,18 @@ def _get_or_create_transform(
         .first()
     )
     if existing is not None:
-        return existing.asDict()
+        row = existing.asDict()
+        if git_ref is not None and row.get("reference") is None:
+            # a re-run under git sync backfills provenance on the
+            # existing transform (reference updates transform.reference
+            # when sync resolves, core/_context.py)
+            from ..catalog.query import QuerySet
+
+            QuerySet(lh, "transform").filter(id=row["id"]).update(
+                reference=git_ref[0], reference_type=git_ref[1]
+            )
+            row["reference"], row["reference_type"] = git_ref
+        return row
     family = (
         lh.read_raw("transform")
         .filter(F.col("key") == key)
@@ -122,6 +171,8 @@ def _get_or_create_transform(
         "kind": kind,
         "source_code": source_code,
         "hash": src_hash,
+        "reference": git_ref[0] if git_ref else None,
+        "reference_type": git_ref[1] if git_ref else None,
         "is_latest": True,
         "branch_id": lh.current_branch_id,
         "created_at": _now(),

@@ -1,0 +1,114 @@
+"""Compute-environment capture + git provenance for runs/transforms.
+
+Reference:
+
+- ``core/_track_environment.py:14-31`` ``track_python_environment`` —
+  ``pip freeze`` into ``environments/run_{uid}/run_env_pip.txt``;
+- ``_finish.py:403-450`` — the frozen file is registered as an
+  Artifact (hash-deduped across runs with identical environments,
+  description ``requirements.txt``) and linked as ``run.environment``;
+- ``core/_sync_git.py:175-192`` — a transform whose source lives in a
+  git repo gets ``transform.reference =
+  "{repo_url}/blob/{commit}/{path}"`` with ``reference_type="url"``.
+
+Engine mapping: the pip-freeze file goes through the standard ingest
+path (``register_artifact`` already provides the reference's
+same-hash-reuses-artifact semantics), and the run row records
+``environment_id`` / ``report_id``. Git capture shells out to the
+local ``git`` binary, best-effort: the reference resolves the commit
+that CONTAINS the source blob (possibly cloning the remote); network
+access is out of scope here, so the engine pins the repository HEAD —
+honest provenance for committed code, and a documented divergence for
+dirty trees (the reference refuses those with BlobHashNotFound).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Any
+
+
+def track_python_environment(lh, run: dict[str, Any]) -> dict[str, Any] | None:
+    """Freeze the Python environment and attach it to the run.
+
+    Returns the environment artifact row, or None when ``pip freeze``
+    is unavailable (reference logs a warning and moves on,
+    ``_track_environment.py:27-29``)."""
+    try:
+        result = subprocess.run(
+            [sys.executable, "-m", "pip", "freeze"],
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if result.returncode != 0 or not result.stdout:
+        return None
+    with tempfile.NamedTemporaryFile(
+        "wb", suffix=".txt", prefix="run_env_pip_", delete=False
+    ) as fh:
+        fh.write(result.stdout)
+        tmp = fh.name
+    try:
+        art = lh.register_artifact(
+            tmp,
+            key=f"environments/run_{run['uid']}/run_env_pip.txt",
+            description="requirements.txt",
+            kind="__lamindb_run__",
+        )
+    finally:
+        os.unlink(tmp)
+    lh.save("run", [{**run, "environment_id": art["id"]}])
+    return art
+
+
+def attach_report(lh, run: dict[str, Any], report_path: str) -> dict[str, Any]:
+    """Register a report file and link it as ``run.report`` (reference
+    ``_finish.py:97-106`` — an existing report is overwritten)."""
+    suffix = os.path.splitext(report_path)[1] or ".html"
+    art = lh.register_artifact(
+        report_path,
+        key=f"environments/run_{run['uid']}/report{suffix}",
+        description=f"Report of run {run['uid']}",
+        kind="__lamindb_run__",
+    )
+    lh.save("run", [{**run, "report_id": art["id"]}])
+    return art
+
+
+def _git(args: list[str], cwd: str) -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", *args], cwd=cwd, capture_output=True, timeout=10
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if out.returncode != 0:
+        return None
+    return out.stdout.decode().strip() or None
+
+
+def transform_reference_from_git(path: str) -> tuple[str, str] | None:
+    """Best-effort ``(reference, reference_type)`` for a source file in
+    a git checkout (reference ``get_transform_reference_from_git_repo``,
+    ``_sync_git.py:175-192``): ``{remote_url}/blob/{HEAD}/{repo_path}``
+    with type ``"url"``. Returns None when the file is not in a git
+    repo, git is unavailable, or the repo has no remote (a local-only
+    repo has no resolvable URL to cite)."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    commit = _git(["rev-parse", "HEAD"], d)
+    if commit is None:
+        return None
+    relpath = _git(["ls-files", "--full-name", "--", os.path.abspath(path)], d)
+    if not relpath:
+        return None  # untracked file: no commit contains it
+    url = _git(["config", "--get", "remote.origin.url"], d)
+    if url is None:
+        return None
+    url = url.removesuffix(".git")
+    if url.startswith("git@"):  # git@host:org/repo → https://host/org/repo
+        url = "https://" + url[4:].replace(":", "/", 1)
+    return f"{url}/blob/{commit}/{relpath}", "url"
