@@ -1907,6 +1907,108 @@ class Lakehouse:
         if name in VERSIONED_REGISTRIES:
             self._reconcile_is_latest(name)
 
+    # ---------------------------------------------------------- blocks
+
+    def add_block(
+        self,
+        content: str = "",
+        kind: str = "readme",
+        entity_kind: str | None = None,
+        entity_id: int | None = None,
+        key: str | None = None,
+        anchor_id: int | None = None,
+        line_number: int | None = None,
+        version_tag: str | None = None,
+    ) -> dict[str, Any]:
+        """Markdown notes block (reference ``models/block.py``): either
+        standalone (``key``/``anchor_id`` — issues, pages, threaded
+        comments, Block ``:206-262``) or attached to a registry row
+        (``entity_kind``+``entity_id`` — ArtifactBlock/RunBlock/...,
+        ``:396-470``).
+
+        Reference kind semantics (``_init_versioned_attached_block``,
+        ``:51-166``): ``'comment'`` blocks are append-only and never
+        versioned; ``'readme'`` blocks form ONE version family per
+        anchor entity (or per standalone ``key``) — a new readme on the
+        same anchor revises the current head, except when the head has
+        blank content, which is returned as-is (the reference's
+        reuse-the-placeholder behavior, ``:137-146``). ``line_number``
+        carries the TransformBlock source-line anchor (``:432``)."""
+        if kind not in ("readme", "comment"):
+            raise ValueError(f"kind must be 'readme' or 'comment', got {kind!r}")
+        if (entity_kind is None) != (entity_id is None):
+            raise ValueError("entity_kind and entity_id must be passed together")
+        if entity_kind is not None and entity_kind not in REGISTRY_SCHEMAS:
+            raise KeyError(f"unknown registry {entity_kind!r}")
+        block_hash = hashlib.md5(content.encode()).hexdigest() if content else None
+        base = {
+            "content": content,
+            "hash": block_hash,
+            "kind": kind,
+            "key": key,
+            "entity_kind": entity_kind,
+            "entity_id": entity_id,
+            "anchor_id": anchor_id,
+            "line_number": line_number,
+            "version_tag": version_tag,
+            "is_latest": True,
+            "branch_id": self.current_branch_id,
+            "created_at": _now(),
+        }
+        prev = None
+        if kind == "readme" and (entity_kind is not None or key is not None):
+            fam = self.read_raw("block").filter(
+                (F.col("kind") == "readme") & F.col("is_latest")
+            )
+            if entity_kind is not None:
+                fam = fam.filter(
+                    (F.col("entity_kind") == entity_kind)
+                    & (F.col("entity_id") == entity_id)
+                )
+            else:
+                fam = fam.filter(F.col("key") == key)
+            prev = fam.orderBy(F.desc("created_at")).first()
+        if prev is not None and (prev["content"] or "") == "":
+            # blank placeholder head: reference returns it unchanged
+            return prev.asDict()
+        if prev is not None:
+            uid = self.next_version_uid("block", prev["uid"][:16])
+        else:
+            uid = base62(16) + "0000"
+        row = {"id": self.next_id("block"), "uid": uid, **base}
+        self._append("block", [row])
+        if prev is not None:
+            self._reconcile_is_latest("block", stems=[uid[:16]])
+        return row
+
+    def blocks_for(
+        self,
+        entity_kind: str | None = None,
+        entity_id: int | None = None,
+        key: str | None = None,
+        anchor_id: int | None = None,
+        kind: str | None = None,
+        latest_only: bool = True,
+    ) -> DataFrame:
+        """Blocks attached to an entity / standalone key / anchor
+        thread (reference ``.ablocks`` related managers and
+        ``Block.anchors``)."""
+        df = self.read_raw("block")
+        if entity_kind is not None:
+            df = df.filter(
+                (F.col("entity_kind") == entity_kind)
+                & (F.col("entity_id") == entity_id)
+            )
+        if key is not None:
+            df = df.filter(F.col("key") == key)
+        if anchor_id is not None:
+            df = df.filter(F.col("anchor_id") == anchor_id)
+        if kind is not None:
+            df = df.filter(F.col("kind") == kind)
+        if latest_only:
+            df = df.filter(F.col("is_latest"))
+        return df.orderBy("created_at")
+
     # ---------------------------------------------------------- labels (M2M)
 
     def link_labels(

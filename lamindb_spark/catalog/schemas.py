@@ -286,6 +286,29 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("created_at", TimestampType()),
         ]
     ),
+    # markdown notes blocks (reference ``models/block.py``: Block
+    # ``:206-262`` — standalone, with key + anchor threading — and the
+    # per-entity attached models ArtifactBlock/TransformBlock/RunBlock/
+    # CollectionBlock/RecordBlock/SchemaBlock ``:396-470``). The engine
+    # collapses the reference's per-entity Django tables into ONE
+    # registry with an (entity_kind, entity_id) discriminator — a
+    # DataFrame scan filters by entity the same way ten tables would,
+    # without ten schemas. kind: 'readme' (versioned per anchor entity)
+    # | 'comment' (append-only). uid = 16-char stem + 4-char version.
+    "block": StructType(
+        _COMMON
+        + _VERSIONED
+        + [
+            _f("content", StringType(), False),
+            _f("hash", StringType()),
+            _f("kind", StringType(), False),
+            _f("key", StringType()),
+            _f("entity_kind", StringType()),
+            _f("entity_id", LongType()),
+            _f("anchor_id", LongType()),
+            _f("line_number", LongType()),
+        ]
+    ),
 }
 
 # uid lengths per registry (reference base/uids.py + model defs)
@@ -304,6 +327,7 @@ UID_LENGTHS: dict[str, int] = {
     "project": 12,
     "reference": 12,
     "user": 8,
+    "block": 20,  # reference block.py:172-173 — 16-char stem + version
 }
 
-VERSIONED_REGISTRIES = frozenset({"artifact", "transform", "collection"})
+VERSIONED_REGISTRIES = frozenset({"artifact", "transform", "collection", "block"})
