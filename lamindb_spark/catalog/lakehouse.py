@@ -1294,14 +1294,12 @@ class Lakehouse:
         )
         return f"{storage['root']}/{artifact['key']}"
 
-    def open_artifact(self, uid_or_key: str, is_run_input: bool = True) -> DataFrame:
-        """S2 lazy open: resolve the artifact, return ``spark.read``
-        scan; records run-input lineage when a run is active (L3,
-        reference ``track_run_input`` ``artifact.py:3783``)."""
+    def _resolve_artifact_row(self, uid_or_key: str):
+        """Latest artifact row by exact uid/key, then uid prefix.
+        EXACT matches take strict priority: a uid-PREFIX match
+        competing in the same orderBy let a random uid starting with
+        someone's short key hijack the lookup (review finding)."""
         arts = self.read("artifact").filter(F.col("is_latest"))
-        # EXACT uid/key matches take strict priority: a uid-PREFIX match
-        # competing in the same orderBy let a random uid starting with
-        # someone's short key hijack the lookup (review finding)
         hit = arts.filter(
             (F.col("uid") == uid_or_key) | (F.col("key") == uid_or_key)
         ).orderBy(F.desc("created_at")).first()
@@ -1313,6 +1311,13 @@ class Lakehouse:
             )
         if hit is None:
             raise KeyError(f"no artifact with uid/key {uid_or_key!r}")
+        return hit
+
+    def open_artifact(self, uid_or_key: str, is_run_input: bool = True) -> DataFrame:
+        """S2 lazy open: resolve the artifact, return ``spark.read``
+        scan; records run-input lineage when a run is active (L3,
+        reference ``track_run_input`` ``artifact.py:3783``)."""
+        hit = self._resolve_artifact_row(uid_or_key)
         path = self.artifact_path(hit)
         suffix = hit["suffix"] or ".parquet"
         if is_run_input and self.current_run_id is not None:
@@ -1428,12 +1433,37 @@ class Lakehouse:
             rows.append(d)
         return self.save(registry, rows)
 
+    _DISTRIBUTED_SUFFIXES = (
+        ".parquet", ".csv", ".tsv", ".orc", ".jsonl",
+        ".h5ad", ".h5mu", ".zarr", ".tiledbsoma",
+    )
+
     def load_artifact(self, uid_or_key: str, is_run_input: bool = True):
-        """Eager load to pandas (reference ``Artifact.load()``,
-        ``core/loaders.py:56-77``) — the lazy ``open_artifact`` scan
-        materialized via Arrow. For datasets that fit the driver;
-        everything else should stay on the lazy path."""
-        return self.open_artifact(uid_or_key, is_run_input=is_run_input).toPandas()
+        """Suffix-dispatched eager load (reference ``Artifact.load()``
+        → ``core/loaders.py:185-232`` FILE_LOADERS). Tabular/array
+        payloads materialize the lazy ``open_artifact`` scan via Arrow
+        (reference returns pandas too — for datasets that fit the
+        driver; everything else should stay on the lazy path).
+        Driver-sized documents come back as Python objects (``.json``/
+        ``.vitessce.json`` → dict, ``.yaml`` → dict, ``.txt``/
+        ``.fasta`` → str); display formats (``.html``/``.svg``/images)
+        return the local path; unknown suffixes raise with guidance."""
+        hit = self._resolve_artifact_row(uid_or_key)
+        suffix = (hit["suffix"] or ".parquet").lower()
+        if suffix in self._DISTRIBUTED_SUFFIXES or hit["otype"] in (
+            "AnnDataLong", "MuDataLong", "DataFrame",
+        ):
+            return self.open_artifact(
+                uid_or_key, is_run_input=is_run_input
+            ).toPandas()
+        from ..sources.loaders import load_to_memory
+
+        if is_run_input and self.current_run_id is not None:
+            self._append(
+                "run_input_artifacts",
+                [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
+            )
+        return load_to_memory(_local_path(self.artifact_path(hit)))
 
     def view(self, n: int = 7) -> dict[str, list[dict[str, Any]]]:
         """Latest rows of every materialized registry (reference
