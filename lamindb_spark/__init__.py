@@ -38,12 +38,15 @@ from .curation import (  # noqa: F401
 from .curation.curator import CategoricalSpec, DataFrameCurator  # noqa: F401
 from .lineage.context import (  # noqa: F401
     finish,
+    flow,
     latest_run,
+    step,
     track,
     tracked,
     transform_from_path,
     view_lineage,
 )
+from .integrations import curate_from_croissant  # noqa: F401
 
 
 def connect(spark, root: str, branch_id: int = 1) -> Lakehouse:

@@ -943,7 +943,16 @@ class QuerySet:
         pdf = self.to_dataframe(**kwargs)
         if key is None:
             key = f"record_exports/{self.registry}_subset{suffix or '.csv'}"
-        sdf = self.lh.spark.createDataFrame(pdf)
+        if len(pdf) == 0:
+            # createDataFrame cannot infer a schema from an empty frame —
+            # export the header as all-string columns
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            sdf = self.lh.spark.createDataFrame(
+                [], StructType([StructField(c, StringType()) for c in pdf.columns])
+            )
+        else:
+            sdf = self.lh.spark.createDataFrame(pdf)
         # all-null pandas columns infer as VOID, which csv/parquet
         # writers reject — export them as (null) strings
         for name, dtype in sdf.dtypes:

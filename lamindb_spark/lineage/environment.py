@@ -53,11 +53,11 @@ def track_python_environment(lh, run: dict[str, Any]) -> dict[str, Any] | None:
         fh.write(result.stdout)
         tmp = fh.name
     try:
-        art = lh.register_artifact(
+        art = _register_without_run(
+            lh,
             tmp,
             key=f"environments/run_{run['uid']}/run_env_pip.txt",
             description="requirements.txt",
-            kind="__lamindb_run__",
         )
     finally:
         os.unlink(tmp)
@@ -65,15 +65,28 @@ def track_python_environment(lh, run: dict[str, Any]) -> dict[str, Any] | None:
     return art
 
 
+def _register_without_run(lh, path: str, **kwargs: Any) -> dict[str, Any]:
+    """Environment/report artifacts DESCRIBE a run; they are not its
+    data outputs, so the producing-run stamp is suppressed (the
+    reference creates them with run=None and
+    ``artifact_silence_missing_run_warning``, ``_finish.py:396``)."""
+    saved_run = lh.current_run_id
+    lh.current_run_id = None
+    try:
+        return lh.register_artifact(path, kind="__lamindb_run__", **kwargs)
+    finally:
+        lh.current_run_id = saved_run
+
+
 def attach_report(lh, run: dict[str, Any], report_path: str) -> dict[str, Any]:
     """Register a report file and link it as ``run.report`` (reference
     ``_finish.py:97-106`` — an existing report is overwritten)."""
     suffix = os.path.splitext(report_path)[1] or ".html"
-    art = lh.register_artifact(
+    art = _register_without_run(
+        lh,
         report_path,
         key=f"environments/run_{run['uid']}/report{suffix}",
         description=f"Report of run {run['uid']}",
-        kind="__lamindb_run__",
     )
     lh.save("run", [{**run, "report_id": art["id"]}])
     return art

@@ -129,3 +129,8 @@ def test_to_artifact_round_trip(lake):
     assert res2["key"].endswith(".parquet")
     with pytest.raises(AssertionError):
         QuerySet(lake, "ulabel").to_artifact(key="a.csv", suffix=".csv")
+
+
+def test_to_artifact_empty_set(lake):
+    res = QuerySet(lake, "record").to_artifact(key="exports/empty.csv")
+    assert res["n_observations"] == 0

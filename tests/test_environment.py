@@ -32,6 +32,9 @@ def test_track_environment_attaches_pip_freeze(lakehouse):
         .first()
     )
     assert env["description"] == "requirements.txt"
+    # the env artifact DESCRIBES the run — it is not a run output
+    # (reference creates it with run=None, _finish.py:396)
+    assert env["run_id"] is None
     # the frozen file is a real pip freeze of this interpreter
     body = open(lakehouse.artifact_path(env)).read().lower()
     assert "pyspark" in body
