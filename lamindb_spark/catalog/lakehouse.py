@@ -1317,7 +1317,11 @@ class Lakehouse:
         """S2 lazy open: resolve the artifact, return ``spark.read``
         scan; records run-input lineage when a run is active (L3,
         reference ``track_run_input`` ``artifact.py:3783``)."""
-        hit = self._resolve_artifact_row(uid_or_key)
+        return self._open_artifact_row(
+            self._resolve_artifact_row(uid_or_key), is_run_input
+        )
+
+    def _open_artifact_row(self, hit, is_run_input: bool = True) -> DataFrame:
         path = self.artifact_path(hit)
         suffix = hit["suffix"] or ".parquet"
         if is_run_input and self.current_run_id is not None:
@@ -1435,6 +1439,7 @@ class Lakehouse:
 
     _DISTRIBUTED_SUFFIXES = (
         ".parquet", ".csv", ".tsv", ".orc", ".jsonl",
+        ".arrow", ".feather", ".ipc",
         ".h5ad", ".h5mu", ".zarr", ".tiledbsoma",
     )
 
@@ -1447,23 +1452,25 @@ class Lakehouse:
         Driver-sized documents come back as Python objects (``.json``/
         ``.vitessce.json`` → dict, ``.yaml`` → dict, ``.txt``/
         ``.fasta`` → str); display formats (``.html``/``.svg``/images)
-        return the local path; unknown suffixes raise with guidance."""
+        return the local path; unknown suffixes raise with guidance.
+        Run-input lineage is recorded only AFTER the load succeeds — a
+        refused load (size guard, unknown suffix) must not leave a
+        phantom input edge."""
         hit = self._resolve_artifact_row(uid_or_key)
         suffix = (hit["suffix"] or ".parquet").lower()
         if suffix in self._DISTRIBUTED_SUFFIXES or hit["otype"] in (
             "AnnDataLong", "MuDataLong", "DataFrame",
         ):
-            return self.open_artifact(
-                uid_or_key, is_run_input=is_run_input
-            ).toPandas()
+            return self._open_artifact_row(hit, is_run_input).toPandas()
         from ..sources.loaders import load_to_memory
 
+        out = load_to_memory(_local_path(self.artifact_path(hit)))
         if is_run_input and self.current_run_id is not None:
             self._append(
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
             )
-        return load_to_memory(_local_path(self.artifact_path(hit)))
+        return out
 
     def view(self, n: int = 7) -> dict[str, list[dict[str, Any]]]:
         """Latest rows of every materialized registry (reference
@@ -2025,10 +2032,13 @@ class Lakehouse:
         ``Block.anchors``)."""
         df = self.read_raw("block")
         if entity_kind is not None:
-            df = df.filter(
-                (F.col("entity_kind") == entity_kind)
-                & (F.col("entity_id") == entity_id)
-            )
+            # entity_id optional: kind alone lists every block attached
+            # to that registry (== NULL would silently match nothing)
+            df = df.filter(F.col("entity_kind") == entity_kind)
+            if entity_id is not None:
+                df = df.filter(F.col("entity_id") == entity_id)
+        elif entity_id is not None:
+            raise ValueError("entity_id requires entity_kind")
         if key is not None:
             df = df.filter(F.col("key") == key)
         if anchor_id is not None:

@@ -817,6 +817,16 @@ class QuerySet:
                 )
         return rows
 
+    def _member_paths(self, rows: list) -> list[str]:
+        """Payload paths for a set of artifact rows with ONE storage
+        lookup (a per-row ``artifact_path`` call would issue one
+        registry action per member — N+1)."""
+        roots = {
+            r["id"]: r["root"]
+            for r in self.lh.read_raw("storage").select("id", "root").collect()
+        }  # storage registry: a handful of rows
+        return [f"{roots[r['storage_id']]}/{r['key']}" for r in rows]
+
     def _track_inputs(self, rows: list, is_run_input: bool | None) -> None:
         """L3 run-input lineage for set-level access (reference
         ``track_run_input`` on the full artifact list,
@@ -848,10 +858,8 @@ class QuerySet:
             raise ValueError(f"join must be 'inner' or 'outer', got {join!r}")
         rows = self._artifact_rows("load")
         dfs = [
-            read_payload(
-                self.lh.spark, self.lh.artifact_path(r), r["suffix"] or ".parquet"
-            )
-            for r in rows
+            read_payload(self.lh.spark, path, r["suffix"] or ".parquet")
+            for r, path in zip(rows, self._member_paths(rows))
         ]
         if join == "inner":
             common = set(dfs[0].columns)
@@ -881,16 +889,26 @@ class QuerySet:
         - ``engine='polars'`` — an iterator of polars LazyFrames
           (reference ``_polars_lazy_df.py``), import-gated since polars
           is not a required dependency."""
+        if engine not in ("spark", "pyarrow", "polars"):
+            # validate BEFORE lineage: a failed open must not record
+            # phantom run-input edges
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine == "polars":
+            try:
+                import polars as pl  # noqa: F401
+            except ImportError as e:  # pragma: no cover - polars absent here
+                raise ImportError("engine='polars' requires the polars package") from e
         rows = self._artifact_rows("open")
         bad = {(r["suffix"] or ".parquet") for r in rows} - {".parquet"}
         if bad:
             raise ValueError(
                 f"open() requires parquet payloads; set contains {sorted(bad)}"
             )
-        paths = [self.lh.artifact_path(r) for r in rows]
-        self._track_inputs(rows, is_run_input)
+        paths = self._member_paths(rows)
         if engine == "spark":
-            return self.lh.spark.read.parquet(*paths)
+            out = self.lh.spark.read.parquet(*paths)
+            self._track_inputs(rows, is_run_input)
+            return out
         from .lakehouse import _local_path
 
         local = [_local_path(p) for p in paths]
@@ -900,16 +918,11 @@ class QuerySet:
             # payload paths are directories of part files; a list passed
             # to pads.dataset must be file paths, so union per-path
             # datasets instead (pyarrow's documented nested-dataset form)
-            return pads.dataset([pads.dataset(p, format="parquet") for p in local])
-        if engine == "polars":
-            try:
-                import polars as pl  # noqa: F401
-            except ImportError as e:  # pragma: no cover - polars absent here
-                raise ImportError(
-                    "engine='polars' requires the polars package"
-                ) from e
-            return (pl.scan_parquet(p) for p in local)
-        raise ValueError(f"unknown engine {engine!r}")
+            out = pads.dataset([pads.dataset(p, format="parquet") for p in local])
+            self._track_inputs(rows, is_run_input)
+            return out
+        self._track_inputs(rows, is_run_input)
+        return (pl.scan_parquet(p) for p in local)
 
     def mapped(self, label_col: str | None = None, is_run_input: bool | None = None):
         """Random-access :class:`~lamindb_spark.pipeline.mapped.
@@ -920,9 +933,10 @@ class QuerySet:
         from .lakehouse import _local_path
 
         rows = self._artifact_rows("mapped")
-        paths = [_local_path(self.lh.artifact_path(r)) for r in rows]
+        paths = [_local_path(p) for p in self._member_paths(rows)]
+        out = MappedCollection(paths, label_col=label_col)
         self._track_inputs(rows, is_run_input)
-        return MappedCollection(paths, label_col=label_col)
+        return out
 
     def to_artifact(
         self,

@@ -25,15 +25,20 @@ from pathlib import Path
 from typing import Any
 
 
-def _get_or_create(lh, registry: str, name: str, **extra: Any) -> dict:
+def _get_or_create(
+    lh, registry: str, name: str, match: dict | None = None, **extra: Any
+) -> dict:
     """Get-or-create a row by name (reference's filter().first() or
-    save() idiom, ``_croissant.py:69-83``)."""
+    save() idiom, ``_croissant.py:69-83``). ``match`` adds lookup
+    predicates beyond the name — e.g. the License TYPE label must match
+    ``is_type=True`` (reference :69), not any label that happens to be
+    named "License"."""
     from ..catalog.query import QuerySet
 
-    hit = QuerySet(lh, registry).filter(name=name).first()
+    hit = QuerySet(lh, registry).filter(name=name, **(match or {})).first()
     if hit is not None:
         return dict(hit.asDict()) if hasattr(hit, "asDict") else dict(hit)
-    return lh.save(registry, [{"name": name, **extra}])[0]
+    return lh.save(registry, [{"name": name, **(match or {}), **extra}])[0]
 
 
 def _link(lh, bridge: str, left_col: str, left_id: int, right_col: str, right_id: int) -> None:
@@ -92,7 +97,9 @@ def curate_from_croissant(
     # License → typed ULabel, get-or-create (reference :66-78)
     license_label = None
     if license_info:
-        license_type = _get_or_create(lakehouse, "ulabel", "License", is_type=True)
+        license_type = _get_or_create(
+            lakehouse, "ulabel", "License", match={"is_type": True}
+        )
         license_label = _get_or_create(
             lakehouse,
             "ulabel",
@@ -136,9 +143,6 @@ def curate_from_croissant(
             run_id=run_id,
         )
         if version:
-            QuerySet(lakehouse, "artifact").filter(id=art["id"]).update(
-                version_tag=version
-            )
             art["version_tag"] = version
         if license_label:
             _link(lakehouse, "artifact_ulabels", "artifact_id", art["id"],
@@ -147,6 +151,13 @@ def curate_from_croissant(
             _link(lakehouse, "artifact_projects", "artifact_id", art["id"],
                   "project_id", project_label["id"])
         artifacts.append(art)
+
+    if version:
+        # ONE bulk registry rewrite for all distributions (a per-artifact
+        # update would rewrite the artifact table once per file)
+        QuerySet(lakehouse, "artifact").filter(
+            id__in=[a["id"] for a in artifacts]
+        ).update(version_tag=version)
 
     if len(artifacts) == 1:
         out = dict(artifacts[0])

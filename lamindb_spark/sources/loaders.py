@@ -62,6 +62,18 @@ def load_to_memory(path: str, max_bytes: int = MAX_DRIVER_BYTES) -> Any:
         )
     if suffix in _PATH_SUFFIXES:
         return path  # display formats: the non-interactive contract is the path
+    if suffix in (".csv.gz", ".tsv.gz"):
+        # reference FILE_LOADERS maps compressed csv/tsv to load_csv
+        # (pandas handles the decompression); the UNcompressed forms
+        # load distributed via open_artifact and never reach here
+        import io
+
+        import pandas as pd
+
+        return pd.read_csv(
+            io.BytesIO(_read_bytes(path, suffix)),
+            sep="\t" if suffix.startswith(".tsv") else ",",
+        )
     if suffix in _TEXT_SUFFIXES or suffix == ".txt.gz":
         return _read_bytes(path, suffix).decode()
     if suffix in (".json", ".json.gz", ".vitessce.json"):

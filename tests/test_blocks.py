@@ -67,6 +67,16 @@ def test_standalone_key_readme_family(lakehouse):
     assert lakehouse.blocks_for(key="pages/home").first()["content"] == "v2"
 
 
+def test_blocks_for_kind_without_id_lists_all(lakehouse):
+    a1 = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="b/n.parquet")
+    a2 = lakehouse.register_artifact(f"{SF_DIR}/region.parquet", key="b/r.parquet")
+    lakehouse.add_block("n1", entity_kind="artifact", entity_id=a1["id"])
+    lakehouse.add_block("n2", entity_kind="artifact", entity_id=a2["id"])
+    assert lakehouse.blocks_for(entity_kind="artifact").count() == 2
+    with pytest.raises(ValueError, match="requires entity_kind"):
+        lakehouse.blocks_for(entity_id=a1["id"])
+
+
 def test_validation(lakehouse):
     with pytest.raises(ValueError, match="kind must be"):
         lakehouse.add_block("x", kind="note")

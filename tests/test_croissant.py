@@ -32,9 +32,6 @@ def test_multi_distribution_creates_collection(lakehouse):
     assert res["key"] == "tpch-mini"
     assert res["version_tag"] == "1.0.0"
     # members registered + linked
-    members = QuerySet(lakehouse, "artifact").filter(
-        collections__key="tpch-mini"
-    ) if "collections" in dir(QuerySet) else None
     arts = QuerySet(lakehouse, "artifact").filter(ulabels__name="cc-by-4.0")
     assert arts.count() == 2
     # license label is typed under the License type label
@@ -70,6 +67,19 @@ def test_idempotent_relink(lakehouse):
     assert links == 2  # one per artifact, not duplicated on re-ingest
     assert QuerySet(lakehouse, "ulabel").filter(name="cc-by-4.0").count() == 1
     assert QuerySet(lakehouse, "project").filter(name="warehouse-bench").count() == 1
+
+
+def test_license_type_ignores_plain_label_collision(lakehouse):
+    # a pre-existing NON-type label named "License" must not be reused
+    # as the License type (reference filters is_type=True)
+    lakehouse.save("ulabel", [{"name": "License", "is_type": False}])
+    curate_from_croissant(
+        lakehouse, _doc(distribution=[{"@id": f"{SF_DIR}/nation.parquet"}])
+    )
+    types = QuerySet(lakehouse, "ulabel").filter(name="License", is_type=True)
+    assert types.count() == 1
+    lic = QuerySet(lakehouse, "ulabel").get(name="cc-by-4.0")
+    assert lic["type_id"] == types.one()["id"]
 
 
 def test_document_from_path(lakehouse, tmp_path):

@@ -31,6 +31,16 @@ def test_load_json_yaml_txt(tmp_path):
     assert load_to_memory(str(h)) == str(h)  # display format → path
 
 
+def test_load_compressed_csv(tmp_path):
+    import gzip
+
+    p = tmp_path / "t.csv.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    out = load_to_memory(str(p))
+    assert isinstance(out, pd.DataFrame) and list(out["a"]) == [1, 2]
+
+
 def test_size_guard_and_unknown_suffix(tmp_path):
     big = tmp_path / "big.txt"
     big.write_text("x" * 1000)
