@@ -175,6 +175,11 @@ class Lakehouse:
             )
         self.current_branch_id = current_branch_id
         self.current_run_id: int | None = None
+        # reference ``settings.track_run_inputs`` (core/_settings.py:116):
+        # when False, reads record run-input lineage only on an explicit
+        # is_run_input=True; when True (default), any read under an
+        # active run records it
+        self.track_run_inputs: bool = True
         # payload ingest I/O seam (VERDICT r10 #4): posix by default,
         # upgraded per path to the Hadoop store for remote-schemed
         # paths (`_store_for`); injectable for tests and deployments
@@ -1294,6 +1299,15 @@ class Lakehouse:
         )
         return f"{storage['root']}/{artifact['key']}"
 
+    def _should_track_input(self, is_run_input: bool | None) -> bool:
+        """Reference ``track_run_input`` gating (artifact.py:3783 +
+        settings.track_run_inputs): None = the instance setting decides;
+        an explicit True/False always wins; nothing records without an
+        active run."""
+        if is_run_input is None:
+            is_run_input = self.track_run_inputs
+        return bool(is_run_input) and self.current_run_id is not None
+
     def _resolve_artifact_row(self, uid_or_key: str):
         """Latest artifact row by exact uid/key, then uid prefix.
         EXACT matches take strict priority: a uid-PREFIX match
@@ -1313,7 +1327,7 @@ class Lakehouse:
             raise KeyError(f"no artifact with uid/key {uid_or_key!r}")
         return hit
 
-    def open_artifact(self, uid_or_key: str, is_run_input: bool = True) -> DataFrame:
+    def open_artifact(self, uid_or_key: str, is_run_input: bool | None = None) -> DataFrame:
         """S2 lazy open: resolve the artifact, return ``spark.read``
         scan; records run-input lineage when a run is active (L3,
         reference ``track_run_input`` ``artifact.py:3783``)."""
@@ -1321,10 +1335,10 @@ class Lakehouse:
             self._resolve_artifact_row(uid_or_key), is_run_input
         )
 
-    def _open_artifact_row(self, hit, is_run_input: bool = True) -> DataFrame:
+    def _open_artifact_row(self, hit, is_run_input: bool | None = None) -> DataFrame:
         path = self.artifact_path(hit)
         suffix = hit["suffix"] or ".parquet"
-        if is_run_input and self.current_run_id is not None:
+        if self._should_track_input(is_run_input):
             self._append(
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
@@ -1443,7 +1457,7 @@ class Lakehouse:
         ".h5ad", ".h5mu", ".zarr", ".tiledbsoma",
     )
 
-    def load_artifact(self, uid_or_key: str, is_run_input: bool = True):
+    def load_artifact(self, uid_or_key: str, is_run_input: bool | None = None):
         """Suffix-dispatched eager load (reference ``Artifact.load()``
         → ``core/loaders.py:185-232`` FILE_LOADERS). Tabular/array
         payloads materialize the lazy ``open_artifact`` scan via Arrow
@@ -1465,7 +1479,7 @@ class Lakehouse:
         from ..sources.loaders import load_to_memory
 
         out = load_to_memory(_local_path(self.artifact_path(hit)))
-        if is_run_input and self.current_run_id is not None:
+        if self._should_track_input(is_run_input):
             self._append(
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
@@ -1638,7 +1652,7 @@ class Lakehouse:
         )
         return [r.asDict() for r in rows]
 
-    def open_collection(self, key_or_uid: str, is_run_input: bool = True) -> DataFrame:
+    def open_collection(self, key_or_uid: str, is_run_input: bool | None = None) -> DataFrame:
         """S3 multi-file union scan (reference ``Collection.open`` /
         ``ArtifactSet.open``, ``artifact_set.py:64-82``): one lazy scan
         over every member payload — Spark's multi-path ``read.parquet``
@@ -1653,7 +1667,7 @@ class Lakehouse:
             raise KeyError(f"no collection with uid/key {key_or_uid!r}")
         members = self.collection_members(hit["id"])
         paths = [self.artifact_path(m) for m in members]
-        if is_run_input and self.current_run_id is not None:
+        if self._should_track_input(is_run_input):
             self._append(
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": m["id"]} for m in members],

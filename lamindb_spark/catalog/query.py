@@ -832,8 +832,9 @@ class QuerySet:
         ``track_run_input`` on the full artifact list,
         ``artifact_set.py:60``): one bulk append, only after the
         open/load succeeded."""
-        track = self.lh.current_run_id is not None if is_run_input is None else is_run_input
-        if track and self.lh.current_run_id is not None:
+        if is_run_input is None:
+            is_run_input = getattr(self.lh, "track_run_inputs", True)
+        if is_run_input and self.lh.current_run_id is not None:
             self.lh._append(
                 "run_input_artifacts",
                 [
@@ -937,6 +938,37 @@ class QuerySet:
         out = MappedCollection(paths, label_col=label_col)
         self._track_inputs(rows, is_run_input)
         return out
+
+    def artifacts_from_path(self, path: str) -> "QuerySet":
+        """Artifacts in the set registered for a filesystem path
+        (reference ``artifacts_from_path``, ``artifact_set.py:382-441``
+        — there a Concat(storage.root, '/', key) == path filter). The
+        engine resolves the path against the storage-root table on the
+        driver (a handful of rows) into (storage_id, key) predicates —
+        the scan then filters on plain indexed-able columns instead of
+        a computed concat."""
+        if self.registry != "artifact":
+            raise TypeError(
+                ".artifacts_from_path() is only available on artifact query sets"
+            )
+        from .lakehouse import _local_path
+
+        p = _local_path(path).rstrip("/")
+        roots = [
+            (r["id"], _local_path(r["root"]).rstrip("/"))
+            for r in self.lh.read_raw("storage").select("id", "root").collect()
+        ]
+        preds = [
+            (F.col("storage_id") == sid) & (F.col("key") == p[len(root) + 1 :])
+            for sid, root in roots
+            if p.startswith(root + "/")
+        ]
+        if not preds:
+            return self._clone(self.all()._df.filter(F.lit(False)))
+        combined = preds[0]
+        for q in preds[1:]:
+            combined = combined | q
+        return self._clone(self.all()._df.filter(combined), branch_filtered=True)
 
     def to_artifact(
         self,

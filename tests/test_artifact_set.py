@@ -131,6 +131,39 @@ def test_to_artifact_round_trip(lake):
         QuerySet(lake, "ulabel").to_artifact(key="a.csv", suffix=".csv")
 
 
+def test_artifacts_from_path(lake):
+    row = QuerySet(lake, "artifact").get(key="exports/one.parquet")
+    path = lake.artifact_path(row)
+    hits = QuerySet(lake, "artifact").artifacts_from_path(path)
+    assert hits.count() == 1 and hits.one()["key"] == "exports/one.parquet"
+    assert (
+        QuerySet(lake, "artifact").artifacts_from_path("/elsewhere/x.parquet").count()
+        == 0
+    )
+    with pytest.raises(TypeError):
+        QuerySet(lake, "ulabel").artifacts_from_path(path)
+
+
+def test_track_run_inputs_setting(lake):
+    from lamindb_spark.lineage.context import Context
+    from pyspark.sql import functions as F
+
+    lake.track_run_inputs = False
+    ctx = Context(lake).track("p/quiet.py", source_code="q=1")
+    run_id = lake.current_run_id
+    lake.open_artifact("exports/one.parquet")  # auto → setting says no
+    arts(lake).load()
+    lake.open_artifact("exports/one.parquet", is_run_input=True)  # explicit wins
+    ctx.finish()
+    lake.track_run_inputs = True
+    n = (
+        lake.read_raw("run_input_artifacts")
+        .filter(F.col("run_id") == run_id)
+        .count()
+    )
+    assert n == 1
+
+
 def test_to_artifact_empty_set(lake):
     res = QuerySet(lake, "record").to_artifact(key="exports/empty.csv")
     assert res["n_observations"] == 0
