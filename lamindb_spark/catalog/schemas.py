@@ -286,6 +286,18 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("created_at", TimestampType()),
         ]
     ),
+    # action attachments (reference ``_actions`` M2M on Artifact/
+    # Collection, used by e.g. ``integrations/_vitessce.py:95-100`` to
+    # hang a config artifact off the dataset it visualizes) — same
+    # entity-discriminator collapse as ``block``
+    "actions": StructType(
+        [
+            _f("entity_kind", StringType(), False),
+            _f("entity_id", LongType(), False),
+            _f("action_artifact_id", LongType(), False),
+            _f("created_at", TimestampType()),
+        ]
+    ),
     # markdown notes blocks (reference ``models/block.py``: Block
     # ``:206-262`` — standalone, with key + anchor threading — and the
     # per-entity attached models ArtifactBlock/TransformBlock/RunBlock/

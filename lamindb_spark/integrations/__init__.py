@@ -1,5 +1,6 @@
 """Third-party format integrations (reference ``lamindb/integrations``)."""
 
 from .croissant import curate_from_croissant
+from .vitessce import actions_for, save_vitessce_config
 
-__all__ = ["curate_from_croissant"]
+__all__ = ["actions_for", "curate_from_croissant", "save_vitessce_config"]
