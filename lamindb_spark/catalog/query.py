@@ -832,9 +832,7 @@ class QuerySet:
         ``track_run_input`` on the full artifact list,
         ``artifact_set.py:60``): one bulk append, only after the
         open/load succeeded."""
-        if is_run_input is None:
-            is_run_input = getattr(self.lh, "track_run_inputs", True)
-        if is_run_input and self.lh.current_run_id is not None:
+        if self.lh._should_track_input(is_run_input):
             self.lh._append(
                 "run_input_artifacts",
                 [

@@ -44,16 +44,29 @@ def _get_or_create(
 def _link(lh, bridge: str, left_col: str, left_id: int, right_col: str, right_id: int) -> None:
     """Idempotent bridge-row append (unique on the pair, like the
     reference link models)."""
+    link_rows(lh, bridge, {left_col: left_id, right_col: right_id})
+
+
+def link_rows(lh, bridge: str, match: dict[str, Any]) -> None:
+    """Idempotent, timestamped append to any bridge table: the row is
+    written once per unique ``match`` combination (the reference link
+    models' unique-together constraint), with ``created_at`` stamped
+    when the table carries it."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    existing = (
-        lh.read_raw(bridge)
-        .filter((F.col(left_col) == left_id) & (F.col(right_col) == right_id))
-        .limit(1)
-        .count()
+    pred = reduce(
+        lambda a, b: a & b, [F.col(k) == v for k, v in match.items()]
     )
-    if not existing:
-        lh._append(bridge, [{left_col: left_id, right_col: right_id}])
+    if lh.read_raw(bridge).filter(pred).limit(1).count():
+        return
+    row = dict(match)
+    if "created_at" in {f.name for f in lh.read_raw(bridge).schema.fields}:
+        from ..catalog.lakehouse import _now
+
+        row["created_at"] = _now()
+    lh._append(bridge, [row])
 
 
 def curate_from_croissant(

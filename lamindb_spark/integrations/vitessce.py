@@ -32,7 +32,8 @@ def save_vitessce_config(
 ) -> dict[str, Any]:
     """Save a Vitessce config as a linked artifact (reference
     ``_vitessce.py:21-106``). Returns the config artifact row."""
-    from ..catalog.query import QuerySet
+    from pyspark.sql import functions as F
+
     from ..lineage.context import Context
 
     if isinstance(vitessce_config, dict):
@@ -44,12 +45,7 @@ def save_vitessce_config(
                 "carries them itself via get_artifacts())"
             )
         uids = list(dataset_uids)
-    else:
-        # only import here because vitessce is not a dependency
-        # (reference :45-55, incl. the >=3.4 get_artifacts requirement)
-        from vitessce import VitessceConfig  # type: ignore
-
-        assert isinstance(vitessce_config, VitessceConfig)  # noqa: S101
+    elif hasattr(vitessce_config, "to_dict"):
         vc_dict = vitessce_config.to_dict()
         try:
             url_to_artifact = vitessce_config.get_artifacts()
@@ -58,12 +54,33 @@ def save_vitessce_config(
                 "save_vitessce_config() requires vitessce>=3.4.0"
             ) from e
         uids = [a.uid for a in url_to_artifact.values()]
+    else:
+        raise TypeError(
+            "vitessce_config must be a vitessce.VitessceConfig or a plain "
+            f"dict, got {type(vitessce_config).__name__}"
+        )
+    # a config commonly cites the same store from several views —
+    # dedup (order-preserving) or a one-artifact config would wrap a
+    # degenerate duplicate-member collection
+    uids = list(dict.fromkeys(uids))
     if not uids:
         raise ValueError("the config references no dataset artifacts")
 
-    datasets = [
-        lakehouse._resolve_artifact_row(u).asDict() for u in uids
-    ]  # KeyError on unknown uid — config must not cite missing data
+    # ONE scan resolves every uid (per-uid resolution would be N
+    # registry jobs); config must not cite missing data
+    hits = {
+        r["uid"]: r.asDict()
+        for r in lakehouse.read("artifact")
+        .filter(F.col("is_latest") & (F.col("uid").isin(uids) | F.col("key").isin(uids)))
+        .collect()
+    }
+    by_key = {r["key"]: r for r in hits.values()}
+    datasets = []
+    for u in uids:
+        row = hits.get(u) or by_key.get(u)
+        if row is None:
+            raise KeyError(f"no artifact with uid/key {u!r}")
+        datasets.append(row)
 
     # function run, dataset artifacts as inputs (reference :62-69)
     ctx = Context(lakehouse).track(
@@ -102,39 +119,25 @@ def save_vitessce_config(
             if collection is not None
             else ("artifact", datasets[0]["id"])
         )
-        _append_action(lakehouse, target_kind, target_id, config_art["id"])
-        ctx.finish()
+        from .croissant import link_rows
+
+        link_rows(
+            lakehouse,
+            "actions",
+            {
+                "entity_kind": target_kind,
+                "entity_id": target_id,
+                "action_artifact_id": config_art["id"],
+            },
+        )
     except Exception:
         ctx.finish(status_code=-1)
         raise
+    # finish OUTSIDE the try: if the close itself fails (e.g. a commit
+    # conflict), the work above already committed — a second
+    # finish(-1) would mislabel a successful save as failed
+    ctx.finish()
     return config_art
-
-
-def _append_action(lh, entity_kind: str, entity_id: int, action_artifact_id: int) -> None:
-    """Idempotent action link (unique per (entity, action artifact))."""
-    from pyspark.sql import functions as F
-
-    exists = (
-        lh.read_raw("actions")
-        .filter(
-            (F.col("entity_kind") == entity_kind)
-            & (F.col("entity_id") == entity_id)
-            & (F.col("action_artifact_id") == action_artifact_id)
-        )
-        .limit(1)
-        .count()
-    )
-    if not exists:
-        lh._append(
-            "actions",
-            [
-                {
-                    "entity_kind": entity_kind,
-                    "entity_id": entity_id,
-                    "action_artifact_id": action_artifact_id,
-                }
-            ],
-        )
 
 
 def actions_for(lh, entity_kind: str, entity_id: int):

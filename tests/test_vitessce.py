@@ -42,6 +42,20 @@ def test_multi_dataset_wraps_collection(lakehouse):
     assert [a["id"] for a in acts] == [cfg["id"]]
 
 
+def test_duplicate_uids_deduped_no_collection(lakehouse):
+    # one store cited by several views must NOT wrap a degenerate
+    # duplicate-member collection
+    art = lakehouse.register_artifact(f"{SF_DIR}/nation.parquet", key="v/n.parquet")
+    cfg = save_vitessce_config(
+        lakehouse, CFG, dataset_uids=[art["uid"], art["uid"]]
+    )
+    assert lakehouse.read_raw("collection").count() == 0
+    assert actions_for(lakehouse, "artifact", art["id"]).count() == 1
+    # action link rows are timestamped
+    row = lakehouse.read_raw("actions").first()
+    assert row["created_at"] is not None
+
+
 def test_validation(lakehouse):
     with pytest.raises(ValueError, match="dataset_uids"):
         save_vitessce_config(lakehouse, CFG)
@@ -49,6 +63,8 @@ def test_validation(lakehouse):
         save_vitessce_config(lakehouse, CFG, dataset_uids=[])
     with pytest.raises(KeyError):
         save_vitessce_config(lakehouse, CFG, dataset_uids=["missing-uid"])
+    with pytest.raises(TypeError, match="VitessceConfig or a plain"):
+        save_vitessce_config(lakehouse, "not-a-config", dataset_uids=["x"])
 
 
 def test_errors_module():
