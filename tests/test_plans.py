@@ -121,8 +121,13 @@ _MAX_EXCHANGES = {
                            # (stats/dropped-ids); kmeans passes are map-side
     "oov_rate": 0,         # scoring is a pure map pass (vocab is a literal
                            # array fetched at build time, like kmeans cents)
-    "stratified_sample": 1,  # one shuffle on the stratum key; count and
-                             # rank share the window partition
+    # r13 rewrite (VERDICT r12 #1): range shuffle on (stratum, md5, id)
+    # + the pid-local row_number window's (pid, stratum) hash exchange
+    # (cells agg rides its clustering) + tiny offset windows + broadcast
+    # join back — no window partitioned by the stratum alone, so a
+    # dominant stratum never sorts through one task
+    # (see test_stratified_rank.py)
+    "stratified_sample": 6,
     "dup_representatives": 1,  # one content-hash shuffle (rank + count
                                # share the window partition)
     "profile_events": 4,     # the multi-distinct expand-aggregate pair
@@ -133,7 +138,8 @@ _MAX_EXCHANGES = {
                              # SortAggregate (see curation/profile.py)
     "lm_perplexity": 8,      # bigram/unigram count aggs + scoring joins
                              # (3 of the 8 are broadcasts at this size)
-    "mix_sources": 1,        # one shuffle on the stratum key
+    "mix_sources": 6,        # same skew-safe stratified_rank shape as
+                             # stratified_sample (r13)
     "span_novelty": 2,       # span-count window + doc re-aggregation
     "top_docs_per_source": 1,  # one shuffle on the group key
     "length_outliers": 2,    # 1-row percentile agg (SinglePartition) +
@@ -148,8 +154,13 @@ _MAX_EXCHANGES = {
     "bpe_encode": 1,         # spread; merges fetched at build; encode
                              # is a shuffle-free replace chain
     "char_entropy": 1,       # spread; otherwise pure expression
-    "ppl_buckets": 11,       # lm_perplexity's 8 + lang join + ntile
-                             # window shuffle (pinned at measured)
+    "ppl_buckets": 18,       # lm_perplexity's 8 + lang join + the r13
+                             # skew-safe stratified_rank (range shuffle
+                             # + cell agg + broadcast; the scoring
+                             # subtree repeats textually under the cell
+                             # branch and exchange reuse collapses it
+                             # at runtime — same pattern as tpch_q21);
+                             # the per-language ntile window is GONE
     "random_proj": 1,        # spread; projection is a pure map pass
     "knn_join": 1,           # one cell shuffle into the Arrow top-k
                              # GEMM; assignment itself is map-side
