@@ -1343,14 +1343,17 @@ class Lakehouse:
                 "run_input_artifacts",
                 [{"run_id": self.current_run_id, "artifact_id": hit["id"]}],
             )
-        if hit["otype"] in ("AnnDataLong", "MuDataLong"):
+        if hit["otype"] in ("AnnDataLong", "MuDataLong", "SomaExperimentLong"):
             # long-form parquet store (the slot curators' distributed
             # save path — see anndata_long.write_anndata_long_parquet)
             from ..sources.anndata_long import read_anndata_long_parquet
             from ..sources.mudata_io import read_mudata_long_parquet
+            from ..sources.soma_io import read_soma_long_parquet
 
             if hit["otype"] == "MuDataLong":
                 return read_mudata_long_parquet(self.spark, path)
+            if hit["otype"] == "SomaExperimentLong":
+                return read_soma_long_parquet(self.spark, path)
             return read_anndata_long_parquet(self.spark, path)
         if suffix == ".tiledbsoma":
             # SOMA experiment → same long-form tables (import-gated
@@ -1473,9 +1476,13 @@ class Lakehouse:
         hit = self._resolve_artifact_row(uid_or_key)
         suffix = (hit["suffix"] or ".parquet").lower()
         if suffix in self._DISTRIBUTED_SUFFIXES or hit["otype"] in (
-            "AnnDataLong", "MuDataLong", "DataFrame",
+            "AnnDataLong", "MuDataLong", "SomaExperimentLong", "DataFrame",
         ):
-            return self._open_artifact_row(hit, is_run_input).toPandas()
+            out = self._open_artifact_row(hit, is_run_input)
+            # long-form stores open as their typed long objects, not
+            # a single DataFrame — "load" returns the object (the
+            # reference returns the AnnData/MuData object here too)
+            return out.toPandas() if isinstance(out, DataFrame) else out
         from ..sources.loaders import load_to_memory
 
         out = load_to_memory(_local_path(self.artifact_path(hit)))

@@ -231,11 +231,12 @@ def curator_from_schema(lh, dataset, composite_schema_id: int, categoricals=None
         "AnnData": AnnDataCurator,
         "MuData": MuDataCurator,
         "SpatialData": SpatialDataCurator,
+        "tiledbsoma": TiledbsomaExperimentCurator,
     }.get(srow["itype"])
     if cls is None:
         raise ValueError(
             f"composite otype {srow['itype']!r} has no slot curator "
-            "(expected AnnData/MuData/SpatialData)"
+            "(expected AnnData/MuData/SpatialData/tiledbsoma)"
         )
     return cls(dataset, slot_specs, **kwargs)
 
@@ -525,6 +526,97 @@ class MuDataCurator(SlotsCurator):
         target = f"{root}/{key}"
         write_mudata_long_parquet(self._dataset, target)
         return target, "MuDataLong"
+
+
+class TiledbsomaExperimentCurator(SlotsCurator):
+    """Curator for a SOMA experiment in the engine's relational long
+    form (reference ``TiledbsomaExperimentCurator``,
+    ``curators/core.py:1434-1503``). Slots:
+
+    - ``obs`` — the experiment-GLOBAL observation table (SOMA keeps
+      obs on the Experiment, not per measurement);
+    - ``ms:<measurement>`` — that measurement's ``var`` frame (the
+      reference's shorthand: its ``ms:RNA`` slot reads
+      ``exp.ms["RNA"].var``);
+    - ``ms:<measurement>:var`` — the same, spelled explicitly.
+
+    ``ms:<measurement>:obs`` is rejected with guidance: a SOMA
+    measurement has no own obs — validate the global ``obs`` slot.
+    The reference's ``var.T`` transposition does not exist here for
+    the same reason as :class:`AnnDataCurator`: long-form var is
+    already one row per variable.
+
+    The dataset is a :class:`~lamindb_spark.sources.soma_io.
+    SomaExperimentLong`; :meth:`from_store` opens a real
+    ``.tiledbsoma`` store through the import-gated bridge
+    (``read_tiledbsoma_experiment``). Standardizing ``obs`` rebuilds
+    every measurement over the one standardized global table.
+    """
+
+    def __init__(self, dataset, slots, external_features=None):
+        from ..sources.soma_io import SomaExperimentLong
+
+        if not isinstance(dataset, SomaExperimentLong):
+            raise TypeError(
+                "TiledbsomaExperimentCurator curates a SomaExperimentLong "
+                "(open a .tiledbsoma store with "
+                "TiledbsomaExperimentCurator.from_store, or build one via "
+                "soma_experiment_to_long)"
+            )
+        super().__init__(dataset, slots, external_features=external_features)
+
+    @classmethod
+    def from_store(cls, spark, path: str, slots, **kwargs):
+        from ..sources.soma_io import read_tiledbsoma_experiment
+
+        return cls(read_tiledbsoma_experiment(spark, path), slots, **kwargs)
+
+    def _resolve_slot(self, slot: str) -> DataFrame:
+        if slot == "obs":
+            return self._dataset.obs
+        parts = slot.split(":")
+        if parts[0] == "ms" and len(parts) in (2, 3):
+            if len(parts) == 3 and parts[2] == "obs":
+                raise ValueError(
+                    f"slot {slot!r}: a SOMA measurement has no own obs "
+                    "table — the observation frame is experiment-global; "
+                    "declare the 'obs' slot instead"
+                )
+            if len(parts) == 3 and parts[2] != "var":
+                raise ValueError(
+                    "TiledbsomaExperimentCurator slots are 'obs', "
+                    f"'ms:<measurement>' or 'ms:<measurement>:var', not {slot!r}"
+                )
+            mname = parts[1]
+            if mname not in self._dataset.measurements:
+                raise KeyError(
+                    f"measurement {mname!r} not in the experiment "
+                    f"(have {self._dataset.ms_names})"
+                )
+            return self._dataset.measurements[mname].var
+        raise ValueError(
+            "TiledbsomaExperimentCurator slots are 'obs', "
+            f"'ms:<measurement>[:var]' or '__external__', not {slot!r}"
+        )
+
+    def _rebuild(self, frames: dict[str, DataFrame]):
+        from ..sources.anndata_long import AnnDataLong
+        from ..sources.soma_io import SomaExperimentLong
+
+        obs = frames.get("obs", self._dataset.obs)
+        ms = {}
+        for name, ad in self._dataset.measurements.items():
+            var = frames.get(f"ms:{name}:var", frames.get(f"ms:{name}", ad.var))
+            ms[name] = AnnDataLong(obs=obs, var=var, x=ad.x)
+        return SomaExperimentLong(obs=obs, measurements=ms)
+
+    def _write_payload(self, lakehouse, key: str) -> tuple[str, str]:
+        from ..sources.soma_io import write_soma_long_parquet
+
+        _sid, root = lakehouse._resolve_storage_root()
+        target = f"{root}/{key}"
+        write_soma_long_parquet(self._dataset, target)
+        return target, "SomaExperimentLong"
 
 
 class SpatialDataCurator(SlotsCurator):

@@ -26,8 +26,9 @@ every downstream op is a pruned distributed scan.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from .anndata_long import AnnDataLong
 
@@ -86,6 +87,132 @@ def soma_tables_to_long(spark: SparkSession, obs_tbl, var_tbl, x_tbl) -> AnnData
         obs=spark.createDataFrame(obs_pdf),
         var=spark.createDataFrame(var_pdf),
         x=spark.createDataFrame(x_pdf[["obs_id", "var_id", "value"]]),
+    )
+
+
+@dataclass
+class SomaExperimentLong:
+    """A SOMA Experiment in relational long form: the experiment-GLOBAL
+    observation table plus one (var, X) pair per measurement — SOMA's
+    own layout (``obs`` lives on the Experiment, ``var``/``X`` under
+    ``ms/<name>``), so the mapping adds nothing.
+
+    Measurements are :class:`AnnDataLong` values whose ``obs`` IS the
+    shared global table — per-measurement slicing/pseudobulk work
+    unchanged, and a curator standardizing ``obs`` standardizes it once
+    for every measurement.
+    """
+
+    obs: DataFrame
+    measurements: dict[str, AnnDataLong]
+
+    def __getitem__(self, name: str) -> AnnDataLong:
+        return self.measurements[name]
+
+    @property
+    def ms_names(self) -> list[str]:
+        return list(self.measurements)
+
+
+def soma_experiment_to_long(
+    spark: SparkSession, obs_tbl, measurements: dict[str, tuple]
+) -> SomaExperimentLong:
+    """SOMA-schema Arrow tables → :class:`SomaExperimentLong`.
+
+    ``measurements`` maps name → ``(var_tbl, x_tbl)``. Pure
+    Arrow/pandas → Spark mapping via :func:`soma_tables_to_long`, so
+    the experiment bridge is testable without the tiledbsoma library.
+    """
+    parts = {
+        name: soma_tables_to_long(spark, obs_tbl, var_tbl, x_tbl)
+        for name, (var_tbl, x_tbl) in measurements.items()
+    }
+    if not parts:
+        raise ValueError("a SOMA experiment needs at least one measurement")
+    obs = next(iter(parts.values())).obs
+    return SomaExperimentLong(
+        obs=obs,
+        measurements={
+            n: AnnDataLong(obs=obs, var=ad.var, x=ad.x) for n, ad in parts.items()
+        },
+    )
+
+
+def read_tiledbsoma_experiment(
+    spark: SparkSession, path: str, x_layer: str = "data"
+) -> SomaExperimentLong:
+    """SOMA Experiment → :class:`SomaExperimentLong` with EVERY
+    measurement (the multi-measurement sibling of
+    :func:`read_tiledbsoma`, which picks one). Import-gated like all
+    tiledbsoma reads; used by the experiment curator's ``from_store``.
+    """
+    soma = _require_tiledbsoma()
+    with soma.Experiment.open(path) as exp:
+        obs_tbl = exp.obs.read().concat()
+        ms = {
+            name: (
+                exp.ms[name].var.read().concat(),
+                exp.ms[name].X[x_layer].read().tables().concat(),
+            )
+            for name in exp.ms.keys()
+        }
+    return soma_experiment_to_long(spark, obs_tbl, ms)
+
+
+def write_soma_long_parquet(se: SomaExperimentLong, path: str) -> None:
+    """Persist a :class:`SomaExperimentLong` as a parquet directory
+    store: root ``obs/`` (written once — it is shared) plus
+    ``ms/<name>/{var,X}`` per measurement; measurement order rides a
+    '.'-prefixed marker invisible to ingest walks (same conventions as
+    ``write_mudata_long_parquet``)."""
+    import json as _json
+    import os
+
+    se.obs.write.mode("overwrite").parquet(f"{path}/obs")
+    os.makedirs(f"{path}/ms", exist_ok=True)
+    for name, ad in se.measurements.items():
+        ad.var.write.mode("overwrite").parquet(f"{path}/ms/{name}/var")
+        ad.x.write.mode("overwrite").parquet(f"{path}/ms/{name}/X")
+    with open(f"{path}/ms/.ms-order.json", "w") as fh:
+        _json.dump(list(se.measurements), fh)
+
+
+def read_soma_long_parquet(spark: SparkSession, path: str) -> SomaExperimentLong:
+    """Open a long-form SOMA experiment store written by
+    :func:`write_soma_long_parquet`."""
+    import json as _json
+    import os
+
+    try:
+        with open(f"{path}/ms/.ms-order.json") as fh:
+            names = _json.load(fh)
+    except OSError:
+        names = sorted(
+            d for d in os.listdir(f"{path}/ms") if not d.startswith((".", "_"))
+        )
+    obs = spark.read.parquet(f"{path}/obs")
+    ms = {
+        n: AnnDataLong(
+            obs=obs,
+            var=spark.read.parquet(f"{path}/ms/{n}/var"),
+            x=spark.read.parquet(f"{path}/ms/{n}/X"),
+        )
+        for n in names
+    }
+    return SomaExperimentLong(obs=obs, measurements=ms)
+
+
+def is_soma_long_store(path: str) -> bool:
+    """Sniff: a directory with root obs/ parquet and an ms/ of
+    (var, X) parquet pairs."""
+    ms = os.path.join(path, "ms")
+    if not os.path.isdir(os.path.join(path, "obs")) or not os.path.isdir(ms):
+        return False
+    subs = [d for d in os.listdir(ms) if not d.startswith((".", "_"))]
+    return bool(subs) and all(
+        os.path.isdir(os.path.join(ms, d, "var"))
+        and os.path.isdir(os.path.join(ms, d, "X"))
+        for d in subs
     )
 
 
