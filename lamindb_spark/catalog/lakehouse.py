@@ -2154,6 +2154,38 @@ class Lakehouse:
                 )
         self._append("annotation", rows)
 
+    def deannotate(
+        self,
+        entity_kind: str,
+        entity_ids: list[int],
+        feature_name: str,
+        value: Any = ...,
+    ) -> None:
+        """Remove annotation rows — the engine analogue of the
+        reference's ``features.remove_values(feature, value=...)``
+        (``models/artifact.py`` feature manager; used by the checkpoint
+        integration's best/last-flag flips, ``lightning.py:489-516``).
+
+        Drops every row matching (entity_kind, entity_id ∈ ids,
+        feature_name); ``value`` narrows to one JSON value. The
+        annotation table is append-only for writes, so removal is one
+        anti-join rewrite — registry-sized, same write model as
+        ``delete_where``. Without removal a flipped flag would leave
+        BOTH values matchable by the EAV filters."""
+        import json
+
+        if not entity_ids:
+            return
+        df = self.read_raw("annotation")
+        cond = (
+            (F.col("entity_kind") == entity_kind)
+            & (F.col("feature_name") == feature_name)
+            & F.col("entity_id").isin(list(entity_ids))
+        )
+        if value is not ...:
+            cond = cond & (F.col("value_json") == json.dumps(value, default=str))
+        self._overwrite("annotation", df.filter(~cond))
+
 
 class LazyArtifact:
     """A reserved managed-storage path awaiting caller-driven writes
