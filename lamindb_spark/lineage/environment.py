@@ -125,3 +125,79 @@ def transform_reference_from_git(path: str) -> tuple[str, str] | None:
     if url.startswith("git@"):  # git@host:org/repo → https://host/org/repo
         url = "https://" + url[4:].replace(":", "/", 1)
     return f"{url}/blob/{commit}/{relpath}", "url"
+
+
+def cleanup_dangling_runs(
+    lh,
+    older_than_hours: float = 24.0,
+    now=None,
+    permanent: bool = False,
+) -> dict[str, int]:
+    """Trash (or permanently delete) DANGLING runs — started but never
+    finished, older than the horizon — together with their internal
+    ``__lamindb_run__``-kind report/environment artifacts.
+
+    The reference ships this as a cleanup entry point
+    (``models/_run_cleanup.py:14`` ``main``: deletes the orphaned
+    run-internal artifacts after a Run bulk delete, asserting each is
+    ``kind == "__lamindb_run__"``); the engine composes it from
+    ``delete_where`` + ``delete_artifact``. Two safety properties:
+
+    - environment artifacts are HASH-DEDUPED across runs with
+      identical environments (``run.environment_id`` may be shared),
+      so one is removed only when NO surviving run still references
+      it — deleting a crashed run must never orphan a live run's
+      environment link;
+    - only ``__lamindb_run__``-kind artifacts are touched, mirroring
+      the reference's assert — a data artifact that somehow landed in
+      a run's report_id is left alone.
+
+    ``now`` is injectable for tests; ``permanent=True`` removes rows
+    and payloads instead of trashing. Returns
+    ``{"runs": n, "artifacts": n}``. Driver state is crashed-run-
+    count-sized (one collect of (id, report_id, environment_id)
+    triples), never table-sized.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    horizon = now - _dt.timedelta(hours=older_than_hours)
+    runs = lh.read("run")
+    dangling = runs.filter(
+        F.col("finished_at").isNull() & (F.col("started_at") < F.lit(horizon))
+    )
+    rows = dangling.select("id", "report_id", "environment_id").collect()
+    if not rows:
+        return {"runs": 0, "artifacts": 0}
+    dang_ids = [r["id"] for r in rows]
+    live_envs = {
+        r["environment_id"]
+        for r in runs.filter(
+            ~F.col("id").isin(dang_ids) & F.col("environment_id").isNotNull()
+        )
+        .select("environment_id")
+        .distinct()
+        .collect()
+    }
+    candidates: set[int] = set()
+    for r in rows:
+        if r["report_id"] is not None:
+            candidates.add(r["report_id"])
+        if r["environment_id"] is not None and r["environment_id"] not in live_envs:
+            candidates.add(r["environment_id"])
+    art_ids = [
+        r["id"]
+        for r in lh.read("artifact")
+        .filter(
+            F.col("id").isin(list(candidates))
+            & (F.col("kind") == "__lamindb_run__")
+        )
+        .select("id")
+        .collect()
+    ]
+    for aid in art_ids:
+        lh.delete_artifact(aid, permanent=permanent, storage=permanent)
+    lh.delete_where("run", dangling, permanent=permanent)
+    return {"runs": len(dang_ids), "artifacts": len(art_ids)}
