@@ -1,11 +1,11 @@
 """Croissant (MLCommons CroissantML) dataset ingest.
 
 Reference: ``lamindb/integrations/_croissant.py:17-148``
-``curate_from_croissant`` — create annotated artifacts from a
+``curate_from_croissant`` — create annotated registered_rows from a
 Croissant JSON-LD document: one artifact per file distribution, a
 ``License`` ULabel (typed, get-or-create) from the ``license`` field,
 a Project (get-or-create) from ``cr:projectName``, and a collection
-wrapping the artifacts when the document lists more than one
+wrapping the registered_rows when the document lists more than one
 distribution. The Croissant format itself is public
 (https://mlcommons.org/croissant).
 
@@ -69,12 +69,37 @@ def link_rows(lh, bridge: str, match: dict[str, Any]) -> None:
     lh._append(bridge, [row])
 
 
+def _parse_document(source) -> dict:
+    """Accept a parsed dict or a path to the croissant JSON file, and
+    reject documents that are not named Datasets."""
+    data = source
+    if not isinstance(source, dict):
+        if not isinstance(source, (str, Path)):
+            raise ValueError(
+                f"cannot ingest a {type(source).__name__} — pass the "
+                "croissant document as a path to its JSON file or as an "
+                "already-parsed dict"
+            )
+        doc = Path(source)
+        if not doc.exists():
+            raise FileNotFoundError(f"no croissant document at {source!r}")
+        data = json.loads(doc.read_text(encoding="utf-8"))
+    typ = data.get("@type")
+    if typ != "Dataset":
+        raise ValueError(
+            f"expected @type 'Dataset' in the croissant document, got {typ!r}"
+        )
+    if "name" not in data:
+        raise ValueError("the croissant document lacks the required 'name' field")
+    return data
+
+
 def curate_from_croissant(
     lakehouse,
     croissant_data: str | Path | dict[str, Any],
     run_id: int | None = None,
 ) -> dict[str, Any]:
-    """Create annotated artifacts from a CroissantML document
+    """Create annotated registered_rows from a CroissantML document
     (reference ``_croissant.py:17-148``).
 
     Returns the registered collection row if the document lists
@@ -84,72 +109,64 @@ def curate_from_croissant(
     """
     from ..catalog.query import QuerySet
 
-    if isinstance(croissant_data, (str, Path)):
-        p = Path(croissant_data)
-        if not p.exists():
-            raise FileNotFoundError(f"File not found: {croissant_data}")
-        data = json.loads(p.read_text(encoding="utf-8"))
-    elif isinstance(croissant_data, dict):
-        data = croissant_data
-    else:
-        raise ValueError(
-            "croissant_data must be a file path, JSON string, or dictionary"
-        )
+    data = _parse_document(croissant_data)
 
-    if data.get("@type") != "Dataset":
-        raise ValueError("CroissantML @type must be 'Dataset'")
-    if "name" not in data:
-        raise ValueError("CroissantML must have a 'name' field")
-
-    dataset_name = data["name"]
+    ds_name = data["name"]
     description = data.get("description")
     version = data.get("version")
-    license_info = data.get("license")
+    license_value = data.get("license")
     project_name = data.get("cr:projectName")
 
     # License → typed ULabel, get-or-create (reference :66-78)
-    license_label = None
-    if license_info:
+    license_row = None
+    if license_value:
         license_type = _get_or_create(
             lakehouse, "ulabel", "License", match={"is_type": True}
         )
-        license_label = _get_or_create(
+        license_row = _get_or_create(
             lakehouse,
             "ulabel",
-            license_info,
+            license_value,
             description="Dataset license",
             type_id=license_type["id"],
         )
-    project_label = None
+    project_row = None
     if project_name:
-        project_label = _get_or_create(lakehouse, "project", project_name)
+        project_row = _get_or_create(lakehouse, "project", project_name)
 
     distributions = data.get("distribution", [])
     if not distributions:
-        raise ValueError("No file distributions found in croissant data")
+        raise ValueError(
+            "No file distributions in the croissant document — nothing to ingest"
+        )
 
-    artifacts: list[dict[str, Any]] = []
+    registered_rows: list[dict[str, Any]] = []
     for dist in distributions:
-        file_id = dist.get("@id", "")
-        if file_id and Path(file_id).exists():
-            file_path = file_id
+        dist_id = dist.get("@id", "")
+        if dist_id and Path(dist_id).exists():
+            payload_path = dist_id
         else:
-            file_path = dist.get("contentUrl", "") or data.get("url", "")
-        if not file_path:
-            raise ValueError(f"No file path found in croissant distribution: {dist}")
-        if not Path(file_path).exists():
-            raise ValueError(f"Inferred file path does not exist: {file_path}")
+            payload_path = dist.get("contentUrl", "") or data.get("url", "")
+        if not payload_path:
+            raise ValueError(
+                f"No file path resolvable from distribution entry {dist!r} "
+                "(tried @id, contentUrl, and the dataset url)"
+            )
+        if not Path(payload_path).exists():
+            raise ValueError(
+                f"distribution points at {payload_path!r}, which does not exist locally"
+            )
         if len(distributions) == 1:
             # dataset-level naming belongs on the artifact only when it
             # IS the dataset (reference :116-123)
-            art_description = dataset_name + (
+            art_description = ds_name + (
                 f" - {description}" if description is not None else ""
             )
         else:
             art_description = None
-        key = (file_id or file_path).lstrip("/")
+        key = (dist_id or payload_path).lstrip("/")
         art = lakehouse.register_artifact(
-            file_path,
+            payload_path,
             key=key,
             description=art_description,
             kind="dataset",
@@ -157,40 +174,40 @@ def curate_from_croissant(
         )
         if version:
             art["version_tag"] = version
-        if license_label:
+        if license_row:
             _link(lakehouse, "artifact_ulabels", "artifact_id", art["id"],
-                  "ulabel_id", license_label["id"])
-        if project_label:
+                  "ulabel_id", license_row["id"])
+        if project_row:
             _link(lakehouse, "artifact_projects", "artifact_id", art["id"],
-                  "project_id", project_label["id"])
-        artifacts.append(art)
+                  "project_id", project_row["id"])
+        registered_rows.append(art)
 
     if version:
         # ONE bulk registry rewrite for all distributions (a per-artifact
         # update would rewrite the artifact table once per file)
         QuerySet(lakehouse, "artifact").filter(
-            id__in=[a["id"] for a in artifacts]
+            id__in=[a["id"] for a in registered_rows]
         ).update(version_tag=version)
 
-    if len(artifacts) == 1:
-        out = dict(artifacts[0])
+    if len(registered_rows) == 1:
+        out = dict(registered_rows[0])
         out["_kind"] = "artifact"
         return out
 
     coll = lakehouse.create_collection(
-        dataset_name, [a["id"] for a in artifacts], description=description
+        ds_name, [a["id"] for a in registered_rows], description=description
     )
     if version:
         QuerySet(lakehouse, "collection").filter(id=coll["id"]).update(
             version_tag=version
         )
         coll["version_tag"] = version
-    if license_label:
+    if license_row:
         _link(lakehouse, "collection_ulabels", "collection_id", coll["id"],
-              "ulabel_id", license_label["id"])
-    if project_label:
+              "ulabel_id", license_row["id"])
+    if project_row:
         _link(lakehouse, "collection_projects", "collection_id", coll["id"],
-              "project_id", project_label["id"])
+              "project_id", project_row["id"])
     out = dict(coll)
     out["_kind"] = "collection"
     return out

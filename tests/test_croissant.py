@@ -98,7 +98,7 @@ def test_validation_errors(lakehouse):
         curate_from_croissant(lakehouse, {"@type": "Dataset", "name": "x"})
     # an @id that is not an existing path falls back to contentUrl/url
     # (reference :90-98): absent → "No file path found"
-    with pytest.raises(ValueError, match="No file path found"):
+    with pytest.raises(ValueError, match="No file path resolvable"):
         curate_from_croissant(
             lakehouse,
             {
