@@ -455,6 +455,62 @@ class QuerySet:
     def limit(self, n: int) -> "QuerySet":
         return self._clone(self._df.limit(n))
 
+    # -- iteration / paging (reference: Django QuerySet __iter__/
+    # __getitem__/iterator, inherited by models/query_set.py QuerySet) --
+
+    def __iter__(self):
+        """Row-by-row iteration. Partition-streamed
+        (``toLocalIterator``): the driver holds ONE partition of rows
+        at a time, never the whole set — the Spark analogue of
+        Django's server-side cursor, and the 100-TB-safe default
+        (Django's ``__iter__`` materializes a full result cache; for
+        registry-sized sets the two are equivalent)."""
+        return self.all()._df.toLocalIterator(prefetchPartitions=True)
+
+    def iterator(self, chunk_size: int | None = None):
+        """Explicit streaming iterator (reference
+        ``QuerySet.iterator(chunk_size)``). Spark's unit of transfer
+        is the partition, so ``chunk_size`` is accepted for API parity
+        and ignored — partition size plays its role."""
+        del chunk_size
+        return iter(self)
+
+    def __bool__(self) -> bool:
+        return self.exists()
+
+    def __len__(self) -> int:
+        return self.count()
+
+    def __getitem__(self, k):
+        """Positional access and slicing in the CURRENT order
+        (reference: Django ``QuerySet.__getitem__`` — a slice narrows
+        the query with LIMIT/OFFSET, an int fetches one row). Like
+        SQL, positions on an unordered set are plan-dependent — call
+        ``order_by`` first for stable pages. Negative indices are
+        rejected exactly as Django rejects them."""
+        if isinstance(k, slice):
+            if (k.start or 0) < 0 or (k.stop is not None and k.stop < 0):
+                raise ValueError("negative slicing is not supported on a QuerySet")
+            if k.step is not None:
+                # Django returns a list for stepped slices
+                return list(self[k.start : k.stop])[:: k.step]
+            start = k.start or 0
+            base = self.all()
+            df = base._df.offset(start) if start else base._df
+            if k.stop is not None:
+                df = df.limit(max(k.stop - start, 0))
+            return base._clone(df)
+        if not isinstance(k, int):
+            raise TypeError(
+                f"QuerySet indices must be integers or slices, not {type(k).__name__}"
+            )
+        if k < 0:
+            raise ValueError("negative indexing is not supported on a QuerySet")
+        rows = self.all()._df.offset(k).take(1) if k else self.all()._df.take(1)
+        if not rows:
+            raise IndexError(f"QuerySet index {k} out of range")
+        return rows[0]
+
     def values(self, *fields: str) -> "QuerySet":
         # branch predicate must land BEFORE the projection: the select
         # may drop branch_id, after which it could never be applied.
