@@ -30,10 +30,13 @@ can be written to a table instead of collected.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger("lamindb_spark")
 
 from .curator import CategoricalSpec, CurationError, DataFrameCurator
 from .schema_check import SchemaSpec
@@ -383,17 +386,32 @@ class SlotsCurator:
         path, otype = self._write_payload(lakehouse, key)
         art = lakehouse.register_artifact(path, key=key, description=description, otype=otype)
         merged: dict[str, list] = {}
+        cap = lakehouse.settings.annotation.n_max_records
         for cur in self._slots.values():  # slot order; later slots win
             for col, cspec in cur.categoricals.items():
                 if col not in cur.df.columns:
                     continue
-                vals = sorted(
-                    r[0]
-                    for r in cur.df.select(col)
+                # settings.annotation.n_max_records (reference
+                # AnnotationSettings): a cap+1-limited collect bounds
+                # driver memory even on a pathological column; beyond
+                # the cap the column is skipped with a warning instead
+                # of flooding the annotation table
+                head = (
+                    cur.df.select(col)
                     .filter(F.col(col).isNotNull())
                     .distinct()
+                    .limit(cap + 1)
                     .collect()
                 )
+                if len(head) > cap:
+                    logger.warning(
+                        "column %r exceeds annotation.n_max_records=%d "
+                        "distinct values; skipping its automated annotation",
+                        col,
+                        cap,
+                    )
+                    continue
+                vals = sorted(r[0] for r in head)
                 if cspec.synonyms_field:
                     m = {
                         r["__syn"]: r["__name"]

@@ -104,11 +104,21 @@ def from_values(
     # a null row would be re-created on EVERY call and never returned —
     # review finding); the reference's from_values likewise skips nulls
     values = [v for v in values if v is not None]
-    reg = lakehouse.read(registry_name)
-    present = {
-        r[0]
-        for r in reg.filter(F.col(field).isin(values)).select(field).distinct().collect()
-    }
+    if lakehouse.settings.creation.search_names:
+        reg = lakehouse.read(registry_name)
+        present = {
+            r[0]
+            for r in reg.filter(F.col(field).isin(values))
+            .select(field)
+            .distinct()
+            .collect()
+        }
+    else:
+        # settings.creation.search_names=False (reference
+        # CreationSettings): skip the existing-name lookup for bulk
+        # speed — duplicates become the caller's concern, as documented
+        # on the reference setting
+        present = set()
     missing = [v for v in dict.fromkeys(values) if v not in present]
     if missing:
         lakehouse.save(

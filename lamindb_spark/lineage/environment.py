@@ -71,11 +71,15 @@ def _register_without_run(lh, path: str, **kwargs: Any) -> dict[str, Any]:
     reference creates them with run=None and
     ``artifact_silence_missing_run_warning``, ``_finish.py:396``)."""
     saved_run = lh.current_run_id
+    saved_silence = lh.settings.creation.artifact_silence_missing_run_warning
     lh.current_run_id = None
+    # runless-by-design: the missing-run warning would be noise here
+    lh.settings.creation.artifact_silence_missing_run_warning = True
     try:
         return lh.register_artifact(path, kind="__lamindb_run__", **kwargs)
     finally:
         lh.current_run_id = saved_run
+        lh.settings.creation.artifact_silence_missing_run_warning = saved_silence
 
 
 def attach_report(lh, run: dict[str, Any], report_path: str) -> dict[str, Any]:
