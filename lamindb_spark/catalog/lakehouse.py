@@ -1465,6 +1465,86 @@ class Lakehouse:
         }
         return _json.dumps(doc, sort_keys=True)
 
+    def describe_run(self, uid: str) -> str:
+        """Run describe as one JSON document (reference
+        ``describe_run``, ``models/_describe.py:340``: uid, transform
+        key/version, started/finished, environment/report links, plus
+        the run's input and output artifact uids — the engine's
+        run-graph edges)."""
+        import json as _json
+
+        run = self.read("run").filter(F.col("uid") == uid).first()
+        if run is None:
+            raise KeyError(f"no run with uid {uid!r}")
+        tf = (
+            self.read_raw("transform")
+            .filter(F.col("id") == run["transform_id"])
+            .first()
+        )
+        outputs = sorted(
+            r["uid"]
+            for r in self.read("artifact")
+            .filter(F.col("run_id") == run["id"])
+            .select("uid")
+            .collect()
+        )
+        inputs: list[str] = []
+        if self._exists("run_input_artifacts"):
+            edges = self.read_raw("run_input_artifacts").filter(
+                F.col("run_id") == run["id"]
+            )
+            arts = self.read_raw("artifact").select(
+                F.col("id").alias("artifact_id"), "uid"
+            )
+            inputs = sorted(
+                r["uid"] for r in edges.join(arts, "artifact_id").select("uid").collect()
+            )
+        doc = {
+            "run": {k: str(v) for k, v in run.asDict().items() if v is not None},
+            "transform": {"uid": tf["uid"], "key": tf["key"]} if tf else None,
+            "inputs": inputs,
+            "outputs": outputs,
+        }
+        return _json.dumps(doc, sort_keys=True)
+
+    def describe_collection(self, uid_or_key: str) -> str:
+        """Collection describe as one JSON document (reference
+        ``describe_collection``, ``models/_describe.py:306``: header +
+        member count + members' keys/uids)."""
+        import json as _json
+
+        coll = (
+            self.read("collection")
+            .filter((F.col("uid") == uid_or_key) | (F.col("key") == uid_or_key))
+            .orderBy(F.desc("created_at"))
+            .first()
+        )
+        if coll is None:
+            raise KeyError(f"no collection with uid/key {uid_or_key!r}")
+        members = []
+        if self._exists("collection_artifacts"):
+            bridge = self.read_raw("collection_artifacts").filter(
+                F.col("collection_id") == coll["id"]
+            )
+            arts = self.read_raw("artifact").select(
+                F.col("id").alias("artifact_id"), "uid", "key"
+            )
+            members = sorted(
+                (
+                    {"uid": r["uid"], "key": r["key"]}
+                    for r in bridge.join(arts, "artifact_id").collect()
+                ),
+                key=lambda m: m["uid"],
+            )
+        doc = {
+            "collection": {
+                k: str(v) for k, v in coll.asDict().items() if v is not None
+            },
+            "n_members": len(members),
+            "members": members,
+        }
+        return _json.dumps(doc, sort_keys=True)
+
     def transfer_from(
         self, other: "Lakehouse", registry: str, uids: list[str]
     ) -> list[dict[str, Any]]:
