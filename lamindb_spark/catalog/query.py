@@ -840,7 +840,9 @@ class QuerySet:
     # payloads, and any record set supports to_artifact export
     # (artifact_set.py:324-380).
 
-    _ARRAY_OTYPES = ("AnnDataLong", "MuDataLong", "SpatialDataLong")
+    _ARRAY_OTYPES = (
+        "AnnDataLong", "MuDataLong", "SpatialDataLong", "SomaExperimentLong",
+    )
     _ARRAY_SUFFIXES = (".h5ad", ".h5mu", ".zarr", ".tiledbsoma")
 
     def _artifact_rows(self, op: str) -> list:
