@@ -157,6 +157,13 @@ def stratified_rank(
     :func:`ranked_index` stays safe because its only order-dependent
     column lives on the single sorted probe branch.
     """
+    from pyspark.sql.types import NullType
+
+    if isinstance(df.schema[strata_col].dataType, NullType):
+        # an all-NULL literal column types as void, and no join —
+        # null-safe or not — can match on a void key (review finding:
+        # rows silently vanished); a typed NULL behaves normally
+        df = df.withColumn(strata_col, F.col(strata_col).cast("string"))
     local = df.repartitionByRange(
         F.col(strata_col), *order_cols
     ).withColumn("__pid", F.spark_partition_id().cast("long"))

@@ -498,3 +498,55 @@ def test_stratified_sample_quota_property(spark, strata, fraction):
         want[s] = want.get(s, 0) + 1
     want = {s: math.ceil(n * fraction) for s, n in want.items()}
     assert got == {s: n for s, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["w", "x", "y", None]),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_stratified_rank_matches_window_property(spark, rows_spec, n_tiles):
+    """stratified_rank must be bit-identical to row_number()-1 over
+    Window.partitionBy(stratum) for ANY strata mix (NULLs, ties,
+    single-row strata), and the ntile arithmetic used by
+    perplexity_buckets must reproduce SQL NTILE exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.operators.prefix import stratified_rank
+
+    rows = [(i, s, float(v)) for i, (s, v) in enumerate(rows_spec)]
+    # explicit schema: an all-NULL strata draw must stay a typed
+    # string column, not void (stratified_rank guards void too)
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    got = {
+        r["id"]: (r["rn0"], r["n"])
+        for r in stratified_rank(
+            df, "src", [F.col("score"), F.col("id")], "rn0", "n"
+        ).collect()
+    }
+    w = W.partitionBy("src").orderBy(F.col("score"), F.col("id"))
+    exp_rows = (
+        df.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("nn", F.count(F.lit(1)).over(W.partitionBy("src")))
+        .collect()
+    )
+    exp = {r["id"]: (r["rn"], r["nn"]) for r in exp_rows}
+    assert got == exp
+    # ntile-from-rank arithmetic == SQL ntile
+    exp_tile = {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+    }
+    for rid, (rn0, n) in got.items():
+        q, rmod = divmod(n, n_tiles)
+        big = rmod * (q + 1)
+        tile = (rn0 // (q + 1) if rn0 < big else rmod + (rn0 - big) // max(q, 1)) + 1
+        assert tile == exp_tile[rid], (rid, rn0, n, n_tiles)
