@@ -898,8 +898,15 @@ class Lakehouse:
         if store.is_dir(path):
             if skip_hash:
                 # sizes come free from the listing; only the per-file
-                # md5 round (the slow step on large payloads) is skipped
-                sizes = [sz for _rel, sz in store.walk_stats(path)]
+                # md5 round (the slow step on large payloads) is skipped.
+                # Same hidden-file filter as hash_dir, or the same
+                # payload would register with different size/n_files
+                # depending on the setting (review finding)
+                sizes = [
+                    sz
+                    for rel, sz in store.walk_stats(path)
+                    if not rel.rsplit("/", 1)[-1].startswith(("_", "."))
+                ]
                 content_hash, size, n_files = None, sum(sizes), len(sizes)
             else:
                 content_hash, size, n_files = hash_dir(path, store)
@@ -2243,34 +2250,54 @@ class Lakehouse:
         (``features__<name>=value`` compares the scalar json) can
         actually match (review finding: array-valued curator
         annotations were unreachable by the documented filters)."""
+        self.annotate_many(
+            entity_kind,
+            [(entity_id, values)],
+            feature_ids=feature_ids,
+            explode_lists=explode_lists,
+        )
+
+    def annotate_many(
+        self,
+        entity_kind: str,
+        items: list[tuple[int, dict[str, Any]]],
+        feature_ids: dict[str, int] | None = None,
+        explode_lists: bool = False,
+    ) -> None:
+        """Bulk form of :meth:`annotate`: ONE parquet append for any
+        number of (entity_id, values) pairs — a per-entity loop of
+        ``annotate`` calls is one table commit per entity, O(n²) writes
+        over a training run's checkpoint re-ranks (review finding)."""
         import json
 
         rows = []
-        for fname, value in values.items():
-            items = (
-                list(value)
-                if explode_lists and isinstance(value, (list, tuple, set))
-                else [value]
-            )
-            for item in items:
-                rows.append(
-                    {
-                        "entity_kind": entity_kind,
-                        "entity_id": entity_id,
-                        "feature_id": (feature_ids or {}).get(fname, -1),
-                        "feature_name": fname,
-                        "value_json": json.dumps(item, default=str),
-                        "branch_id": self.current_branch_id,
-                        "created_at": _now(),
-                    }
+        for entity_id, values in items:
+            for fname, value in values.items():
+                per = (
+                    list(value)
+                    if explode_lists and isinstance(value, (list, tuple, set))
+                    else [value]
                 )
-        self._append("annotation", rows)
+                for item in per:
+                    rows.append(
+                        {
+                            "entity_kind": entity_kind,
+                            "entity_id": entity_id,
+                            "feature_id": (feature_ids or {}).get(fname, -1),
+                            "feature_name": fname,
+                            "value_json": json.dumps(item, default=str),
+                            "branch_id": self.current_branch_id,
+                            "created_at": _now(),
+                        }
+                    )
+        if rows:
+            self._append("annotation", rows)
 
     def deannotate(
         self,
         entity_kind: str,
         entity_ids: list[int],
-        feature_name: str,
+        feature_name: str | list[str],
         value: Any = ...,
     ) -> None:
         """Remove annotation rows — the engine analogue of the
@@ -2279,7 +2306,8 @@ class Lakehouse:
         integration's best/last-flag flips, ``lightning.py:489-516``).
 
         Drops every row matching (entity_kind, entity_id ∈ ids,
-        feature_name); ``value`` narrows to one JSON value. The
+        feature_name ∈ names — a list removes several features in ONE
+        table rewrite); ``value`` narrows to one JSON value. The
         annotation table is append-only for writes, so removal is one
         anti-join rewrite — registry-sized, same write model as
         ``delete_where``. Without removal a flipped flag would leave
@@ -2288,14 +2316,22 @@ class Lakehouse:
 
         if not entity_ids:
             return
+        names = (
+            [feature_name] if isinstance(feature_name, str) else list(feature_name)
+        )
         df = self.read_raw("annotation")
         cond = (
             (F.col("entity_kind") == entity_kind)
-            & (F.col("feature_name") == feature_name)
+            & F.col("feature_name").isin(names)
             & F.col("entity_id").isin(list(entity_ids))
         )
         if value is not ...:
             cond = cond & (F.col("value_json") == json.dumps(value, default=str))
+        # probe before rewriting: the common caller pattern (replace-
+        # then-annotate on a FRESH entity) matches nothing, and a full
+        # table rewrite per no-op would dominate checkpoint cadence
+        if df.filter(cond).limit(1).count() == 0:
+            return
         self._overwrite("annotation", df.filter(~cond))
 
 

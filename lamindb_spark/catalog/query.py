@@ -478,8 +478,10 @@ class QuerySet:
     def __bool__(self) -> bool:
         return self.exists()
 
-    def __len__(self) -> int:
-        return self.count()
+    # deliberately NO __len__: CPython's length-hint protocol probes
+    # __len__ before materializing list(qs), which would silently run a
+    # FULL count() job ahead of every iteration — a hidden second table
+    # scan (review finding). Use .count() explicitly.
 
     def __getitem__(self, k):
         """Positional access and slicing in the CURRENT order

@@ -151,8 +151,16 @@ def create_cellxgene_schema(
     if "name" in fts:
         columns += list(_NAME_COLUMNS)
     if "ontology_id" in fts:
+        # tissue_type and suspension_type exist ONLY in name form — the
+        # CELLxGENE schema defines no *_ontology_term_id twin for them
+        # (they are closed ULabel vocabularies, reference
+        # categoricals_to_spec), so the twin list must exclude both
+        # (review finding: a generated suspension_type_ontology_term_id
+        # column would fail every compliant dataset)
         columns += [
-            f"{c}_ontology_term_id" for c in _NAME_COLUMNS if c != "tissue_type"
+            f"{c}_ontology_term_id"
+            for c in _NAME_COLUMNS
+            if c not in ("tissue_type", "suspension_type")
         ]
     columns.append("donor_id")
 

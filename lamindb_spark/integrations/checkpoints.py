@@ -196,6 +196,7 @@ class CheckpointPublisher:
         self._validate_user_features()
         self._run_features_saved = False
         self._best_score: float | None = None
+        self._published_ids: set[int] = set()
         self._latest: dict[str, dict | None] = {
             "checkpoint": None, "config": None, "hparams": None,
         }
@@ -297,6 +298,11 @@ class CheckpointPublisher:
         if is_best and score is not None:
             self._best_score = score
         art = self.lh.register_artifact(str(local_path), key=key, kind="model")
+        # hash-dedup can return an EXISTING artifact (unchanged weights
+        # re-saved, or the same bytes published under another key) —
+        # track its id so flag/rank bookkeeping still reaches it even
+        # when its key escapes the prefix (review finding)
+        self._published_ids.add(art["id"])
         self._clear_flag("is_last_model")
         if is_best:
             self._clear_flag("is_best_model")
@@ -312,6 +318,11 @@ class CheckpointPublisher:
             vals["monitor"] = self.monitor
         vals.update(self._artifact_features)
         vals.update(extra_features or {})
+        # re-saving a deduped artifact must REPLACE its previous values,
+        # not accumulate a second contradictory row per feature (review
+        # finding: true+false both matched the EAV filters); one rewrite
+        # covers every feature name
+        self.lh.deannotate("artifact", [art["id"]], list(vals))
         self.lh.annotate(
             "artifact", art["id"], vals, feature_ids=self._feature_ids(vals)
         )
@@ -386,9 +397,10 @@ class CheckpointPublisher:
     # ----------------------------------------------------- flag bookkeeping
 
     def _checkpoint_ids(self) -> list[int]:
-        """ids of live checkpoint artifacts under the prefix —
+        """ids of live checkpoint artifacts under the prefix, plus any
+        this publisher touched whose dedup hit landed outside it —
         checkpoint-count-sized by construction."""
-        return [
+        ids = {
             r["id"]
             for r in self.lh.read("artifact")
             .filter(
@@ -397,7 +409,8 @@ class CheckpointPublisher:
             )
             .select("id")
             .collect()
-        ]
+        }
+        return sorted(ids | self._published_ids)
 
     def _clear_flag(self, feature_name: str) -> None:
         """Flip ``feature_name`` from true to false on every previous
@@ -423,11 +436,11 @@ class CheckpointPublisher:
         if not holders:
             return
         self.lh.deannotate("artifact", holders, feature_name, value=True)
-        for a in holders:
-            self.lh.annotate(
-                "artifact", a, {feature_name: False},
-                feature_ids=self._feature_ids([feature_name]),
-            )
+        self.lh.annotate_many(
+            "artifact",
+            [(a, {feature_name: False}) for a in holders],
+            feature_ids=self._feature_ids([feature_name]),
+        )
 
     def update_model_ranks(self) -> None:
         """Re-rank every scored checkpoint under the prefix: rank 0 =
@@ -451,8 +464,15 @@ class CheckpointPublisher:
         ]
         if not scored:
             return
-        scored.sort(key=lambda t: (t[0], t[1]), reverse=(self.mode == "max"))
+        # tiebreak stays id-ASC in BOTH modes — a bare reverse= would
+        # flip it for mode="max" (review finding)
+        if self.mode == "max":
+            scored.sort(key=lambda t: (-t[0], t[1]))
+        else:
+            scored.sort(key=lambda t: (t[0], t[1]))
         self.lh.deannotate("artifact", [a for _, a in scored], "model_rank")
-        fid = self._feature_ids(["model_rank"])
-        for rank, (_s, art_id) in enumerate(scored):
-            self.lh.annotate("artifact", art_id, {"model_rank": rank}, feature_ids=fid)
+        self.lh.annotate_many(
+            "artifact",
+            [(art_id, {"model_rank": rank}) for rank, (_s, art_id) in enumerate(scored)],
+            feature_ids=self._feature_ids(["model_rank"]),
+        )

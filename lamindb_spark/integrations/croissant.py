@@ -1,11 +1,11 @@
 """Croissant (MLCommons CroissantML) dataset ingest.
 
 Reference: ``lamindb/integrations/_croissant.py:17-148``
-``curate_from_croissant`` — create annotated registered_rows from a
+``curate_from_croissant`` — create annotated artifacts from a
 Croissant JSON-LD document: one artifact per file distribution, a
 ``License`` ULabel (typed, get-or-create) from the ``license`` field,
 a Project (get-or-create) from ``cr:projectName``, and a collection
-wrapping the registered_rows when the document lists more than one
+wrapping the artifacts when the document lists more than one
 distribution. The Croissant format itself is public
 (https://mlcommons.org/croissant).
 
@@ -99,7 +99,7 @@ def curate_from_croissant(
     croissant_data: str | Path | dict[str, Any],
     run_id: int | None = None,
 ) -> dict[str, Any]:
-    """Create annotated registered_rows from a CroissantML document
+    """Create annotated artifacts from a CroissantML document
     (reference ``_croissant.py:17-148``).
 
     Returns the registered collection row if the document lists

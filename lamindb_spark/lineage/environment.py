@@ -176,21 +176,29 @@ def cleanup_dangling_runs(
     if not rows:
         return {"runs": 0, "artifacts": 0}
     dang_ids = [r["id"] for r in rows]
-    live_envs = {
-        r["environment_id"]
-        for r in runs.filter(
-            ~F.col("id").isin(dang_ids) & F.col("environment_id").isNotNull()
-        )
-        .select("environment_id")
+    # live references scan ALL non-trash branches (read_raw), not just
+    # the caller's visible scope: register_artifact hash-dedups across
+    # branches, so a sibling-branch run may share the environment — or
+    # even a byte-identical report — with a crashed run here, and a
+    # branch-scoped scan would delete an artifact that run still links
+    # (review finding). Both link columns are checked.
+    from ..catalog.lakehouse import TRASH_BRANCH_ID
+
+    all_runs = lh.read_raw("run").filter(F.col("branch_id") != TRASH_BRANCH_ID)
+    survivors = all_runs.filter(~F.col("id").isin(dang_ids))
+    live_refs = {
+        r["ref"]
+        for col in ("environment_id", "report_id")
+        for r in survivors.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("ref"))
         .distinct()
         .collect()
     }
     candidates: set[int] = set()
     for r in rows:
-        if r["report_id"] is not None:
-            candidates.add(r["report_id"])
-        if r["environment_id"] is not None and r["environment_id"] not in live_envs:
-            candidates.add(r["environment_id"])
+        for ref in (r["report_id"], r["environment_id"]):
+            if ref is not None and ref not in live_refs:
+                candidates.add(ref)
     art_ids = [
         r["id"]
         for r in lh.read("artifact")

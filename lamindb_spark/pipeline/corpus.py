@@ -56,8 +56,13 @@ def curate_corpus(
     fams = enriched.groupBy("content_hash").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies"),
         F.min(id_col).alias("__keeper"),
-    )
-    grouped = enriched.join(fams, "content_hash").select(
+    ).withColumnRenamed("content_hash", "__ch")
+    # null-safe join: fingerprint(NULL text) is NULL, and the old
+    # window form grouped those rows as one family with a verdict — an
+    # equi-join would silently DROP them (review finding)
+    grouped = enriched.join(
+        fams, F.col("content_hash").eqNullSafe(F.col("__ch"))
+    ).select(
         id_col,
         "n_tokens",
         "quality",

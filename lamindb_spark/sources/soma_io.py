@@ -55,6 +55,46 @@ def _require_tiledbsoma():
         ) from e
 
 
+def _obs_to_pandas(obs_tbl):
+    """obs Arrow table → (pandas frame with the id column renamed to
+    obs_id, the joinid→id map for COO coordinate mapping, or None when
+    the axis id IS soma_joinid)."""
+    obs_pdf = obs_tbl.to_pandas()
+    obs_id_col = "obs_id" if "obs_id" in obs_pdf.columns else "soma_joinid"
+    omap = (
+        dict(zip(obs_pdf["soma_joinid"], obs_pdf[obs_id_col]))
+        if obs_id_col != "soma_joinid"
+        else None
+    )
+    return obs_pdf.rename(columns={obs_id_col: "obs_id"}), omap
+
+
+def _measurement_to_long(spark, obs_df, omap, var_tbl, x_tbl) -> AnnDataLong:
+    """(var, X) Arrow tables + an ALREADY-CONVERTED obs DataFrame →
+    :class:`AnnDataLong` — the obs conversion happens once per
+    experiment, not once per measurement (review finding: the shared
+    global obs was converted N times and N−1 discarded)."""
+    var_pdf = var_tbl.to_pandas()
+    x_pdf = x_tbl.to_pandas()
+    var_id_col = "var_id" if "var_id" in var_pdf.columns else "soma_joinid"
+    # map COO joinid coordinates onto the axis ids (identity when the
+    # axis id IS soma_joinid; a dict lookup otherwise)
+    if omap is not None:
+        x_pdf["soma_dim_0"] = x_pdf["soma_dim_0"].map(omap)
+    if var_id_col != "soma_joinid":
+        vmap = dict(zip(var_pdf["soma_joinid"], var_pdf[var_id_col]))
+        x_pdf["soma_dim_1"] = x_pdf["soma_dim_1"].map(vmap)
+    var_pdf = var_pdf.rename(columns={var_id_col: "var_id"})
+    x_pdf = x_pdf.rename(
+        columns={"soma_dim_0": "obs_id", "soma_dim_1": "var_id", "soma_data": "value"}
+    )
+    return AnnDataLong(
+        obs=obs_df,
+        var=spark.createDataFrame(var_pdf),
+        x=spark.createDataFrame(x_pdf[["obs_id", "var_id", "value"]]),
+    )
+
+
 def soma_tables_to_long(spark: SparkSession, obs_tbl, var_tbl, x_tbl) -> AnnDataLong:
     """SOMA-schema Arrow tables → :class:`AnnDataLong`.
 
@@ -64,29 +104,9 @@ def soma_tables_to_long(spark: SparkSession, obs_tbl, var_tbl, x_tbl) -> AnnData
     soma_data)``. Pure Arrow/pandas → Spark mapping, so the bridge's
     data logic is testable without the tiledbsoma library itself.
     """
-    obs_pdf = obs_tbl.to_pandas()
-    var_pdf = var_tbl.to_pandas()
-    x_pdf = x_tbl.to_pandas()
-
-    obs_id_col = "obs_id" if "obs_id" in obs_pdf.columns else "soma_joinid"
-    var_id_col = "var_id" if "var_id" in var_pdf.columns else "soma_joinid"
-    # map COO joinid coordinates onto the axis ids (identity when the
-    # axis id IS soma_joinid; a dict lookup otherwise)
-    if obs_id_col != "soma_joinid":
-        omap = dict(zip(obs_pdf["soma_joinid"], obs_pdf[obs_id_col]))
-        x_pdf["soma_dim_0"] = x_pdf["soma_dim_0"].map(omap)
-    if var_id_col != "soma_joinid":
-        vmap = dict(zip(var_pdf["soma_joinid"], var_pdf[var_id_col]))
-        x_pdf["soma_dim_1"] = x_pdf["soma_dim_1"].map(vmap)
-    obs_pdf = obs_pdf.rename(columns={obs_id_col: "obs_id"})
-    var_pdf = var_pdf.rename(columns={var_id_col: "var_id"})
-    x_pdf = x_pdf.rename(
-        columns={"soma_dim_0": "obs_id", "soma_dim_1": "var_id", "soma_data": "value"}
-    )
-    return AnnDataLong(
-        obs=spark.createDataFrame(obs_pdf),
-        var=spark.createDataFrame(var_pdf),
-        x=spark.createDataFrame(x_pdf[["obs_id", "var_id", "value"]]),
+    obs_pdf, omap = _obs_to_pandas(obs_tbl)
+    return _measurement_to_long(
+        spark, spark.createDataFrame(obs_pdf), omap, var_tbl, x_tbl
     )
 
 
@@ -120,20 +140,19 @@ def soma_experiment_to_long(
     """SOMA-schema Arrow tables → :class:`SomaExperimentLong`.
 
     ``measurements`` maps name → ``(var_tbl, x_tbl)``. Pure
-    Arrow/pandas → Spark mapping via :func:`soma_tables_to_long`, so
-    the experiment bridge is testable without the tiledbsoma library.
+    Arrow/pandas → Spark mapping, testable without the tiledbsoma
+    library; the shared global obs converts ONCE and every measurement
+    references the same DataFrame.
     """
-    parts = {
-        name: soma_tables_to_long(spark, obs_tbl, var_tbl, x_tbl)
-        for name, (var_tbl, x_tbl) in measurements.items()
-    }
-    if not parts:
+    if not measurements:
         raise ValueError("a SOMA experiment needs at least one measurement")
-    obs = next(iter(parts.values())).obs
+    obs_pdf, omap = _obs_to_pandas(obs_tbl)
+    obs = spark.createDataFrame(obs_pdf)
     return SomaExperimentLong(
         obs=obs,
         measurements={
-            n: AnnDataLong(obs=obs, var=ad.var, x=ad.x) for n, ad in parts.items()
+            name: _measurement_to_long(spark, obs, omap, var_tbl, x_tbl)
+            for name, (var_tbl, x_tbl) in measurements.items()
         },
     )
 

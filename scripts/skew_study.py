@@ -47,7 +47,7 @@ def main():
         )
         .repartition(32)
     )
-    df.localCheckpoint()  # isolate generation cost from the measurement
+    df = df.localCheckpoint()  # isolate generation cost from the measurement
 
     h = F.md5(F.concat(F.col("doc_id").cast("string")))
     frac = F.lit(0.2)

@@ -58,9 +58,12 @@ def test_slice_pages(lake):
     ]
 
 
-def test_bool_and_len(lake):
+def test_bool_and_no_len(lake):
     assert bool(_qs(lake))
-    assert len(_qs(lake)) == 10
     empty = QuerySet(lake, "ulabel").filter(name="nope")
     assert not empty
-    assert len(empty) == 0
+    # deliberately no __len__: list(qs) must not probe a hidden full
+    # count() job through CPython's length-hint protocol
+    with pytest.raises(TypeError):
+        len(_qs(lake))
+    assert _qs(lake).count() == 10
