@@ -550,3 +550,89 @@ def test_stratified_rank_matches_window_property(spark, rows_spec, n_tiles):
         big = rmod * (q + 1)
         tile = (rn0 // (q + 1) if rn0 < big else rmod + (rn0 - big) // max(q, 1)) + 1
         assert tile == exp_tile[rid], (rid, rn0, n, n_tiles)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["the cat sat", "dogs run fast here", None, "", "the cat sat",
+             "one two three four five six seven", "dup dup dup"]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_elect_representatives_matches_window_form(spark, texts):
+    """The r13 min-struct election must pick the SAME keeper as the
+    old row_number window (quality DESC, id ASC) on any text mix,
+    including NULLs, empties and exact duplicates."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.functions.text import fingerprint, quality_score
+    from lamindb_spark.pipeline.corpus import elect_representatives
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["quality"], r["n_copies"])
+        for r in elect_representatives(df).collect()
+    }
+    enriched = df.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    w = W.partitionBy("fp").orderBy(F.desc("q"), F.asc("doc_id"))
+    exp = {
+        r["doc_id"]: (r["q"], r["nc"])
+        for r in enriched.withColumn("rn", F.row_number().over(w))
+        .withColumn("nc", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["the cat sat on the mat today fine", None, "",
+             "alpha beta gamma delta epsilon zeta eta theta",
+             "the cat sat on the mat today fine",
+             "one two three four five six seven eight nine ten"]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_curate_corpus_matches_window_form(spark, texts):
+    """Family count/keeper via groupBy+null-safe-join must equal the
+    old window form row-for-row — including NULL-text rows, which form
+    one null-fingerprint family with a verdict (the r13 review fix)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lamindb_spark.functions.text import fingerprint
+    from lamindb_spark.pipeline.corpus import curate_corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_copies"], r["is_keeper"])
+        for r in curate_corpus(df).collect()
+    }
+    w = W.partitionBy("fp")
+    exp = {
+        r["doc_id"]: (r["nc"], r["keeper"])
+        for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .withColumn("nc", F.count(F.lit(1)).over(w))
+        .withColumn("keeper", F.min("doc_id").over(w) == F.col("doc_id"))
+        .collect()
+    }
+    assert len(got) == len(texts)
+    assert got == exp
