@@ -244,6 +244,35 @@ def curator_from_schema(lh, dataset, composite_schema_id: int, categoricals=None
     return cls(dataset, slot_specs, **kwargs)
 
 
+class DictCurator(DataFrameCurator):
+    """Curator for a plain ``dict`` (reference
+    ``ExperimentalDictCurator``, ``curators/core.py:1034-1055``): the
+    dict becomes a one-row DataFrame via the same conversion the dict
+    SLOTS use (``_dict_frame`` — complex values stringified, exactly
+    the reference's ``convert_dict_to_dataframe_for_validation`` in
+    spirit), then every DataFrameCurator capability applies —
+    schema/dtype checks, categorical domains, standardize, defaults."""
+
+    def __init__(
+        self,
+        dataset: dict,
+        spec,
+        categoricals: dict | None = None,
+        defaults: dict | None = None,
+    ):
+        if not isinstance(dataset, dict):
+            raise TypeError(
+                f"DictCurator curates a dict, not {type(dataset).__name__}"
+            )
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        self.source_dict = dict(dataset)
+        super().__init__(
+            _dict_frame(spark, dataset, "dict"), spec, categoricals, defaults
+        )
+
+
 class SlotsCurator:
     """Base slot curator: subclasses resolve slot names to DataFrames
     (``_resolve_slot``) and rebuild their dataset from standardized

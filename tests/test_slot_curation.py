@@ -308,3 +308,30 @@ def test_saved_composite_schema_drives_curation(spark, lakehouse, cell_registry)
         curator_from_schema(lakehouse, ad, obs_schema["id"])
     with pytest.raises(KeyError):
         curator_from_schema(lakehouse, ad, 99999)
+
+
+def test_dict_curator(spark, cell_registry):
+    """DictCurator (reference ExperimentalDictCurator): a plain dict
+    validated/standardized like a one-row frame."""
+    from lamindb_spark.curation.slots import DictCurator
+
+    spec = SchemaSpec(
+        features={"assay": "string", "n_cells": "bigint"}, maximal_set=False
+    )
+    cats = {"assay": CategoricalSpec(cell_registry, "name", "synonyms")}
+    ok = DictCurator({"assay": "T cell", "n_cells": 100}, spec, cats)
+    assert ok.validate()["is_valid"]
+    # synonyms are VALID and standardize maps them to canonical
+    syn = DictCurator({"assay": "T-cell", "n_cells": 5}, spec, cats)
+    assert syn.validate()["is_valid"]
+    assert syn.standardize().df.collect()[0]["assay"] == "T cell"
+    # a value outside domain+synonyms fails in the right place
+    bad = DictCurator({"assay": "NK cell", "n_cells": 5}, spec, cats)
+    rep = bad.validate()
+    assert not rep["is_valid"]
+    assert rep["categoricals"] == {"assay": ["NK cell"]}
+    # non-dict rejected, like the reference's InvalidArgument
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="dict"):
+        DictCurator([("a", 1)], spec)
