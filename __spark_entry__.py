@@ -2055,20 +2055,23 @@ def _q_embedding_cov(spark, sf):
 
 def _q_top_docs_per_source(spark, sf):
     """Per-group top-k: the 3 highest-quality docs of every source
-    (dense ranking over the group window; tie → lowest id). One
-    shuffle on the group key — the standard 'best n per category'."""
-    from pyspark.sql import Window
-
+    (tie → lowest id) via the r13 skew-safe two-phase
+    ``topk_per_group`` — partition-local top-k candidates, then the
+    global window over the tiny candidate frame, so a dominant source
+    never funnels whole through one task. Bit-identical to the plain
+    group window (the oracle keeps that formulation)."""
     from lamindb_spark.functions.text import quality_score
+    from lamindb_spark.operators.windows import topk_per_group
 
     d = load_table(spark, sf, "documents").select("doc_id", "source", "text")
     q = F.round(quality_score(F.col("text")), 6)
-    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
-    return (
-        d.select("doc_id", "source", q.alias("q"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "source", F.col("q").alias("quality"), F.col("rk").cast("int").alias("rk"))
+    return topk_per_group(
+        d.select("doc_id", "source", q.alias("q")),
+        ["source"],
+        [F.desc("q"), F.asc("doc_id")],
+        3,
+    ).select(
+        "doc_id", "source", F.col("q").alias("quality"), F.col("rk").cast("int").alias("rk")
     )
 
 

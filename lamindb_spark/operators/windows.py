@@ -56,3 +56,47 @@ def max_version_in_family(
     """Max version suffix per family (reference
     ``max_version_uid_in_family``, ``_is_versioned.py:195-213``)."""
     return df.groupBy(*family_cols).agg(F.max(version_col).alias(out_col))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Skew-safe per-group top-k (the VERDICT r12 #1 hazard class,
+    again): a plain ``row_number() OVER (PARTITION BY group)`` sends
+    EVERY row of a dominant group through one task just to keep its
+    best k. Here top-k composes in two phases —
+
+    1. per (input partition, group) LOCAL top-k: the window partitions
+       are bounded by the DATA partition size, never the group size,
+       and its hash exchange on (pid, group) spreads a hot group by
+       pid;
+    2. the global top-k per group over the surviving candidates — at
+       most ``k × #partitions`` rows per group, a structurally TINY
+       frame on which the per-group window is safe at any skew.
+
+    The candidate superset property makes phase 2 exact: any
+    partitioning's local top-k contains the global top-k. Final ranks
+    are re-derived from the same total order, so the result is
+    bit-identical to the single-window form including ties — callers'
+    oracle SQL keeps its plain window formulation.
+    """
+    cand = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrk",
+            F.row_number().over(
+                Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+            ),
+        )
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -147,7 +147,10 @@ _MAX_EXCHANGES = {
                              # stratified_sample (r13)
     "span_novelty": 3,       # r13: span-count groupBy + join back
                              # (heavy-hitter-safe) + doc re-agg
-    "top_docs_per_source": 1,  # one shuffle on the group key
+    "top_docs_per_source": 2,  # r13 two-phase topk_per_group: the
+                               # (pid, group) local-candidate exchange
+                               # + the tiny global candidate window —
+                               # no per-group window over data rows
     "length_outliers": 2,    # 1-row percentile agg (SinglePartition) +
                              # its broadcast; the flag pass is map-only
     "embedding_cov": 1,      # one (i,j) shuffle of dim^2 partial sums

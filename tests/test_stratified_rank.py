@@ -122,3 +122,35 @@ def test_no_per_stratum_window_functions_in_plans(spark, name):
     for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
         assert m.group(1) == "__pid", f"{name}: unexpected window key {m.group(1)}"
     assert "rangepartitioning(" in plan.lower(), f"{name}: range shuffle missing"
+
+
+def test_topk_per_group_matches_single_window(spark):
+    """Two-phase top-k must be bit-identical to the plain group window
+    (ties included), on a skewed frame where one group dominates."""
+    from lamindb_spark.operators.windows import topk_per_group
+
+    n = 5_000
+    rows = [
+        (i, "big" if i % 10 else f"s{i % 7}", float((i * 13) % 97)) for i in range(n)
+    ]
+    # duplicate scores force tie-breaking through the id
+    df = spark.createDataFrame(rows, "id long, grp string, score double").repartition(8)
+    got = sorted(
+        (r["grp"], r["rk"], r["id"])
+        for r in topk_per_group(
+            df, ["grp"], [F.desc("score"), F.asc("id")], 5
+        ).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    exp = sorted(
+        (r["grp"], r["rk"], r["id"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    )
+    assert got == exp
+    # k larger than some groups is fine
+    small = topk_per_group(
+        df.filter("grp = 's1'").limit(3), ["grp"], [F.asc("id")], 10
+    ).count()
+    assert small == 3
