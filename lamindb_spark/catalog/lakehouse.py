@@ -1573,6 +1573,235 @@ class Lakehouse:
             rows.append(d)
         return self.save(registry, rows)
 
+    def _transfer_typed_registry(
+        self, other: "Lakehouse", registry: str, src_ids: list[int]
+    ) -> dict[int, int]:
+        """Upsert rows of a typed registry (ulabel/feature — anything
+        with a self-referential ``type_id``) from ``other`` into this
+        instance, parents first, matched on uid. Returns
+        {source id -> local id}. The FK-parent-first order is the
+        engine's ``transfer_fk_to_default_db_bulk`` (reference
+        ``models/save.py``): a label's type must exist locally before
+        the label row that points at it."""
+        if not src_ids:
+            return {}
+        rows: dict[int, dict] = {}
+        frontier = set(src_ids)
+        src_df = other.read(registry)
+        while frontier:  # type-chain closure; depth = type nesting, tiny
+            batch = [
+                r.asDict()
+                for r in src_df.filter(F.col("id").isin(list(frontier))).collect()
+            ]
+            missing = frontier - {r["id"] for r in batch}
+            if missing:
+                raise KeyError(
+                    f"source {registry} ids not found (trashed or foreign "
+                    f"branch?): {sorted(missing)}"
+                )
+            rows.update({r["id"]: r for r in batch})
+            frontier = {
+                r["type_id"]
+                for r in batch
+                if r.get("type_id") is not None and r["type_id"] not in rows
+            }
+        # save parents before children so type_id can be remapped in
+        # one pass: order by type-chain depth
+        def depth(rid: int) -> int:
+            d, cur = 0, rows[rid].get("type_id")
+            while cur is not None:
+                d, cur = d + 1, rows[cur].get("type_id")
+            return d
+
+        by_depth: dict[int, list[int]] = {}
+        for rid in rows:
+            by_depth.setdefault(depth(rid), []).append(rid)
+        id_map: dict[int, int] = {}
+        for d in sorted(by_depth):  # ONE bulk save per type level, not per row
+            level = by_depth[d]
+            batch = []
+            for rid in level:
+                row = dict(rows[rid])
+                row.pop("id", None)
+                row["branch_id"] = self.current_branch_id
+                if row.get("type_id") is not None:
+                    row["type_id"] = id_map[row["type_id"]]
+                batch.append(row)
+            saved_by_uid = {r["uid"]: r["id"] for r in self.save(registry, batch)}
+            for rid in level:
+                id_map[rid] = saved_by_uid[rows[rid]["uid"]]
+        return id_map
+
+    def add_labels_from(
+        self, other: "Lakehouse", uid: str, entity: str = "artifact"
+    ) -> dict[int, int]:
+        """Copy another instance's label links onto the local entity
+        with the same uid (reference ``LabelManager.add_from``,
+        ``models/_label_manager.py:227-310``): the source entity's
+        ulabels are upserted here by uid (type parents first), the
+        per-link grouping feature follows the same way, and the links
+        land in the local ``{entity}_ulabels`` table — idempotent on
+        (entity, label, feature) exactly like :meth:`link_labels`.
+        Composes with :meth:`transfer_from`: transfer the entity row
+        first, then call this. Returns {source ulabel id -> local id}
+        covering the linked labels and their type-chain parents.
+        """
+        link_table = f"{entity}_ulabels"
+        if link_table not in REGISTRY_SCHEMAS:
+            raise ValueError(f"no label link table for entity {entity!r}")
+        src = other.read(entity).filter(F.col("uid") == uid).first()
+        if src is None:
+            raise KeyError(f"no {entity} with uid {uid!r} in source instance")
+        local = self.read(entity).filter(F.col("uid") == uid).first()
+        if local is None:
+            raise KeyError(
+                f"no local {entity} with uid {uid!r} — transfer the row "
+                f"first (transfer_from(other, {entity!r}, [{uid!r}]))"
+            )
+        links = [
+            r.asDict()
+            for r in other.read_raw(link_table)
+            .filter(F.col(f"{entity}_id") == src["id"])
+            .collect()  # bounded: one entity's links
+        ]
+        if not links:
+            return {}
+        label_map = self._transfer_typed_registry(
+            other, "ulabel", sorted({l["ulabel_id"] for l in links})
+        )
+        feat_map = self._transfer_typed_registry(
+            other,
+            "feature",
+            sorted({l["feature_id"] for l in links if l["feature_id"] is not None}),
+        )
+        existing = {
+            (r["ulabel_id"], r["feature_id"])
+            for r in self.read_raw(link_table)
+            .filter(F.col(f"{entity}_id") == local["id"])
+            .select("ulabel_id", "feature_id")
+            .collect()
+        }
+        now = _now()
+        new_links = []
+        for l in links:
+            lid = label_map[l["ulabel_id"]]
+            fid = None if l["feature_id"] is None else feat_map[l["feature_id"]]
+            if (lid, fid) in existing:
+                continue
+            existing.add((lid, fid))
+            row = {
+                f"{entity}_id": local["id"],
+                "ulabel_id": lid,
+                "feature_id": fid,
+                "created_at": now,
+            }
+            if "run_id" in {f.name for f in REGISTRY_SCHEMAS[link_table].fields}:
+                row["run_id"] = self.current_run_id
+            new_links.append(row)
+        self._append(link_table, new_links)
+        return label_map
+
+    def add_features_from(
+        self, other: "Lakehouse", uid: str, entity: str = "artifact"
+    ) -> int:
+        """Copy another instance's feature annotations (EAV rows) onto
+        the local entity with the same uid (reference
+        ``FeatureManager._add_from``, ``models/_feature_manager.py:
+        2138-2210``, which transfers schema members + feature values by
+        unique field). Referenced features — and label rows for
+        label-valued annotations — are upserted by uid first; value
+        rows already present locally (same feature name + JSON value)
+        are skipped, so the copy is idempotent. Returns the number of
+        annotation rows written."""
+        src = other.read(entity).filter(F.col("uid") == uid).first()
+        if src is None:
+            raise KeyError(f"no {entity} with uid {uid!r} in source instance")
+        local = self.read(entity).filter(F.col("uid") == uid).first()
+        if local is None:
+            raise KeyError(
+                f"no local {entity} with uid {uid!r} — transfer the row "
+                f"first (transfer_from(other, {entity!r}, [{uid!r}]))"
+            )
+        ann = [
+            r.asDict()
+            for r in other.read_raw("annotation")
+            .filter(
+                (F.col("entity_kind") == entity)
+                & (F.col("entity_id") == src["id"])
+            )
+            .collect()  # bounded: one entity's annotations
+        ]
+        if not ann:
+            return 0
+        feat_map = self._transfer_typed_registry(
+            other, "feature", sorted({a["feature_id"] for a in ann if a["feature_id"] != -1})
+        )
+        label_map = self._transfer_typed_registry(
+            other,
+            "ulabel",
+            sorted({
+                a["label_id"]
+                for a in ann
+                if a.get("label_id") is not None and a.get("label_kind") == "ulabel"
+            }),
+        )
+        have = {
+            (r["feature_name"], r["value_json"])
+            for r in self.read_raw("annotation")
+            .filter(
+                (F.col("entity_kind") == entity)
+                & (F.col("entity_id") == local["id"])
+            )
+            .select("feature_name", "value_json")
+            .collect()
+        }
+        now = _now()
+        rows = []
+        for a in ann:
+            if (a["feature_name"], a["value_json"]) in have:
+                continue
+            have.add((a["feature_name"], a["value_json"]))
+            rows.append(
+                {
+                    "entity_kind": entity,
+                    "entity_id": local["id"],
+                    "feature_id": feat_map.get(a["feature_id"], -1),
+                    "feature_name": a["feature_name"],
+                    "value_json": a["value_json"],
+                    "label_kind": a.get("label_kind"),
+                    "label_id": (
+                        label_map.get(a["label_id"])
+                        if a.get("label_kind") == "ulabel"
+                        else a.get("label_id")
+                    ),
+                    "branch_id": self.current_branch_id,
+                    "created_at": now,
+                }
+            )
+        if rows:
+            self._append("annotation", rows)
+        return len(rows)
+
+    def transfer_artifact_from(
+        self,
+        other: "Lakehouse",
+        uid: str,
+        include_labels: bool = True,
+        include_features: bool = True,
+    ) -> dict[str, Any]:
+        """One-call cross-instance artifact transfer WITH its curation
+        (the reference's ``artifact.save(using=...)`` path, which runs
+        ``LabelManager.add_from`` + ``FeatureManager._add_from`` after
+        the row lands — ``models/save.py`` transfer flow): the artifact
+        row moves by uid via :meth:`transfer_from`, then labels and
+        feature annotations follow. Returns the local artifact row."""
+        row = self.transfer_from(other, "artifact", [uid])[0]
+        if include_labels:
+            self.add_labels_from(other, uid, entity="artifact")
+        if include_features:
+            self.add_features_from(other, uid, entity="artifact")
+        return row
+
     _DISTRIBUTED_SUFFIXES = (
         ".parquet", ".csv", ".tsv", ".orc", ".jsonl",
         ".arrow", ".feather", ".ipc",

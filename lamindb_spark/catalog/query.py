@@ -493,6 +493,12 @@ class QuerySet:
         if isinstance(k, slice):
             if (k.start or 0) < 0 or (k.stop is not None and k.stop < 0):
                 raise ValueError("negative slicing is not supported on a QuerySet")
+            if k.step is not None and k.step <= 0:
+                # Django rejects non-positive steps on a QuerySet; a
+                # silent [::-1] here would reverse plan-dependent order
+                raise ValueError(
+                    "QuerySet slicing requires a positive step"
+                )
             if k.step is not None:
                 # Django returns a list for stepped slices
                 return list(self[k.start : k.stop])[:: k.step]

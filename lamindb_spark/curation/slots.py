@@ -53,6 +53,21 @@ class SlotSpec:
     defaults: dict[str, object] = field(default_factory=dict)
 
 
+def _require_active_session(what: str):
+    """Resolve the active SparkSession or fail with a message naming
+    the caller — ``getActiveSession()`` returning None otherwise
+    surfaces as an opaque AttributeError inside ``_dict_frame``."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"{what} needs an active SparkSession to build the dict "
+            "slot's one-row DataFrame; start one (or pass spark=) first"
+        )
+    return spark
+
+
 def _dict_frame(spark, d: dict, name: str) -> DataFrame:
     """A dict slot (AnnData ``uns``, SpatialData ``attrs``) as a
     single-row DataFrame — the reference's ``_handle_dict_slots``
@@ -259,14 +274,13 @@ class DictCurator(DataFrameCurator):
         spec,
         categoricals: dict | None = None,
         defaults: dict | None = None,
+        spark=None,
     ):
         if not isinstance(dataset, dict):
             raise TypeError(
                 f"DictCurator curates a dict, not {type(dataset).__name__}"
             )
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
+        spark = spark or _require_active_session("DictCurator")
         self.source_dict = dict(dataset)
         super().__init__(
             _dict_frame(spark, dataset, "dict"), spec, categoricals, defaults
@@ -303,9 +317,7 @@ class SlotsCurator:
                         "the '__external__' slot is declared but no "
                         "external_features dict was provided"
                     )
-                from pyspark.sql import SparkSession
-
-                spark = SparkSession.getActiveSession()
+                spark = _require_active_session("the '__external__' slot")
                 df = _dict_frame(spark, external_features, slot)
             else:
                 df = self._resolve_slot(slot)

@@ -3,5 +3,20 @@ analogue (reference ``examples/``). Only the bionty-free surface is
 carried; see ``cellxgene.py`` for the boundary."""
 
 from .cellxgene import create_cellxgene_schema, save_cellxgene_defaults
+from .trackers import (
+    annotate_run_from_mlflow,
+    annotate_run_from_wandb,
+    save_mlflow_features,
+    save_wandb_features,
+    tracked_publisher,
+)
 
-__all__ = ["create_cellxgene_schema", "save_cellxgene_defaults"]
+__all__ = [
+    "create_cellxgene_schema",
+    "save_cellxgene_defaults",
+    "annotate_run_from_mlflow",
+    "annotate_run_from_wandb",
+    "save_mlflow_features",
+    "save_wandb_features",
+    "tracked_publisher",
+]

@@ -46,17 +46,18 @@ def heavy_hitters(
     partial-aggregated groupBy; for truly unbounded key domains swap in
     a count-min sketch upstream, the output contract stays the same.
     """
-    from pyspark.sql import Window
-
-    # ONE scan: the total rides a keyless window over the (already
-    # tiny) aggregated key counts instead of a second full pass over
-    # df (review finding — the skew-diagnosis helper doubled its I/O
-    # on exactly the inputs it exists for)
+    # ONE scan of df: key counts once, then the grand total as a 1-row
+    # re-agg of the (already tiny) count table crossJoin-broadcast back
+    # on. An earlier keyless Window.partitionBy() gathered the whole
+    # count table into ONE task — on a distinct-heavy key the skew-
+    # DIAGNOSIS helper itself became the skew hazard (review finding).
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
+    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        counts.withColumn("share", F.col("n") / total)
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("__total"))
         .filter(F.col("share") >= min_share)
+        .drop("__total")
         .orderBy(F.desc("n"), F.col(key))
         .limit(top)
     )

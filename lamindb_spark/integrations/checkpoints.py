@@ -354,6 +354,18 @@ class CheckpointPublisher:
         if art is not None:
             uri = self.lh.artifact_path(art)
             self.lh.delete_artifact(art["id"])
+            # the trashed artifact must drop out of rank/flag
+            # bookkeeping entirely: forget its id and strip its
+            # checkpoint features so features__model_rank=0 can never
+            # resolve to an invisible artifact (the reference deletes
+            # the artifact outright, lightning.py _remove_checkpoint)
+            self._published_ids.discard(art["id"])
+            self.lh.deannotate(
+                "artifact",
+                [art["id"]],
+                ["score", "is_best_model", "is_last_model", "model_rank"],
+            )
+            self.update_model_ranks()
             if self._latest["checkpoint"] is not None and (
                 self._latest["checkpoint"]["id"] == art["id"]
             ):

@@ -26,7 +26,11 @@ out. What IS here changes behavior:
 
 ``Settings`` is per-:class:`~lamindb_spark.catalog.lakehouse.Lakehouse`
 (``lh.settings``), not a module global: two lakehouses in one process
-must not share toggles. ``lh.track_run_inputs`` (r12) remains the
+must not share behavior toggles. The ONE exception is ``verbosity``:
+it sets the level of the process-wide ``lamindb_spark`` Python logger
+(Python logging is process-scoped; every module logs to that name), so
+the last setter wins across lakehouses — exactly like the reference,
+whose verbosity drives the process-global loguru logger. ``lh.track_run_inputs`` (r12) remains the
 run-input knob and is mirrored here as a property for reference-shaped
 access (``settings.track_run_inputs``).
 """
@@ -75,7 +79,11 @@ class Settings:
     def verbosity(self) -> str:
         """Logger verbosity (reference ``Settings.verbosity``,
         ``_settings.py:289``): one of error/warning/success/info/hint/
-        debug, mapped onto the engine logger's level."""
+        debug, mapped onto the engine logger's level. PROCESS-GLOBAL:
+        the setter levels the shared ``lamindb_spark`` Python logger,
+        so the last write wins across lakehouses in one process (the
+        reference's verbosity drives the global loguru logger the same
+        way)."""
         return self._verbosity
 
     @verbosity.setter

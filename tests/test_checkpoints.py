@@ -169,6 +169,45 @@ def test_remove_checkpoint_trashes_and_notifies(lakehouse, tmp_path):
     assert obs.removed[1].artifact is None
 
 
+def test_remove_checkpoint_drops_rank_and_flag_bookkeeping(lakehouse, tmp_path):
+    """A removed (save_top_k-pruned) checkpoint must vanish from rank/
+    flag bookkeeping: its feature rows are stripped and the survivors
+    re-ranked, so ``features__model_rank=0`` always resolves to a
+    VISIBLE artifact (ADVICE r13: the trashed best kept rank 0)."""
+    pub = CheckpointPublisher(lakehouse, "models/prune", mode="min")
+    p1 = _ckpt(tmp_path, "e1.ckpt", b"a")
+    p2 = _ckpt(tmp_path, "e2.ckpt", b"b")
+    p3 = _ckpt(tmp_path, "e3.ckpt", b"c")
+    a1 = pub.save_checkpoint(p1, score=0.9)
+    a2 = pub.save_checkpoint(p2, score=0.2)  # best under min
+    a3 = pub.save_checkpoint(p3, score=0.5)
+    pub.remove_checkpoint(p2)  # prune the best
+
+    # the trashed artifact carries NO checkpoint features anymore
+    gone = (
+        lakehouse.read_raw("annotation")
+        .filter(
+            (F.col("entity_id") == a2["id"])
+            & F.col("feature_name").isin(
+                ["score", "is_best_model", "is_last_model", "model_rank"]
+            )
+        )
+        .count()
+    )
+    assert gone == 0
+    # survivors re-ranked over live checkpoints only: a3 is now rank 0
+    ranks = {
+        r["entity_id"]: json.loads(r["value_json"])
+        for r in lakehouse.read_raw("annotation")
+        .filter(F.col("feature_name") == "model_rank")
+        .collect()
+    }
+    assert ranks == {a3["id"]: 0, a1["id"]: 1}
+    # rank 0 resolves to a visible artifact
+    rank0 = QuerySet(lakehouse, "artifact").filter(features__model_rank=0)
+    assert [r["id"] for r in rank0._df.collect()] == [a3["id"]]
+
+
 def test_config_and_hparams_save_only(lakehouse, tmp_path):
     pub = CheckpointPublisher(lakehouse, "models/cfg")
     cfg = pub.save_config(_ckpt(tmp_path, "config.yaml", b"lr: 1e-3"))

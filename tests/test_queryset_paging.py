@@ -52,6 +52,13 @@ def test_slice_pages(lake):
     assert [r["name"] for r in stepped] == ["l00", "l02", "l04"]
     with pytest.raises(ValueError, match="negative"):
         qs[-3:]
+    # non-positive steps rejected with a QuerySet-specific message
+    # (Django rejects them too; a silent [::-1] would reverse
+    # plan-dependent order — ADVICE r13)
+    with pytest.raises(ValueError, match="positive step"):
+        qs[::-1]
+    with pytest.raises(ValueError, match="positive step"):
+        qs[0:6:0]
     # slicing composes with filters
     assert [r["name"] for r in _qs(lake).filter(name__gte="l05")[1:3]._df.collect()] == [
         "l06", "l07",

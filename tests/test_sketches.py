@@ -33,3 +33,10 @@ def test_heavy_hitters_finds_skewed_key(spark):
     rows = hits.collect()
     assert rows[0]["k"] == 1 and rows[0]["share"] > 0.7
     assert len(rows) == 1
+    # the total must NOT ride a keyless window gathering the whole
+    # key-count table into one task (VERDICT r13: on a distinct-heavy
+    # key the skew-DIAGNOSIS helper itself became the skew hazard) —
+    # it rides a 1-row agg broadcast back on
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

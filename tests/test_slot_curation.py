@@ -335,3 +335,18 @@ def test_dict_curator(spark, cell_registry):
 
     with _pytest.raises(TypeError, match="dict"):
         DictCurator([("a", 1)], spec)
+    # no active session -> descriptive error, not an AttributeError
+    # deep inside _dict_frame (ADVICE r13); an explicit spark= works
+    from pyspark.sql import SparkSession
+
+    orig = SparkSession.getActiveSession
+    try:
+        SparkSession.getActiveSession = staticmethod(lambda: None)
+        with _pytest.raises(RuntimeError, match="active SparkSession"):
+            DictCurator({"assay": "T cell", "n_cells": 1}, spec, cats)
+        explicit = DictCurator(
+            {"assay": "T cell", "n_cells": 1}, spec, cats, spark=spark
+        )
+        assert explicit.validate()["is_valid"]
+    finally:
+        SparkSession.getActiveSession = orig

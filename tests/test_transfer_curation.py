@@ -1,0 +1,139 @@
+"""Cross-instance label/feature transfer (VERDICT r13 #2 — the
+``LabelManager.add_from`` analogue, reference
+``models/_label_manager.py:227-310`` + ``FeatureManager._add_from``,
+``models/_feature_manager.py:2138-2210``): labels and feature
+annotations follow an artifact across instances, matched on uid, and
+stay queryable through the label/EAV filter surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamindb_spark.catalog.lakehouse import Lakehouse
+from lamindb_spark.catalog.query import QuerySet
+
+
+@pytest.fixture()
+def other(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "src-lake"))
+
+
+def _src_artifact(other, tmp_path, name="payload.txt"):
+    p = tmp_path / name
+    p.write_text("hello transfer")
+    return other.register_artifact(str(p), key=f"transfer/{name}")
+
+
+def test_add_labels_from_copies_typed_labels_and_feature_links(
+    lakehouse, other, tmp_path
+):
+    art = _src_artifact(other, tmp_path)
+    # typed label: 'perturbation' type -> 'DMSO' member, grouped under
+    # a feature — the reference's canonical add_from fixture shape
+    ltype = other.save("ulabel", [{"name": "perturbation", "is_type": True}])[0]
+    dmso = other.save("ulabel", [{"name": "DMSO", "type_id": ltype["id"]}])[0]
+    plain = other.save("ulabel", [{"name": "candidate"}])[0]
+    feat = other.save("feature", [{"name": "treatment", "dtype_str": "cat"}])[0]
+    other.link_labels(art["id"], [dmso["id"]], feature_id=feat["id"])
+    other.link_labels(art["id"], [plain["id"]])
+
+    lakehouse.transfer_from(other, "artifact", [art["uid"]])
+    label_map = lakehouse.add_labels_from(other, art["uid"])
+    # the map covers the linked labels AND their type-chain parents
+    assert {dmso["id"], plain["id"], ltype["id"]} == set(label_map)
+
+    # labels queryable locally through the M2M filter surface
+    hits = QuerySet(lakehouse, "artifact").filter(ulabels__name="DMSO")
+    assert [r["uid"] for r in hits.to_dataframe().to_dict("records")] == [art["uid"]]
+    # the type parent came along, matched by uid, and type_id remapped
+    local_type = (
+        lakehouse.read("ulabel").filter(F.col("uid") == ltype["uid"]).first()
+    )
+    local_dmso = (
+        lakehouse.read("ulabel").filter(F.col("uid") == dmso["uid"]).first()
+    )
+    assert local_type is not None and local_type["is_type"]
+    assert local_dmso["type_id"] == local_type["id"]
+    # the grouping feature transferred by uid and the link points at it
+    local_feat = (
+        lakehouse.read("feature").filter(F.col("uid") == feat["uid"]).first()
+    )
+    local_art = (
+        lakehouse.read("artifact").filter(F.col("uid") == art["uid"]).first()
+    )
+    links = {
+        (r["ulabel_id"], r["feature_id"])
+        for r in lakehouse.read_raw("artifact_ulabels")
+        .filter(F.col("artifact_id") == local_art["id"])
+        .collect()
+    }
+    assert (local_dmso["id"], local_feat["id"]) in links
+
+    # idempotent: a second add_from writes no new links or labels
+    n_links = lakehouse.read_raw("artifact_ulabels").count()
+    n_labels = lakehouse.read("ulabel").count()
+    lakehouse.add_labels_from(other, art["uid"])
+    assert lakehouse.read_raw("artifact_ulabels").count() == n_links
+    assert lakehouse.read("ulabel").count() == n_labels
+
+
+def test_add_features_from_copies_eav_annotations(lakehouse, other, tmp_path):
+    art = _src_artifact(other, tmp_path)
+    feat = other.save(
+        "feature", [{"name": "temperature", "dtype_str": "float"}]
+    )[0]
+    other.annotate(
+        "artifact",
+        art["id"],
+        {"temperature": 21.5, "assay": "scRNA-seq"},
+        feature_ids={"temperature": feat["id"]},
+    )
+
+    lakehouse.transfer_from(other, "artifact", [art["uid"]])
+    n = lakehouse.add_features_from(other, art["uid"])
+    assert n == 2
+
+    hits = QuerySet(lakehouse, "artifact").filter(features__temperature=21.5)
+    assert [r["uid"] for r in hits.to_dataframe().to_dict("records")] == [art["uid"]]
+    # feature row followed by uid; the copied row points at the LOCAL id
+    local_feat = (
+        lakehouse.read("feature").filter(F.col("uid") == feat["uid"]).first()
+    )
+    local_art = (
+        lakehouse.read("artifact").filter(F.col("uid") == art["uid"]).first()
+    )
+    row = (
+        lakehouse.read_raw("annotation")
+        .filter(
+            (F.col("entity_id") == local_art["id"])
+            & (F.col("feature_name") == "temperature")
+        )
+        .first()
+    )
+    assert row["feature_id"] == local_feat["id"]
+
+    # idempotent on (feature_name, value)
+    assert lakehouse.add_features_from(other, art["uid"]) == 0
+
+
+def test_transfer_artifact_from_one_call(lakehouse, other, tmp_path):
+    art = _src_artifact(other, tmp_path, name="combo.txt")
+    lbl = other.save("ulabel", [{"name": "validated"}])[0]
+    other.link_labels(art["id"], [lbl["id"]])
+    other.annotate("artifact", art["id"], {"split": "train"})
+
+    row = lakehouse.transfer_artifact_from(other, art["uid"])
+    assert row["uid"] == art["uid"]
+    qs = QuerySet(lakehouse, "artifact").filter(
+        ulabels__name="validated", features__split="train"
+    )
+    assert [r["uid"] for r in qs.to_dataframe().to_dict("records")] == [art["uid"]]
+
+
+def test_add_from_requires_local_row(lakehouse, other, tmp_path):
+    art = _src_artifact(other, tmp_path, name="orphan.txt")
+    with pytest.raises(KeyError, match="transfer the row first"):
+        lakehouse.add_labels_from(other, art["uid"])
+    with pytest.raises(KeyError, match="transfer the row first"):
+        lakehouse.add_features_from(other, art["uid"])
+    with pytest.raises(KeyError, match="no artifact with uid"):
+        lakehouse.add_labels_from(other, "no-such-uid")
