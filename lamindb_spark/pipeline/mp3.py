@@ -6,7 +6,25 @@ compliance requires the Huffman code tables, the scalefactor-band
 tables and the 512-tap synthesis-window prototype from ISO 11172-3's
 annexes — numerically tabulated data that cannot be re-derived from
 formulas, so any from-scratch "decoder" here could not be validated
-bit-exactly and would risk silently wrong PCM. The honest boundary:
+bit-exactly and would risk silently wrong PCM.
+
+Re-examined for VERDICT r13 #6 (which asked for the subband
+synthesis): the synthesis machinery that IS formula-derivable — the
+36/12-point IMDCT (pure cosine expression, ISO 11172-3 2.4.3.4.
+applied per granule), the antialias butterflies' cs/ca from the eight
+published ci constants, and the polyphase matrixing
+N(i,k)=cos((16+i)(2k+1)π/64) — is the cheap 20%; the blocking 80% is
+upstream and tabulated: 34 big-value Huffman code tables plus two
+count1 tables (the bitstream cannot even be PARSED to spectral values
+without them), the per-samplerate scalefactor-band boundary tables,
+and the 512-tap window D (tabulated in Annex B Table 3-B.3; it has no
+closed form — it is a hand-optimized near-perfect-reconstruction
+prototype, and the spec's own decoder flowchart consumes it as data).
+Writing those ~3,000 numbers "from memory" is exactly the
+silently-wrong-PCM risk the stub exists to avoid, and no
+reference-encoded fixture could be decode-verified against
+hand-derived samples without first trusting the same unverifiable
+tables. The boundary therefore stands. The honest boundary:
 what a training-data pipeline actually filters and samples on is the
 METADATA — duration, bitrate, sample rate, channel layout — and that
 parse is pure frame-header arithmetic (ISO 11172-3 §2.4.1), fully
