@@ -23,8 +23,13 @@ fixed floor still matters, approaching linear as work dominates), and
 the seven skew-safe rewrites' crossover visible as ratios well below
 their window-form counterparts would give.
 
-Usage: python scripts/scale_suite.py [sf_dir] [scratch] [mult] → one
-JSON line (also mirrored per-query to stderr as it goes).
+Usage: python scripts/scale_suite.py [sf_dir] [scratch] [mult]
+[queries] → one JSON line (also mirrored per-query to stderr as it
+goes). ``queries`` is an optional comma list; default WEAK+EXPENSIVE.
+The 100× point runs the fixture-weak set only — `ngram_jaccard` and
+friends are excluded there because near-dup replication grows their
+PAIR OUTPUT quadratically in family size (100-copy families → ~5k
+pairs each), which measures the generator, not the engine.
 """
 
 from __future__ import annotations
@@ -135,11 +140,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch"
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    wanted = sys.argv[4].split(",") if len(sys.argv) > 4 else WEAK + EXPENSIVE
     spark = get_spark("scale-suite")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     queries = entrymod.queries()
-    names = [n for n in WEAK + EXPENSIVE if n in queries]
-    missing = [n for n in WEAK + EXPENSIVE if n not in queries]
+    names = [n for n in wanted if n in queries]
+    missing = [n for n in wanted if n not in queries]
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
