@@ -1626,6 +1626,13 @@ class Lakehouse:
                 row["branch_id"] = self.current_branch_id
                 if row.get("type_id") is not None:
                     row["type_id"] = id_map[row["type_id"]]
+                # a record's validating schema is an instance-local FK
+                # with no uid-based transfer here; carrying the raw id
+                # would point at an unrelated local schema (reference
+                # re-validates on transfer instead). Popped, not
+                # nulled: on a uid-matched UPDATE the stored local
+                # value must survive (save() merges partially).
+                row.pop("schema_id", None)
                 batch.append(row)
             saved_by_uid = {r["uid"]: r["id"] for r in self.save(registry, batch)}
             for rid in level:
@@ -1736,15 +1743,21 @@ class Lakehouse:
         feat_map = self._transfer_typed_registry(
             other, "feature", sorted({a["feature_id"] for a in ann if a["feature_id"] != -1})
         )
-        label_map = self._transfer_typed_registry(
-            other,
-            "ulabel",
-            sorted({
-                a["label_id"]
-                for a in ann
-                if a.get("label_id") is not None and a.get("label_kind") == "ulabel"
-            }),
-        )
+        # label-valued rows: the pointed-at ulabel/record rows follow
+        # by uid too — a foreign label id is meaningless locally
+        kind_maps = {
+            kind: self._transfer_typed_registry(
+                other,
+                kind,
+                sorted({
+                    a["label_id"]
+                    for a in ann
+                    if a.get("label_id") is not None
+                    and a.get("label_kind") == kind
+                }),
+            )
+            for kind in ("ulabel", "record")
+        }
         have = {
             (r["feature_name"], r["value_json"])
             for r in self.read_raw("annotation")
@@ -1770,8 +1783,8 @@ class Lakehouse:
                     "value_json": a["value_json"],
                     "label_kind": a.get("label_kind"),
                     "label_id": (
-                        label_map.get(a["label_id"])
-                        if a.get("label_kind") == "ulabel"
+                        kind_maps[a["label_kind"]].get(a["label_id"])
+                        if a.get("label_kind") in kind_maps
                         else a.get("label_id")
                     ),
                     "branch_id": self.current_branch_id,

@@ -16,12 +16,37 @@ killer. Both primitives here keep the data path distributed:
 Data rows flow through exactly ONE wide exchange (the range shuffle);
 the offset branch operates on #partitions rows (the same shape as RDD
 ``zipWithIndex``'s driver-side offset scan, kept inside the plan).
+
+THE PARTITION-ID PIN (r14, found by the 100× suite sweep): the stamped
+frame (range shuffle + ``__pid``/``__mid`` projection) is consumed by
+TWO branches — the data rows and the per-partition totals. Spark does
+NOT guarantee those branches share one physical exchange: at 500k rows
+the executed plan showed two separate ``Exchange rangepartitioning``
+nodes, each under its own independently-``coalesced``
+``AQEShuffleRead`` — so the partition id a row observes in the data
+branch differed from the one its count landed under in the totals
+branch, and the offset join silently DROPPED rows (ranked_index
+295,161/500,000; stratified_rank 490,694/500,000; nondeterministic
+across runs; correct at sf0.1, which is why the oracle never saw it).
+``localCheckpoint(eager=False)`` pins the stamped frame: the plan
+materializes ONCE (per-partition blocks on executor storage — the
+same storage RDD ``zipWithIndex`` semantics assume), both branches
+read the frozen blocks, and the pid is a property of stored data
+instead of a replayable reader. The cost is one extra write of the
+(caller-narrowed) frame; ``session.release_checkpoints`` reclaims the
+blocks between bench queries.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# the most recent PRE-PIN stamped frame (range shuffle + pid/mid
+# projection, before localCheckpoint severs it from the outer plan) —
+# plan-guard tests assert the range shuffle on THIS, since the outer
+# executed plan only shows the checkpoint's "Scan ExistingRDD".
+_last_stamped: DataFrame | None = None
 
 
 def _cumulative_offsets(totals: DataFrame, pid_col: str, n_col: str, off_col: str) -> DataFrame:
@@ -58,6 +83,9 @@ def ranked_index(df: DataFrame, order_cols: list[Column], out_col: str) -> DataF
         .withColumn("__local", F.col("__mid").bitwiseAND(F.lit(mask)))
         .drop("__mid")
     )
+    global _last_stamped
+    _last_stamped = local
+    local = local.localCheckpoint(eager=False)  # pid pin — module docstring
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = _cumulative_offsets(counts, "__pid", "__n", "__off")
     return (
@@ -89,6 +117,9 @@ def prefix_sum(
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
     )
+    global _last_stamped
+    _last_stamped = local
+    local = local.localCheckpoint(eager=False)  # pid pin — module docstring
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = local.withColumn(
         "__cum", F.sum(F.col(value_col).cast("long")).over(w)
@@ -166,7 +197,12 @@ def stratified_rank(
         df = df.withColumn(strata_col, F.col(strata_col).cast("string"))
     local = df.repartitionByRange(
         F.col(strata_col), *order_cols
-    ).withColumn("__pid", F.spark_partition_id().cast("long"))
+    ).withColumn(
+        "__pid", F.spark_partition_id().cast("long")
+    )
+    global _last_stamped
+    _last_stamped = local
+    local = local.localCheckpoint(eager=False)  # pid pin — module docstring
     w_local = Window.partitionBy("__pid", strata_col).orderBy(*order_cols)
     local = local.withColumn(
         "__lrn", (F.row_number().over(w_local) - 1).cast("long")

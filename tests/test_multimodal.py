@@ -282,14 +282,19 @@ def test_mapped_union_distributed_plan(spark):
     # the rank primitive's plan: range shuffle, no row_number funnel
     # (since r9 the union is localCheckpointed — the rank pipeline runs
     # once at materialization, so it must be inspected pre-checkpoint)
-    rplan = (
-        ranked_index(s1, [F.col("id"), F.col("label")], "__i")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    rdf = ranked_index(s1, [F.col("id"), F.col("label")], "__i")
+    rplan = rdf._jdf.queryExecution().executedPlan().toString()
+    # r14 partition-id pin: the range shuffle lives inside the
+    # localCheckpoint (both consumers read one frozen partitioning);
+    # assert the pin on the outer plan, the shuffle on the stamped one
+    assert "Scan ExistingRDD" in rplan, "partition-id pin missing"
+    from lamindb_spark.operators import prefix
+
+    stamped = prefix._last_stamped._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in stamped, "data path must use the range shuffle"
+    assert "row_number" not in stamped and "row_number" not in rplan, (
+        "no row_number funnel on data rows"
     )
-    assert "rangepartitioning" in rplan, "data path must use the range shuffle"
-    assert "row_number" not in rplan, "no row_number funnel on data rows"
 
     u = mapped_union([s1, s2], ["a", "b"])
     plan = u._jdf.queryExecution().executedPlan().toString()

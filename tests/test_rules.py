@@ -109,7 +109,13 @@ def test_pack_sequences_distributed_plan(spark):
     assert all(c == "HashAggregate" for c in sp_children), (
         f"SinglePartition exchange over data rows: {sp_children}"
     )
-    assert "rangepartitioning" in plan, "data path must use the range shuffle"
+    # r14 partition-id pin: the range shuffle lives inside the
+    # localCheckpoint; the outer plan shows its scan
+    assert "Scan ExistingRDD" in plan, "partition-id pin missing"
+    from lamindb_spark.operators import prefix
+
+    stamped = prefix._last_stamped._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in stamped, "data path must use the range shuffle"
 
 
 def test_normalize_url(spark):

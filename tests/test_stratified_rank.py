@@ -113,6 +113,7 @@ def test_no_per_stratum_window_functions_in_plans(spark, name):
     import re
 
     import __spark_entry__ as entrymod
+    from lamindb_spark.operators import prefix
 
     df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -121,7 +122,13 @@ def test_no_per_stratum_window_functions_in_plans(spark, name):
     assert not bad, f"{name}: row_number partitioned by the stratum alone"
     for m in re.finditer(r"row_number\(\) windowspecdefinition\((\w+)#", plan):
         assert m.group(1) == "__pid", f"{name}: unexpected window key {m.group(1)}"
-    assert "rangepartitioning(" in plan.lower(), f"{name}: range shuffle missing"
+    # the range shuffle lives INSIDE the partition-id pin (r14: the
+    # stamped frame is localCheckpointed so both consumers read one
+    # frozen partitioning) — the outer plan shows the checkpoint scan,
+    # the pre-pin stamped plan shows the range exchange
+    assert "Scan ExistingRDD" in plan, f"{name}: partition-id pin missing"
+    stamped = prefix._last_stamped._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(" in stamped.lower(), f"{name}: range shuffle missing"
 
 
 def test_topk_per_group_matches_single_window(spark):

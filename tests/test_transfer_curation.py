@@ -115,6 +115,40 @@ def test_add_features_from_copies_eav_annotations(lakehouse, other, tmp_path):
     assert lakehouse.add_features_from(other, art["uid"]) == 0
 
 
+def test_add_features_from_remaps_label_valued_rows(lakehouse, other, tmp_path):
+    """A label-valued EAV row's label_id is a SOURCE-instance id; the
+    pointed-at ulabel must follow by uid and the copied row point at
+    the LOCAL id."""
+    art = _src_artifact(other, tmp_path, name="labeled.txt")
+    lbl = other.save("ulabel", [{"name": "grade-A"}])[0]
+    other._append(
+        "annotation",
+        [{
+            "entity_kind": "artifact",
+            "entity_id": art["id"],
+            "feature_id": -1,
+            "feature_name": "grade",
+            "value_json": '"grade-A"',
+            "label_kind": "ulabel",
+            "label_id": lbl["id"],
+            "branch_id": other.current_branch_id,
+        }],
+    )
+    lakehouse.transfer_from(other, "artifact", [art["uid"]])
+    assert lakehouse.add_features_from(other, art["uid"]) == 1
+    local_lbl = (
+        lakehouse.read("ulabel").filter(F.col("uid") == lbl["uid"]).first()
+    )
+    assert local_lbl is not None
+    row = (
+        lakehouse.read_raw("annotation")
+        .filter(F.col("feature_name") == "grade")
+        .first()
+    )
+    assert row["label_kind"] == "ulabel"
+    assert row["label_id"] == local_lbl["id"]
+
+
 def test_transfer_artifact_from_one_call(lakehouse, other, tmp_path):
     art = _src_artifact(other, tmp_path, name="combo.txt")
     lbl = other.save("ulabel", [{"name": "validated"}])[0]
