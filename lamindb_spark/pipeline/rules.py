@@ -116,13 +116,18 @@ def top_bigram_frac(
     """Gopher repetition rule: fraction of a document's bigrams taken
     by its single most frequent bigram.
 
-    Shape: explode bigrams → partial-aggregated count per
-    (doc, bigram) → per-doc max/sum. Two shuffles whose payload is
-    (doc_id, bigram) pairs with map-side combine — linear in corpus
-    token count, never quadratic in document length (the array-side
-    alternative is O(len²) per row and dies on long documents).
-    Documents with fewer than 2 tokens produce no bigrams and are
-    absent from the output (same in the SQL oracle).
+    Shape (r14): the statistic is DOCUMENT-LOCAL — a document's bigram
+    multiset lives entirely in its own row — so it needs NO shuffle at
+    all: ``array_sort`` the row's bigram array (O(L log L) row-local),
+    then one linear ``aggregate`` pass finds the longest run of equal
+    adjacent values = the top bigram's count. Zero exchanges replaces
+    the previous explode → groupBy(doc, bigram) → groupBy(doc) plan,
+    which moved every bigram of the corpus over the network twice just
+    to come back to one row per document. (The truly naive array form
+    — count each element with a nested ``filter`` — is O(L²) per row
+    and stays rejected; sort + run-length is not that.) Documents with
+    fewer than 2 tokens produce no bigrams and are absent from the
+    output (same in the SQL oracle).
     """
     toks = _toks(F.col(text_col))
     n = F.size(toks)
@@ -131,14 +136,31 @@ def top_bigram_frac(
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    exploded = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
-    counts = exploded.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
-        counts.groupBy(id_col)
-        .agg(
-            F.max("cnt").alias("top_count"),
-            F.sum("cnt").alias("n_bigrams"),
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
         )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(bigrams), init, step, lambda acc: acc["best"])
+    return (
+        df.select(
+            F.col(id_col),
+            top.alias("top_count"),
+            F.size(bigrams).cast("long").alias("n_bigrams"),
+        )
+        .filter(F.col("n_bigrams") > 0)
         .withColumn(
             "top_frac", F.round(F.col("top_count") / F.col("n_bigrams"), 6)
         )
