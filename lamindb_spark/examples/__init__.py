@@ -2,6 +2,7 @@
 analogue (reference ``examples/``). Only the bionty-free surface is
 carried; see ``cellxgene.py`` for the boundary."""
 
+from . import mini_immuno, schemas
 from .cellxgene import create_cellxgene_schema, save_cellxgene_defaults
 from .trackers import (
     annotate_run_from_mlflow,
@@ -12,6 +13,8 @@ from .trackers import (
 )
 
 __all__ = [
+    "mini_immuno",
+    "schemas",
     "create_cellxgene_schema",
     "save_cellxgene_defaults",
     "annotate_run_from_mlflow",
