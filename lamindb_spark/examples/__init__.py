@@ -2,7 +2,7 @@
 analogue (reference ``examples/``). Only the bionty-free surface is
 carried; see ``cellxgene.py`` for the boundary."""
 
-from . import mini_immuno, schemas
+from . import datasets, mini_immuno, schemas
 from .cellxgene import create_cellxgene_schema, save_cellxgene_defaults
 from .trackers import (
     annotate_run_from_mlflow,
@@ -13,6 +13,7 @@ from .trackers import (
 )
 
 __all__ = [
+    "datasets",
     "mini_immuno",
     "schemas",
     "create_cellxgene_schema",

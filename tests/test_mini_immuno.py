@@ -175,3 +175,28 @@ def test_example_schemas_get_or_create(lakehouse):
         .first()
     )
     assert var["itype"] == "bionty.Gene.ensembl_gene_id"
+
+
+def test_local_fixture_generators(lakehouse, tmp_path):
+    """The locally-generatable examples/datasets subset (reference
+    _core.py file_mini_csv / dir_scrnaseq_cellranger /
+    dict_cellxgene_uns): the cellranger mock drives S7 directory
+    ingest end-to-end."""
+    from lamindb_spark.examples import datasets
+
+    p = datasets.file_mini_csv(tmp_path)
+    assert p.read_text().splitlines() == ["test", "1", "2", "3"]
+
+    sampledir = datasets.dir_scrnaseq_cellranger(
+        "sampleA", tmp_path, output_only=False
+    )
+    assert (sampledir / "filtered_feature_bc_matrix/matrix.mtx.gz").exists()
+    assert (tmp_path / "fastq/sampleA_R1_001.fastq.gz").exists()
+    arts = lakehouse.register_dir(str(sampledir))
+    keys = {a["key"] for a in arts}
+    assert len(arts) == 15
+    assert any(k.endswith("metrics_summary.csv") for k in keys)
+    assert any("raw_feature_bc_matrix/barcodes.tsv.gz" in k for k in keys)
+
+    uns = datasets.dict_cellxgene_uns()
+    assert uns["spatial"]["library_2"]["scalefactors"]["tissue_hires_scalef"] == 0.355
