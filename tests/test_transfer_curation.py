@@ -171,3 +171,71 @@ def test_add_from_requires_local_row(lakehouse, other, tmp_path):
         lakehouse.add_features_from(other, art["uid"])
     with pytest.raises(KeyError, match="no artifact with uid"):
         lakehouse.add_labels_from(other, "no-such-uid")
+
+
+def test_transfer_reuses_local_row_without_overwriting(lakehouse, other):
+    """Advice r14 overwrite policy: a uid already present locally is
+    reused untouched — transferring the 'same' label again never
+    clobbers local edits (reference add_from reuses target records)."""
+    src = other.save("ulabel", [{"name": "celltype:T", "description": "src"}])[0]
+    lakehouse.save(
+        "ulabel",
+        [{"uid": src["uid"], "name": "celltype:T (edited)", "description": "local"}],
+    )
+    got = lakehouse.transfer_from(other, "ulabel", [src["uid"]])
+    assert len(got) == 1 and got[0]["uid"] == src["uid"]
+    local = lakehouse.read("ulabel").filter(F.col("uid") == src["uid"]).first()
+    assert local["name"] == "celltype:T (edited)"
+    assert local["description"] == "local"
+    # same policy through the typed-registry path
+    id_map = lakehouse._transfer_typed_registry(other, "ulabel", [src["id"]])
+    assert id_map[src["id"]] == local["id"]
+    again = lakehouse.read("ulabel").filter(F.col("uid") == src["uid"]).first()
+    assert again["name"] == "celltype:T (edited)"
+
+
+def test_transfer_pops_instance_local_fks(lakehouse, other):
+    """created_by_id/space_id index the SOURCE instance's user/space
+    tables — a transferred row must not carry them verbatim."""
+    src = other.save(
+        "ulabel", [{"name": "fk-probe", "created_by_id": 42, "space_id": 7}]
+    )[0]
+    id_map = lakehouse._transfer_typed_registry(other, "ulabel", [src["id"]])
+    local = (
+        lakehouse.read("ulabel").filter(F.col("id") == id_map[src["id"]]).first()
+    )
+    assert local["created_by_id"] is None
+    assert local["space_id"] is None
+
+
+def test_transfer_artifact_remaps_storage_by_uid(lakehouse, other, tmp_path):
+    """A transferred artifact's storage_id must resolve locally: the
+    source storage row follows by uid so the payload path keeps
+    working (reference registers the source storage location)."""
+    art = _src_artifact(other, tmp_path, name="stor.txt")
+    row = lakehouse.transfer_from(other, "artifact", [art["uid"]])[0]
+    assert row["storage_id"] is not None
+    src_storage = (
+        other.read_raw("storage").filter(F.col("id") == art["storage_id"]).first()
+    )
+    local_storage = (
+        lakehouse.read_raw("storage").filter(F.col("id") == row["storage_id"]).first()
+    )
+    assert local_storage is not None
+    assert local_storage["uid"] == src_storage["uid"]
+    assert local_storage["root"] == src_storage["root"]
+    # the payload path resolves through the transferred storage row
+    assert lakehouse.load_artifact(art["uid"]) == "hello transfer"
+    # idempotent: a second transfer adds no second storage row
+    n = lakehouse.read_raw("storage").count()
+    lakehouse.transfer_from(other, "artifact", [art["uid"]])
+    assert lakehouse.read_raw("storage").count() == n
+
+
+def test_transfer_typed_registry_cycle_guard(lakehouse, other):
+    """A malformed type_id cycle in the source must raise, not hang."""
+    a = other.save("ulabel", [{"name": "cyc-a", "is_type": True}])[0]
+    b = other.save("ulabel", [{"name": "cyc-b", "type_id": a["id"], "is_type": True}])[0]
+    other.save("ulabel", [{"uid": a["uid"], "type_id": b["id"]}])  # a -> b -> a
+    with pytest.raises(ValueError, match="type_id cycle"):
+        lakehouse._transfer_typed_registry(other, "ulabel", [a["id"]])
