@@ -641,6 +641,7 @@ def tfidf_keywords(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 3,
+    vocab_broadcast: bool = True,
 ) -> DataFrame:
     """Per-document keyword extraction: top-``top_k`` terms by
     tf·idf, the classic corpus summarization/labeling primitive.
@@ -648,11 +649,32 @@ def tfidf_keywords(
     idf quantizes to integer micro-units (``round(ln((N+1)/(df+1))
     * 1e6)``) BEFORE the tf multiplication, so scores are exact
     integer arithmetic — engine-portable like every scored operator
-    here. Shuffle budget: tf aggregation on (doc, term), document
-    frequency on term (reuses the term partitioning), the scoring
-    join, and the per-doc top-k window — all payloads narrow.
-    Deterministic: ties break toward the lexicographically smaller
-    term. Output: (id, token, tf, score_micro, rank).
+    here. Shuffle budget: ONE map-side-combined tf aggregation on
+    (doc, term) — each document's tokens colocate pre-explode, so the
+    partial agg dedups per doc and the exchange carries (doc, term)
+    PAIRS, not raw tokens — then the vocab-sized document-frequency
+    table broadcasts back and the per-doc top-k runs as a
+    WindowGroupLimit (partial limit BEFORE its exchange: ≤ top_k rows
+    per doc per partition cross the wire). Deterministic: ties break
+    toward the lexicographically smaller term. Output: (id, token,
+    tf, score_micro, rank).
+
+    ``vocab_broadcast`` (default True): the df-counts table is
+    DISTINCT-TERM-sized — sub-linear in the corpus and driver-safe
+    for curated corpora (≲10^8 terms). Left unhinted, the planner
+    (r15 measured, 10x fixture) broadcast the WRONG side — the
+    corpus-sized tf table slipped under the 64 MB threshold, a plan
+    that dies at real scale; the hint fixes the build side (2.8 s →
+    1.4 s warm). For open-web-scale vocabularies (typo/URL tail past
+    executor memory) pass False: the join falls back to a shuffled,
+    AQE-skew-splittable exchange on the term key.
+
+    Known, measured trade: the df branch RECOMPUTES the tokenize+agg
+    subtree (no runtime ReusedExchange forms across the broadcast
+    stage boundary — r15, executed-plan check). The alternatives
+    lose: persisting tf (corpus-sized) measured SLOWER at 10x (cache
+    write > the cheap second tokenize) and pinning it violates the
+    vocab-bounded checkpoint contract (prefix.py docstring).
     """
     toks = ws_tokens(F.col(text_col), lowercase=True)
     tf = (
@@ -663,11 +685,12 @@ def tfidf_keywords(
     # document frequency as a map-side-combined groupBy joined back
     # (r13): a stopword's (doc, token) rows — one per document in the
     # corpus — otherwise gather whole into one Window.partitionBy(token)
-    # task, the heavy-hitter analogue of VERDICT r12 #1; the join's
-    # skewed partition is AQE-splittable, and the duplicated tf subtree
-    # collapses to a runtime ReusedExchange (same pattern as tpch_q21)
+    # task, the heavy-hitter analogue of VERDICT r12 #1; unbroadcast,
+    # the join's skewed partition is AQE-splittable
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    if vocab_broadcast:
+        dfreq = F.broadcast(dfreq)
     scored = (
         tf.join(dfreq, "token")
         .join(F.broadcast(n_docs))

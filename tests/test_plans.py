@@ -182,9 +182,9 @@ _MAX_EXCHANGES = {
                              # gaps-and-islands — all narrow
     "tfidf_keywords": 7,     # r13: tf agg + token-df groupBy joined
                              # back (a stopword's rows never gather in
-                             # one window task; tf subtree reuses at
-                             # runtime) + n_docs 1-row pair + per-doc
-                             # top-k window
+                             # one window task) + n_docs 1-row pair +
+                             # per-doc top-k window; r15: df side
+                             # BROADCAST (see build-side test below)
     # -- r7 additions --
     "source_kl": 7,          # ONE corpus scan into the checkpointed
                              # (source,token) table; corpus counts ride
@@ -313,3 +313,29 @@ def test_certification_union_property():
     assert not uncovered, (
         f"queries never driver-certified AND outside the current window: {uncovered}"
     )
+
+
+def test_tfidf_vocab_broadcast_build_side(spark):
+    """r15: left unhinted, Catalyst broadcast the CORPUS-sized tf side
+    of the idf join (under the 64 MB threshold at fixture scale — a
+    plan that dies at 100 TB). The shipped form hints the
+    DISTINCT-TERM-sized df-counts table; this pins (a) the executed
+    build side is the vocab table (dfreq is the join's right operand)
+    and (b) the ``vocab_broadcast=False`` shuffle fallback is
+    value-identical."""
+    import re
+
+    from lamindb_spark.pipeline.corpus import tfidf_keywords
+    from lamindb_spark.sources.readers import load_table
+
+    d = load_table(spark, SF, "documents")
+    hinted = tfidf_keywords(d, top_k=3)
+    fallback = tfidf_keywords(d, top_k=3, vocab_broadcast=False)
+    rows_h = sorted(map(tuple, hinted.collect()))
+    assert rows_h == sorted(map(tuple, fallback.collect()))
+    final = (
+        hinted._jdf.queryExecution().executedPlan().toString()
+        .split("Initial Plan")[0]  # AQE repeats the pre-run plan below
+    )
+    sides = re.findall(r"BroadcastHashJoin \[token[^\n]*?(Build\w+)", final)
+    assert sides == ["BuildRight"], f"idf join build side regressed: {sides}"
