@@ -663,9 +663,11 @@ def tfidf_keywords(
     DISTINCT-TERM-sized — sub-linear in the corpus and driver-safe
     for curated corpora (≲10^8 terms). Left unhinted, the planner
     (r15 measured, 10x fixture) broadcast the WRONG side — the
-    corpus-sized tf table slipped under the 64 MB threshold, a plan
-    that dies at real scale; the hint fixes the build side (2.8 s →
-    1.4 s warm). For open-web-scale vocabularies (typo/URL tail past
+    corpus-sized tf table slipped under the 64 MB threshold (AQE
+    would demote it at real sizes; the defect is the fixture-regime
+    cost and a nondeterministic build side when a provably-bounded
+    one exists); the hint fixes the build side (2.8 s → 1.4 s
+    warm). For open-web-scale vocabularies (typo/URL tail past
     executor memory) pass False: the join falls back to a shuffled,
     AQE-skew-splittable exchange on the term key.
 
