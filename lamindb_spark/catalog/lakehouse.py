@@ -1647,8 +1647,15 @@ class Lakehouse:
             d.pop("id", None)           # local identity is assigned here
             for k in self._INSTANCE_LOCAL_FKS:
                 d.pop(k, None)
-            if registry == "artifact" and d.get("storage_id") is not None:
-                d["storage_id"] = storage_map[d["storage_id"]]
+            if registry == "artifact":
+                if d.get("storage_id") is not None:
+                    d["storage_id"] = storage_map[d["storage_id"]]
+                # the run that initiated the sync owns the local row
+                # (reference docs/transfer.md "initiated_by_run"; the
+                # source run id was popped above — it indexes the
+                # source instance's run table)
+                if self.current_run_id is not None:
+                    d["run_id"] = self.current_run_id
             d["branch_id"] = self.current_branch_id
             rows.append(d)
         return (self.save(registry, rows) if rows else []) + reused

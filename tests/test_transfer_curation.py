@@ -239,3 +239,30 @@ def test_transfer_typed_registry_cycle_guard(lakehouse, other):
     other.save("ulabel", [{"uid": a["uid"], "type_id": b["id"]}])  # a -> b -> a
     with pytest.raises(ValueError, match="type_id cycle"):
         lakehouse._transfer_typed_registry(other, "ulabel", [a["id"]])
+
+
+def test_transfer_links_initiating_run(lakehouse, other, tmp_path):
+    """docs/transfer.md: 'the run that initiated the sync is linked'
+    — a transfer under an active run stamps the LOCAL artifact row
+    with that run (the source run id indexes the source instance and
+    is popped)."""
+    from lamindb_spark.lineage.context import track
+
+    art = _src_artifact(other, tmp_path, name="runlink.txt")
+    ctx = track(lakehouse, "sync-script.py")
+    try:
+        row = lakehouse.transfer_from(other, "artifact", [art["uid"]])[0]
+        assert row["run_id"] == lakehouse.current_run_id
+    finally:
+        ctx.finish()
+    # without an active run the field stays unset (no phantom lineage)
+    # — distinct payload: identical content would hash-dedup in the
+    # source to the SAME artifact uid and reuse the row above
+    p = tmp_path / "runless.txt"
+    p.write_text("different payload, fresh artifact")
+    art2 = other.register_artifact(str(p), key="transfer/runless.txt")
+    lakehouse.transfer_from(other, "artifact", [art2["uid"]])
+    stored = (
+        lakehouse.read("artifact").filter(F.col("uid") == art2["uid"]).first()
+    )
+    assert stored["run_id"] is None
