@@ -129,10 +129,15 @@ def main() -> None:
             F.concat(F.col("text"), F.lit(" replica1")).alias("text"),
         )
     )
-    pdf = two.orderBy("doc_id").toPandas()  # 10k docs — driver-fine
-    points = [
-        run_point(spark, pdf, bs, root) for bs in (500, 2000, 10000)
-    ]
+    pdf = two.orderBy("doc_id").toPandas()  # 10k docs at sf0.1 — driver-fine
+    # batch sizes: argv[3] comma list (r15: lets the 10x-corpus run pick
+    # sizes that measure index growth without a 600-batch slog)
+    sizes = (
+        tuple(int(x) for x in sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else (500, 2000, 10000)
+    )
+    points = [run_point(spark, pdf, bs, root) for bs in sizes]
     print(json.dumps({"metric": "stream_admission_study", "points": points}))
 
 
