@@ -707,18 +707,7 @@ class Lakehouse:
         ``len(rows)`` (id, uid) pairs; inserts are an O(batch) parquet
         append; only matched updates pay a join-based rewrite."""
         now = _now()
-        existing = self.read_raw(name)
-        batch_uids = sorted({r["uid"] for r in rows if r.get("uid")})
-        by_uid: dict[str, dict] = {}
-        if batch_uids and self._exists(name):
-            uid_df = self.spark.createDataFrame(
-                [(u,) for u in batch_uids], "uid: string"
-            )
-            hits = (
-                existing.join(F.broadcast(uid_df), "uid", "left_semi")
-                .collect()  # bounded by the batch, not the registry
-            )
-            by_uid = {r["uid"]: r.asDict() for r in hits}
+        by_uid = self._rows_by_uid(name, [r["uid"] for r in rows if r.get("uid")])
         inserts, updates = [], []
         for row in rows:
             row = dict(row)
@@ -1560,8 +1549,8 @@ class Lakehouse:
     _INSTANCE_LOCAL_FKS = ("created_by_id", "space_id", "run_id", "schema_id")
 
     def _rows_by_uid(self, registry: str, uids) -> dict[str, dict[str, Any]]:
-        """Local rows keyed by uid — bounded by the batch, semi-joined
-        like :meth:`save`'s upsert classification."""
+        """Local rows keyed by uid (trash included — :meth:`save`'s
+        upsert classification) — bounded by the batch, semi-joined."""
         uids = sorted(set(uids))
         if not uids or not self._exists(registry):
             return {}
@@ -1572,6 +1561,28 @@ class Lakehouse:
             .collect()  # bounded by the batch, not the registry
         )
         return {r["uid"]: r.asDict() for r in hits}
+
+    def _reuse_or_restore_by_uid(
+        self, registry: str, uids
+    ) -> dict[str, dict[str, Any]]:
+        """Transfer-side uid matching (review finding r15): a local
+        row in the TRASH would be 'reused' invisibly — the transfer
+        would report success while ``read()`` excludes the row and
+        follow-up label/feature copies KeyError. A trashed uid match
+        is RESTORED to the current branch first (a partial save that
+        touches ONLY branch_id — local values still survive, keeping
+        the reuse-untouched overwrite policy); visible matches are
+        returned as-is."""
+        rows = self._rows_by_uid(registry, uids)
+        trashed = [u for u, r in rows.items() if r.get("branch_id") == TRASH_BRANCH_ID]
+        if trashed:
+            self.save(
+                registry,
+                [{"uid": u, "branch_id": self.current_branch_id} for u in trashed],
+            )
+            for u in trashed:
+                rows[u]["branch_id"] = self.current_branch_id
+        return rows
 
     def _transfer_storage(self, other: "Lakehouse", src_ids) -> dict[int, int]:
         """Pull the source instance's storage rows (by uid) so a
@@ -1589,7 +1600,7 @@ class Lakehouse:
             .filter(F.col("id").isin(src_ids))
             .collect()
         ]
-        existing = self._rows_by_uid("storage", [r["uid"] for r in rows])
+        existing = self._reuse_or_restore_by_uid("storage", [r["uid"] for r in rows])
         id_map: dict[int, int] = {}
         batch = []
         for r in rows:
@@ -1627,7 +1638,7 @@ class Lakehouse:
         missing = set(uids) - {r["uid"] for r in src}
         if missing:
             raise KeyError(f"uids not found in source {registry}: {sorted(missing)}")
-        existing = self._rows_by_uid(registry, uids)
+        existing = self._reuse_or_restore_by_uid(registry, uids)
         storage_map: dict[int, int] = {}
         if registry == "artifact":
             storage_map = self._transfer_storage(
@@ -1717,7 +1728,7 @@ class Lakehouse:
             by_depth.setdefault(depth(rid), []).append(rid)
         # uid already here → reuse the local row untouched (reference
         # add_from semantics; overwrite policy in the docstring)
-        local = self._rows_by_uid(registry, [r["uid"] for r in rows.values()])
+        local = self._reuse_or_restore_by_uid(registry, [r["uid"] for r in rows.values()])
         id_map: dict[int, int] = {}
         for d in sorted(by_depth):  # ONE bulk save per type level, not per row
             level = by_depth[d]

@@ -50,21 +50,33 @@ FACT_TABLES = ("documents", "embeddings", "events", "lineitem", "orders")
 #   aqe-adaptive  — NO hint in the code; AQE promoted the (filtered)
 #                   side because it measured small THIS run, and
 #                   re-decides from real sizes at every scale
+# Each entry carries the reviewed hit SIGNATURE (the sorted fact-table
+# tuples of its hits): a NEW, different broadcast in a triaged query —
+# more hits, or a different table — no longer matches and gets FLAGGED
+# (review finding r15: name-only suppression would swallow regressions).
 TRIAGED = {
-    "ann_ivf": "bounded-hint: 8 centroid rows (vec_id < 8)",
-    "ann_lsh": "bounded-hint: 1 query row (vec_id == 0)",
-    "anti_join": "aqe-adaptive: filtered lineitem keys, unhinted",
-    "lsh_admission": "aqe-adaptive: admitted-id set, unhinted",
-    "rollup_revenue": "aqe-adaptive: filtered orders side, unhinted",
-    "semi_join": "aqe-adaptive: filtered orders keys, unhinted",
-    "span_novelty": "aqe-adaptive: span-count side, unhinted",
-    "star_revenue": "aqe-adaptive: ASIA-filtered orders/lineitem "
-    "pre-agg, unhinted (contract in the query docstring)",
-    "tpch_q3": "aqe-adaptive", "tpch_q4": "aqe-adaptive",
-    "tpch_q5": "aqe-adaptive", "tpch_q8": "aqe-adaptive",
-    "tpch_q10": "aqe-adaptive", "tpch_q12": "aqe-adaptive",
-    "tpch_q13": "aqe-adaptive", "tpch_q18": "aqe-adaptive",
-    "tpch_q21": "aqe-adaptive", "tpch_q22": "aqe-adaptive",
+    "ann_ivf": ("bounded-hint: 8 centroid rows (vec_id < 8)", [("embeddings",)]),
+    "ann_lsh": ("bounded-hint: 1 query row (vec_id == 0)", [("embeddings",)]),
+    "anti_join": ("aqe-adaptive: filtered lineitem keys, unhinted", [("lineitem",)]),
+    "lsh_admission": ("aqe-adaptive: admitted-id set, unhinted", [("documents",)]),
+    "rollup_revenue": ("aqe-adaptive: filtered orders side, unhinted", [("orders",)]),
+    "semi_join": ("aqe-adaptive: filtered orders keys, unhinted", [("orders",)]),
+    "span_novelty": ("aqe-adaptive: span-count side, unhinted", [("documents",)]),
+    "star_revenue": (
+        "aqe-adaptive: ASIA-filtered orders/lineitem pre-agg, unhinted "
+        "(contract in the query docstring)",
+        [("lineitem",), ("orders",)],
+    ),
+    "tpch_q3": ("aqe-adaptive", [("orders",)]),
+    "tpch_q4": ("aqe-adaptive", [("lineitem",)]),
+    "tpch_q5": ("aqe-adaptive", [("orders",)]),
+    "tpch_q8": ("aqe-adaptive", [("orders",)]),
+    "tpch_q10": ("aqe-adaptive", [("orders",)]),
+    "tpch_q12": ("aqe-adaptive", [("orders",)]),
+    "tpch_q13": ("aqe-adaptive", [("orders",)]),
+    "tpch_q18": ("aqe-adaptive", [("orders",)]),
+    "tpch_q21": ("aqe-adaptive", [("orders",)]),
+    "tpch_q22": ("aqe-adaptive", [("orders",)]),
 }
 REDUCERS = (
     "HashAggregate",
@@ -91,28 +103,54 @@ def broadcast_subtrees(plan: str) -> list[list[str]]:
         if "BroadcastExchange" not in line:
             continue
         d = _depth(line)
-        sub = [line.strip()]
+        # RAW lines: the audit's ancestor-path walk needs the tree
+        # prefixes intact (stripping would flatten every depth to 0)
+        sub = [line]
         for nxt in lines[i + 1 :]:
             if _depth(nxt) <= d:
                 break
-            sub.append(nxt.strip())
+            sub.append(nxt)
         out.append(sub)
     return out
 
 
-def audit_plan(plan: str) -> list[str]:
+def _scan_reduced(sub_lines: list[str], scan_idx: int) -> bool:
+    """True iff a reducer sits on the ANCESTOR PATH from the scan line
+    up to the broadcast root — not merely anywhere in the subtree
+    (review finding r15: a reduced dimension joined next to an
+    unreduced fact scan must not excuse the fact side)."""
+    bar = _depth(sub_lines[scan_idx])
+    for j in range(scan_idx - 1, 0, -1):  # root (idx 0) is the exchange
+        d = _depth(sub_lines[j])
+        if d < bar:
+            if any(r in sub_lines[j] for r in REDUCERS):
+                return True
+            bar = d
+    return False
+
+
+def audit_plan(plan: str) -> list[tuple[tuple[str, ...], str]]:
+    """Hits as (sorted fact-table tuple, description) per offending
+    BroadcastExchange in the FINAL plan section."""
     final = plan.split("Initial Plan")[0]
     flags = []
     for sub in broadcast_subtrees(final):
-        body = "\n".join(sub)
-        scans = [t for t in FACT_TABLES if re.search(rf"FileScan parquet.*{t}", body)]
-        if not scans:
-            continue
-        # reduced before broadcast? any aggregate/limit node in the
-        # subtree between exchange and scan bounds the output
-        if any(r in body for r in REDUCERS):
-            continue
-        flags.append(f"broadcasts unreduced {scans} side: {sub[0][:90]}")
+        # keep original (indented) lines for the path walk
+        lines = sub
+        hit_tables = set()
+        for i, line in enumerate(lines):
+            t = next(
+                (t for t in FACT_TABLES if re.search(rf"FileScan parquet.*{t}", line)),
+                None,
+            )
+            if t is not None and not _scan_reduced(lines, i):
+                hit_tables.add(t)
+        if hit_tables:
+            sig = tuple(sorted(hit_tables))
+            flags.append(
+                (sig, f"broadcasts unreduced {sorted(hit_tables)} side: "
+                      f"{lines[0].strip()[:90]}")
+            )
     return flags
 
 
@@ -132,11 +170,13 @@ def main() -> None:
             flagged[name] = [f"AUDIT ERROR: {e}"[:200]]
             continue
         hits = audit_plan(plan)
-        if hits and name in TRIAGED:
+        sig = sorted(s for s, _d in hits)
+        expected = sorted(TRIAGED.get(name, (None, []))[1])
+        if hits and sig == expected:
             triaged += 1
         elif hits:
-            flagged[name] = hits
-            print(f"FLAG {name}: {hits}", file=sys.stderr, flush=True)
+            flagged[name] = [d for _s, d in hits]
+            print(f"FLAG {name}: {flagged[name]}", file=sys.stderr, flush=True)
         else:
             clean += 1
         release_checkpoints(spark)

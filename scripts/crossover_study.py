@@ -104,7 +104,9 @@ def main() -> None:
             row[label] = {
                 "spark_s": s_t,
                 "duck_s": d_t,
-                "ratio": round(s_t / d_t, 2) if d_t > 0 else None,
+                # sub-ms DuckDB times round to 0.0 — clamp instead of
+                # None (a None ratio poisons the summary comparisons)
+                "ratio": round(s_t / max(d_t, 0.001), 2),
                 "rows": s_rows,
             }
         print(f"{name}: {row}", file=sys.stderr, flush=True)

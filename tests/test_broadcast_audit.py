@@ -57,7 +57,35 @@ def test_aggregated_broadcast_is_clean():
 
 def test_unreduced_fact_broadcast_is_flagged():
     flags = audit_plan(PLAN_BAD)
-    assert len(flags) == 1 and "lineitem" in flags[0]
+    assert len(flags) == 1
+    sig, desc = flags[0]
+    assert sig == ("lineitem",) and "lineitem" in desc
+
+
+PLAN_MIXED = """AdaptiveSparkPlan isFinalPlan=true
++- == Final Plan ==
+   *(5) Project [a#1L]
+   +- BroadcastNestedLoopJoin BuildRight, Inner
+      :- *(5) ColumnarToRow
+      :  +- FileScan parquet [k#2L] ... part.parquet
+      +- BroadcastExchange IdentityBroadcastMode
+         +- *(4) BroadcastHashJoin [k#5L], [k#6L], Inner, BuildLeft, false
+            :- *(4) HashAggregate(keys=[k#5L], functions=[count(1)])
+            :  +- FileScan parquet [k#5L] ... nation.parquet
+            +- *(4) ColumnarToRow
+               +- FileScan parquet [k#6L] ... lineitem.parquet
+"""
+
+
+def test_reducer_must_sit_on_the_scan_ancestor_path():
+    """Review finding r15: an aggregated DIMENSION inside the same
+    broadcast subtree must not excuse an unreduced FACT scan — the
+    reducer check walks the scan's ancestor path, not the whole
+    subtree text."""
+    flags = audit_plan(PLAN_MIXED)
+    assert len(flags) == 1
+    sig, _desc = flags[0]
+    assert sig == ("lineitem",)
 
 
 def test_initial_plan_section_ignored():

@@ -266,3 +266,29 @@ def test_transfer_links_initiating_run(lakehouse, other, tmp_path):
         lakehouse.read("artifact").filter(F.col("uid") == art2["uid"]).first()
     )
     assert stored["run_id"] is None
+
+
+def test_transfer_restores_trashed_local_row(lakehouse, other, tmp_path):
+    """Review finding r15: a uid match on a locally TRASHED row must
+    not be 'reused' invisibly — the transfer restores it to the
+    current branch (values untouched) so the record is queryable and
+    follow-up label copies find it."""
+    art = _src_artifact(other, tmp_path, name="trashme.txt")
+    lbl = other.save("ulabel", [{"name": "after-restore"}])[0]
+    other.link_labels(art["id"], [lbl["id"]])
+
+    local = lakehouse.transfer_from(other, "artifact", [art["uid"]])[0]
+    lakehouse.delete_artifact(local["id"])  # -> trash (branch -1)
+    assert lakehouse.read("artifact").filter(
+        F.col("uid") == art["uid"]
+    ).count() == 0
+
+    row = lakehouse.transfer_from(other, "artifact", [art["uid"]])[0]
+    assert row["branch_id"] == lakehouse.current_branch_id
+    visible = (
+        lakehouse.read("artifact").filter(F.col("uid") == art["uid"]).first()
+    )
+    assert visible is not None and visible["id"] == local["id"]  # same row, restored
+    # follow-up curation copy works against the restored row
+    label_map = lakehouse.add_labels_from(other, art["uid"])
+    assert lbl["id"] in label_map
