@@ -98,6 +98,10 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             # ``run.py:283`` Run.environment, ``:268`` Run.report)
             _f("environment_id", LongType()),
             _f("report_id", LongType()),
+            # external link/ID pair (docs/faq/reference-field.md —
+            # the same pair transform carries)
+            _f("reference", StringType()),
+            _f("reference_type", StringType()),
         ]
     ),
     "feature": StructType(
@@ -146,6 +150,10 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("is_type", BooleanType()),
             _f("schema_id", LongType()),
             _f("description", StringType()),
+            # external link/ID pair (docs/faq/reference-field.md:
+            # "reference link or ID to indicate the source")
+            _f("reference", StringType()),
+            _f("reference_type", StringType()),
         ]
     ),
     "collection": StructType(
@@ -155,6 +163,9 @@ REGISTRY_SCHEMAS: dict[str, StructType] = {
             _f("key", StringType()),
             _f("description", StringType()),
             _f("hash", StringType()),
+            # external link/ID pair (docs/faq/reference-field.md)
+            _f("reference", StringType()),
+            _f("reference_type", StringType()),
         ]
     ),
     "branch": StructType(

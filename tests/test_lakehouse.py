@@ -673,3 +673,28 @@ def test_lazy_artifact_dedup_hit_cleans_orphan(lakehouse, spark, tmp_path):
     got = lazy.save()
     assert got["id"] == seed["id"]  # dedup hit, canonical row returned
     assert not os.path.exists(lazy.path)  # orphan removed
+
+
+def test_reference_field_pair_on_provenance_registries(lakehouse):
+    """docs/faq/reference-field.md: reference/reference_type store an
+    external link or ID on Record, Collection, Run (and Transform,
+    which carries git provenance in the same pair). Round-trips
+    through save and is queryable."""
+    from pyspark.sql import functions as F
+
+    row = lakehouse.save(
+        "record",
+        [{
+            "name": "donor 001",
+            "reference": "VX984545",
+            "reference_type": "Donor ID from Vendor X",
+        }],
+    )[0]
+    got = lakehouse.read("record").filter(F.col("id") == row["id"]).first()
+    assert got["reference"] == "VX984545"
+    assert got["reference_type"] == "Donor ID from Vendor X"
+    for registry in ("collection", "run", "transform"):
+        from lamindb_spark.catalog.schemas import REGISTRY_SCHEMAS
+
+        cols = {f.name for f in REGISTRY_SCHEMAS[registry].fields}
+        assert {"reference", "reference_type"} <= cols, registry
