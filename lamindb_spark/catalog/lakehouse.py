@@ -56,6 +56,8 @@ from .schemas import (
     TRASH_BRANCH_ID,
     UID_LENGTHS,
     VERSIONED_REGISTRIES,
+    FieldValidationError,
+    validate_fields,
 )
 
 
@@ -707,6 +709,12 @@ class Lakehouse:
         ``len(rows)`` (id, uid) pairs; inserts are an O(batch) parquet
         append; only matched updates pay a join-based rewrite."""
         now = _now()
+        # Django-style field validation (docs/faq/validate-fields.md):
+        # caller-supplied values only — merged/stored values were
+        # validated when they were saved
+        problems = [m for r in rows for m in validate_fields(name, r)]
+        if problems:
+            raise FieldValidationError("; ".join(problems))
         by_uid = self._rows_by_uid(name, [r["uid"] for r in rows if r.get("uid")])
         inserts, updates = [], []
         for row in rows:

@@ -354,3 +354,44 @@ UID_LENGTHS: dict[str, int] = {
 }
 
 VERSIONED_REGISTRIES = frozenset({"artifact", "transform", "collection", "block"})
+
+
+# ---------------------------------------------------------------------
+# Django-style field validation (docs/faq/validate-fields.md; reference
+# ``project.py:178-187`` RegexValidator on Reference.doi, URLField on
+# Reference.url / Project.url — models inheriting ``ValidateFields``
+# run these in full_clean). ``Lakehouse.save`` applies them to
+# caller-supplied values and raises :class:`FieldValidationError`
+# naming every offending field, like Django's per-field error dict.
+
+class FieldValidationError(ValueError):
+    """A saved row's field value failed its registry's validator."""
+
+
+_DOI_REGEX = r"^(?:https?://(?:dx\.)?doi\.org/|doi:|DOI:)?10\.\d+/.*$"
+_URL_REGEX = r"^(?:https?|ftp)://[^\s/$.?#][^\s]*$"
+
+FIELD_VALIDATORS: dict[str, dict[str, tuple[str, str]]] = {
+    "reference": {
+        "doi": (
+            _DOI_REGEX,
+            "Must be a DOI (e.g., 10.1000/xyz123 or "
+            "https://doi.org/10.1000/xyz123)",
+        ),
+        "url": (_URL_REGEX, "Enter a valid URL."),
+    },
+    "project": {"url": (_URL_REGEX, "Enter a valid URL.")},
+}
+
+
+def validate_fields(registry: str, row: dict) -> list[str]:
+    """Messages for every validator the row's supplied values fail
+    (None passes: the fields are nullable, like the reference's)."""
+    import re as _re
+
+    out = []
+    for field, (regex, message) in FIELD_VALIDATORS.get(registry, {}).items():
+        v = row.get(field)
+        if v is not None and not _re.match(regex, str(v)):
+            out.append(f"{field}: {message} (got {v!r})")
+    return out

@@ -9,6 +9,7 @@ they are part of this engine's contract.
 """
 
 from .catalog.commitlog import CommitConflictError, SchemaMismatchError  # noqa: F401
+from .catalog.schemas import FieldValidationError  # noqa: F401
 from .catalog.query import DoesNotExist, MultipleResultsFound  # noqa: F401
 from .curation.curator import CurationError  # noqa: F401
 from .curation.dtype import DtypeError  # noqa: F401
@@ -18,6 +19,7 @@ ValidationError = CurationError
 
 __all__ = [
     "CommitConflictError",
+    "FieldValidationError",
     "CurationError",
     "DoesNotExist",
     "DtypeError",

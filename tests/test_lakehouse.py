@@ -698,3 +698,33 @@ def test_reference_field_pair_on_provenance_registries(lakehouse):
 
         cols = {f.name for f in REGISTRY_SCHEMAS[registry].fields}
         assert {"reference", "reference_type"} <= cols, registry
+
+
+def test_field_validation_on_save(lakehouse):
+    """docs/faq/validate-fields.md: models carrying Django validators
+    reject malformed values at save (reference Reference.doi
+    RegexValidator, URLField on url) — every offending field named,
+    None passes (nullable)."""
+    import pytest
+
+    from lamindb_spark.errors import FieldValidationError
+
+    with pytest.raises(FieldValidationError) as exc:
+        lakehouse.save(
+            "reference", [{"name": "my ref", "doi": "abc.ef", "url": "myurl.com"}]
+        )
+    assert "doi" in str(exc.value) and "url" in str(exc.value)
+    # valid forms save; doi accepts the bare / doi: / resolver spellings
+    rows = lakehouse.save(
+        "reference",
+        [
+            {"name": "bare", "doi": "10.1000/xyz123"},
+            {"name": "prefixed", "doi": "doi:10.1000/xyz123"},
+            {"name": "resolver", "doi": "https://doi.org/10.1000/xyz123",
+             "url": "https://example.com/paper"},
+            {"name": "nulls"},
+        ],
+    )
+    assert len(rows) == 4
+    with pytest.raises(FieldValidationError):
+        lakehouse.save("project", [{"name": "p", "url": "not a url"}])
