@@ -161,25 +161,51 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    local: bool | None = None,
+    local_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     step that turns near-dup candidate PAIRS (LSH/n-gram output) into
     dup GROUPS for keeper election.
 
-    Each node's component label starts as its own id; every round each
-    node adopts the minimum label in its neighborhood (labels flow both
-    directions along each edge). Converges in O(component diameter)
-    rounds — for dedup graphs (stars + short chains) that is 2-3. Per
-    round: one join + one groupBy on the SAME key (AQE coalesces), and
-    a ``localCheckpoint`` so the plan never grows. Convergence check is
-    an aggregate (count of labels that changed this round — exact for
-    any id type), no driver-side data.
+    Two regimes, switched adaptively like :func:`pagerank` (r12) and
+    :func:`closure`'s driver-frontier mode:
+
+    - **Driver-local union-find** (≤ ``local_edge_limit`` candidate
+      pairs): the pair table — already the sparse, star-capped OUTPUT
+      of LSH/n-gram mining, orders of magnitude smaller than the
+      corpus — is collected in one bounded job (``limit(cap+1)``, so
+      an over-limit probe reads ~cap rows, never the full table) and
+      resolved with path-compressed union-find. min-root union-find
+      computes exactly the converged min-label fixpoint, so results
+      are identical to the distributed loop (pinned by test); the
+      ~2M-pair budget is the same driver-size class as
+      ``closure.max_driver_ids``/pagerank's edge bound. The r15
+      motivation is the iterative job floor: the distributed loop pays
+      ~2 scheduled jobs per round (SCALE.md §iterative-job-floors) to
+      move labels the driver can fold in milliseconds.
+    - **Distributed min-label propagation** above the limit (or
+      ``local=False``): each round is one join + one groupBy on the
+      SAME key (AQE coalesces) and a ``localCheckpoint`` so the plan
+      never grows. The convergence check rides the checkpointed
+      blocks: the previous label is CARRIED THROUGH the checkpoint
+      (``__prev``) so "how many labels changed" is a map-only filter
+      count over materialized blocks — r15; the former formulation
+      re-joined old and new label tables, one extra shuffle per round.
 
     Output: (``id``, ``component``) — component = min node id reachable,
     matching the min-id keeper convention of ``exact_dedup`` and the
     LSH star cap.
     """
     e = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    if local is not False:
+        pdf = e.limit(local_edge_limit + 1).toPandas()
+        has_na = bool(pdf["__a"].isna().any() or pdf["__b"].isna().any())
+        if len(pdf) <= local_edge_limit and not has_na:
+            return _components_local(edges.sparkSession, pdf, e.schema)
+        # over-limit (or null ids, whose propagation semantics the
+        # distributed join defines): one wasted bounded probe, same
+        # trade closure()'s probe makes
     und = e.unionByName(
         e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     ).distinct().localCheckpoint(eager=True)
@@ -204,27 +230,67 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
                 ).alias("component"),
+                # previous label carried through the checkpoint so the
+                # convergence count below needs no join back (r15)
+                F.col("component").alias("__prev"),
             )
             .localCheckpoint(eager=True)
         )
         # convergence = zero rows whose label CHANGED this round. The
-        # old check compared sums of the labels themselves, which (a)
+        # r13 check compared sums of the labels themselves, which (a)
         # is NULL for string ids — the early exit never fired and every
         # call paid all max_iters rounds — and (b) wraps for 64-bit
         # hash ids (review finding). Labels only DECREASE (min
-        # propagation), so "changed" is exactly component < previous;
-        # the diff count rides the same job as the checkpoint's
-        # materialization pass.
-        changed = (
-            new_labels.withColumnRenamed("component", "__new")
-            .join(labels, "id")
-            .filter(F.col("__new") != F.col("component"))
-            .count()
-        )
-        labels = new_labels
+        # propagation), so "changed" is exactly component < previous —
+        # a map-only filter count over the just-materialized checkpoint
+        # blocks (the r13-r14 form re-joined the old label table: one
+        # extra shuffle per round for a comparison both operands of
+        # which already sit on the same row).
+        changed = new_labels.filter(F.col("component") < F.col("__prev")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels
+
+
+def _components_local(spark, pairs_pdf, schema) -> DataFrame:
+    """Path-compressed union-find over a collected pair table; root =
+    min id in the component (identical to the converged min-label
+    fixpoint of the distributed loop — labels only ever decrease
+    toward exactly this value). Nodes are every distinct endpoint;
+    output one (id, component) row per node, like the distributed
+    ``labels`` frame."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    a_vals = pairs_pdf["__a"].tolist()
+    b_vals = pairs_pdf["__b"].tolist()
+    for v in a_vals:
+        parent.setdefault(v, v)
+    for v in b_vals:
+        parent.setdefault(v, v)
+    for x, y in zip(a_vals, b_vals):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN id so every root is already the component min
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    rows = [(v, find(v)) for v in parent]
+    id_type = schema["__a"].dataType
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema=out_schema)
 
 
 def creates_cycle(
@@ -358,6 +424,40 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if checkpoint_edges:
         e = e.localCheckpoint(eager=True)
+    if local is not False:
+        # r15: probe-and-collect in ONE bounded job. The r12 local path
+        # still built nodes/outdeg/graph distributed first (2 more
+        # checkpoints + 2 counts + 2 toPandas — ~6 scheduled jobs) just
+        # to collect them; under the same ≤2M-edge / ≤200k-node budget
+        # the edge list itself fits the driver, so collect IT (capped:
+        # an over-limit probe reads ~cap rows, never the full table)
+        # and derive nodes/outdeg in pandas — same integer counts, same
+        # update rule, bit-equality with the distributed loop still
+        # pinned by test. Null endpoints (undefined under pandas int→
+        # NaN coercion) and empty/over-limit frames fall through.
+        from decimal import Decimal as _Dec
+
+        cap = 2_000_000
+        ep = e.limit(cap + 1).toPandas()
+        if 0 < len(ep) <= cap and not bool(
+            ep["src"].isna().any() or ep["dst"].isna().any()
+        ):
+            import pandas as pd
+
+            nodes_arr = pd.unique(pd.concat([ep["src"], ep["dst"]], ignore_index=True))
+            if len(nodes_arr) <= 200_000:
+                graph_pdf = ep.assign(
+                    outdeg=ep.groupby("src")["src"].transform("size")
+                )
+                return _pagerank_local(
+                    edges.sparkSession,
+                    graph_pdf,
+                    pd.DataFrame({"node": nodes_arr}),
+                    damping,
+                    iters,
+                    round_to,
+                    float(_Dec(1) - _Dec(str(damping))),
+                )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
