@@ -394,33 +394,48 @@ def bigram_lm_scores(
     construction)."""
     toks = ws_tokens(F.col(text_col), lowercase=True)
     base = df.select(F.col(id_col), toks.alias("__t"))
-    pairs = base.filter(F.size("__t") >= 2).select(
-        id_col,
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__t"), 1, F.size("__t") - 1),
-                F.slice(F.col("__t"), 2, F.size("__t") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    # checkpoint the VOCAB-BOUNDED count tables (the source_kl
-    # pattern): uni feeds vocab_n AND the scoring join, bi feeds the
-    # scoring join, and each un-checkpointed consumer re-ran the full
-    # corpus tokenize+explode — four corpus scans per action measured
-    # (review finding); now two (the bi count + the scoring re-join of
-    # the corpus-sized pairs, which is too big to materialize)
-    uni = (
-        base.select(F.explode("__t").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    # every token paired with its successor, the LAST token of each doc
+    # carrying w2=NULL (zip_with pads the shorter array with nulls):
+    # one exploded frame serves the unigram counts (all rows), the
+    # bigram counts (w2 non-null rows) AND the scoring re-join
+    expl = (
+        base.filter(F.size("__t") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.col("__t"),
+                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pairs = expl.filter(F.col("w2").isNotNull())
+    # checkpoint the VOCAB-BOUNDED count table (the source_kl
+    # pattern): the counts feed vocab_n AND the scoring join, and each
+    # un-checkpointed consumer re-ran the full corpus tokenize+explode
+    # — four corpus scans per action measured (review finding). r15:
+    # the unigram and bigram tables come out of ONE rollup aggregation
+    # (grouping sets (w1) and (w1, w2) over the same exploded rows —
+    # map-side combined, the exchange carries |vocab| + |bigrams|
+    # partials exactly as the two separate aggs did, in one exchange),
+    # so the count-building phase is one corpus scan + one checkpoint
+    # job instead of two of each. Tokens are never NULL, so a NULL w2
+    # inside the gid=0 group is exactly the per-doc trailing sentinel,
+    # never a rolled-up group.
+    counts = (
+        expl.groupingSets(
+            [[F.col("w1")], [F.col("w1"), F.col("w2")]], F.col("w1"), F.col("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("__gid"))
         .localCheckpoint(eager=True)
     )
-    bi = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)
-    )
+    uni = counts.filter(F.col("__gid") == 1).select("w1", F.col("c").alias("c1"))
+    bi = counts.filter(
+        (F.col("__gid") == 0) & F.col("w2").isNotNull()
+    ).select("w1", "w2", F.col("c").alias("c2"))
     vocab_n = uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
         pairs.join(bi, ["w1", "w2"], "left")
