@@ -1843,7 +1843,12 @@ def _q_curated_packing(spark, sf):
         .filter(F.col("passes") == 1)
         .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
     )
-    return pack_sequences(passed, "n_tokens", "doc_id", budget=256, id_cols=["doc_id"])
+    # pin_input: the gate's regex battery is the expensive tail of the
+    # chain — materialize the narrow (doc_id, n_tokens) survivors once
+    # so the packing range-sampler doesn't re-run the gate (r15)
+    return pack_sequences(
+        passed, "n_tokens", "doc_id", budget=256, id_cols=["doc_id"], pin_input=True
+    )
 
 
 def _q_split_by_source(spark, sf):

@@ -108,11 +108,29 @@ def ranked_index(df: DataFrame, order_cols: list[Column], out_col: str) -> DataF
     )
 
 
+def _pin_range_input(df: DataFrame) -> DataFrame:
+    """Materialize the (caller-narrowed) frame BEFORE the range
+    shuffle. ``repartitionByRange`` evaluates its input TWICE per
+    action — once in the range-boundary sampling job, once in the real
+    map stage — so when the frame is the tail of an expensive chain
+    (a quality gate's regex battery, the bigram-LM scoring join) the
+    whole chain runs twice. One eager checkpoint of the narrow rows
+    trades bounded executor storage (the same size class the
+    post-shuffle pid pin below already holds) for halving the upstream
+    compute. Opt-in per call site: for bare-scan inputs the extra job
+    and storage outweigh a cheap re-scan, and pinning a raw 100 TB
+    scan would be absurd — callers enable it exactly where the input
+    is an expensive DERIVED frame (guide rule: persist only what is
+    reused and costly to recompute)."""
+    return df.localCheckpoint(eager=True)
+
+
 def prefix_sum(
     df: DataFrame,
     order_col: str,
     value_col: str,
     out_col: str,
+    pin_input: bool = False,
 ) -> DataFrame:
     """INCLUSIVE global prefix sum of ``value_col`` in ``order_col``
     order, appended as ``out_col`` (long). Exclusive form = out_col -
@@ -125,6 +143,8 @@ def prefix_sum(
     project to the narrow (keys, value) schema BEFORE calling so the
     shuffle moves a few bytes per row.
     """
+    if pin_input:
+        df = _pin_range_input(df)
     local = (
         df.repartitionByRange(F.col(order_col))
         .sortWithinPartitions(order_col)
@@ -157,6 +177,7 @@ def stratified_rank(
     order_cols: list[Column],
     rank_col: str,
     count_col: str,
+    pin_input: bool = False,
 ) -> DataFrame:
     """0-based rank of every row WITHIN its stratum (ascending by
     ``order_cols``) plus the stratum's row count — the scale-safe
@@ -208,6 +229,8 @@ def stratified_rank(
         # null-safe or not — can match on a void key (review finding:
         # rows silently vanished); a typed NULL behaves normally
         df = df.withColumn(strata_col, F.col(strata_col).cast("string"))
+    if pin_input:
+        df = _pin_range_input(df)
     local = df.repartitionByRange(
         F.col(strata_col), *order_cols
     ).withColumn(

@@ -572,6 +572,10 @@ def perplexity_buckets(
         [F.col("avg_nll").cast("double"), F.col(id_col)],
         "__rn0",
         "__n",
+        # the input is the full bigram-LM scoring chain (two corpus
+        # scans); without the pin the range sampler replays it all —
+        # r15, see prefix._pin_range_input
+        pin_input=True,
     )
     k = F.lit(int(n_tiles)).cast("long")
     q = F.floor(F.col("__n") / k).cast("long")

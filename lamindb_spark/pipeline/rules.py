@@ -173,6 +173,7 @@ def pack_sequences(
     order_col: str,
     budget: int,
     id_cols: list[str] | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Assign each row to a fixed-token-budget training sequence.
 
@@ -204,7 +205,12 @@ def pack_sequences(
 
     keep = list(id_cols or [order_col])
     cols = list(dict.fromkeys(keep + [order_col, token_col]))
-    cum = prefix_sum(df.select(*cols), order_col, token_col, "__incl")
+    # pin_input: pass-through to the prefix primitive — enable when the
+    # caller's frame is the tail of an expensive chain (quality gates),
+    # so the range sampler doesn't re-run it (see prefix._pin_range_input)
+    cum = prefix_sum(
+        df.select(*cols), order_col, token_col, "__incl", pin_input=pin_input
+    )
     return (
         cum.withColumn(
             "seq_id",
