@@ -49,9 +49,21 @@ def closure(
     seed_df = seeds.select(F.col(id_col).alias("__s")).distinct()
     probe = seed_df.limit(small_frontier_limit + 1).collect()
     if len(probe) <= small_frontier_limit:
-        out = _closure_broadcast(
-            e, [r[0] for r in probe], max_hops, small_frontier_limit, max_driver_ids
+        # r15: when the EDGE table also fits the driver budget, collect
+        # it once (null endpoints dropped — they can neither match a
+        # frontier nor enter the visited set, same as the isin/driver
+        # dedup semantics below) and walk the whole closure in Python:
+        # 2 bounded jobs instead of one scheduled scan job per hop.
+        # The collect is capped (limit(cap+1)), so at real scale the
+        # probe reads ~cap rows, returns None, and the per-hop
+        # predicate-pushed scans below proceed exactly as before.
+        out = _closure_edges_local(
+            e, [r[0] for r in probe], max_hops, max_driver_ids
         )
+        if out is None:
+            out = _closure_broadcast(
+                e, [r[0] for r in probe], max_hops, small_frontier_limit, max_driver_ids
+            )
         if out is not None:
             from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -110,6 +122,47 @@ def _hop_scan(e: DataFrame, frontier: list) -> DataFrame:
         schema=StructType([StructField("__s", e.schema["__s"].dataType)]),
     )
     return e.join(F.broadcast(fdf), "__s").select("__d")
+
+
+def _closure_edges_local(
+    e: DataFrame,
+    seed_ids: list,
+    max_hops: int,
+    max_driver_ids: int,
+    edge_limit: int = 2_000_000,
+) -> dict | None:
+    """Whole-closure BFS on a driver-collected edge list. Returns
+    {id: min_depth} like :func:`_closure_broadcast`, or None when the
+    edge table exceeds the driver budget (caller falls back to the
+    per-hop scan modes). Null endpoints are dropped before the collect
+    — a null source can never match a frontier id and a null
+    destination never enters ``visited`` (the per-hop modes skip both
+    identically), and dropping them keeps pandas id columns integer."""
+    pdf = (
+        e.filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .limit(edge_limit + 1)
+        .toPandas()
+    )
+    if len(pdf) > edge_limit:
+        return None
+    adj: dict = {}
+    for s, d in zip(pdf["__s"].tolist(), pdf["__d"].tolist()):
+        adj.setdefault(s, []).append(d)
+    visited: dict = {i: 0 for i in seed_ids if i is not None}
+    frontier = list(visited)
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in visited:
+                    visited[v] = hop
+                    nxt.append(v)
+        if len(visited) > max_driver_ids:
+            return None
+        frontier = nxt
+    return visited
 
 
 def _closure_broadcast(

@@ -82,3 +82,29 @@ def test_pagerank_probe_collect_matches_distributed(spark):
         r["node"]: r["rank"] for r in pagerank(edges, iters=5, local=False).collect()
     }
     assert local == dist
+
+
+def test_closure_edge_collect_matches_per_hop_scan(spark, monkeypatch):
+    """The r15 driver-collected-edges BFS must agree with the per-hop
+    scan mode it shortcuts (forced by making the edge probe bail)."""
+    from lamindb_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(k, k // 2) for k in range(2, 200)], ["child_id", "parent_id"]
+    )
+    seeds = spark.createDataFrame([(150,), (151,)], ["id"])
+    fast = {
+        r["id"]: r["depth"]
+        for r in g.closure(
+            edges, seeds, src="child_id", dst="parent_id", include_depth=True
+        ).collect()
+    }
+    monkeypatch.setattr(g, "_closure_edges_local", lambda *a, **k: None)
+    slow = {
+        r["id"]: r["depth"]
+        for r in g.closure(
+            edges, seeds, src="child_id", dst="parent_id", include_depth=True
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[75] == 1 and fast[1] == 7
