@@ -48,6 +48,15 @@ def curate_corpus(
         F.col("pred_lang"),
         fingerprint(F.col(text_col)).alias("content_hash"),
     )
+    # r15: pin the signal table — it feeds TWO consumers (the family
+    # aggregation and the verdict join back), and unpinned the lang-id/
+    # quality/fingerprint regex battery re-runs for each (the second
+    # consumer prunes to the fingerprint column, but that is still a
+    # full text scan + hash). The pinned frame is the NARROW 5-column
+    # signal projection (id + 3 longs + a short string per row), the
+    # same executor-storage class as the prefix-sum pid pin; the text
+    # payload itself is never materialized.
+    enriched = enriched.localCheckpoint(eager=True)
     # r13: per-hash count + keeper id as a map-side-combined groupBy
     # joined back, not a Window.partitionBy(content_hash) — a mega-dup
     # family (boilerplate duplicated millions of times) otherwise
@@ -126,6 +135,30 @@ def chunk_documents(
             .alias("n_chunk_tokens"),
         )
     )
+
+
+#: source-size ceiling for pinning an exploded span/window frame. The
+#: frames below are ~k× the source text bytes (every token position
+#: carries a k-token string), so a 256 MB source bounds the pinned
+#: blocks at ~1.5 GB across the cluster.
+_SPAN_PIN_MAX_SOURCE_BYTES = 256 << 20
+
+
+def _pin_span_frame(frame: DataFrame, source: DataFrame) -> DataFrame:
+    """Materialize an exploded span/window frame that feeds BOTH a
+    corpus-wide aggregation and a join back (the two-consumer shape of
+    every span kernel here): unpinned, the tokenize+window-build chain
+    re-runs once per consumer. Gated on the SOURCE table's size
+    estimate — above the ceiling (always, at real scale) the frame is
+    returned untouched and the plans are exactly the r13-r14 ones;
+    Catalyst errs huge on unknown sizes, so the gate fails scale-safe
+    (guide §5: persist only what is reused and costly to recompute,
+    never unbounded data)."""
+    from .dedup import _plan_size_bytes
+
+    if _plan_size_bytes(source) <= _SPAN_PIN_MAX_SOURCE_BYTES:
+        return frame.localCheckpoint(eager=True)
+    return frame
 
 
 def _dedup_reassemble(
@@ -256,7 +289,7 @@ def dedup_token_spans(
     non-overlapping ``span_tokens``-token segments as the unit, for
     corpora without line structure. Tokenize → slice → the shared
     two-shuffle dedup/reassembly core."""
-    segs = _token_spans(df, text_col, id_col, span_tokens)
+    segs = _pin_span_frame(_token_spans(df, text_col, id_col, span_tokens), df)
     return _dedup_reassemble(segs, id_col, min_chars, sep_out=" ")
 
 
@@ -517,7 +550,9 @@ def span_novelty(
     groupBy joined back (r13 — a boilerplate span's occurrences never
     gather into one window task; see :func:`_dedup_reassemble`), then
     one shuffle on the doc id re-aggregates."""
-    segs = _token_spans(df, text_col, id_col, span_tokens).drop("seg_idx")
+    segs = _pin_span_frame(
+        _token_spans(df, text_col, id_col, span_tokens).drop("seg_idx"), df
+    )
     occ = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__occ"))
     flagged = segs.join(occ, "seg").select(
         id_col, (F.col("__occ") == 1).alias("__uniq")
@@ -633,6 +668,7 @@ def duplicated_spans(
             F.concat_ws(" ", F.slice(F.col("__t"), F.col("pos") + 1, k)).alias("__w"),
         )
     )
+    wins = _pin_span_frame(wins, df)
     repeated = (
         wins.groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -707,9 +743,19 @@ def tfidf_keywords(
     # (r13): a stopword's (doc, token) rows — one per document in the
     # corpus — otherwise gather whole into one Window.partitionBy(token)
     # task, the heavy-hitter analogue of VERDICT r12 #1; unbroadcast,
-    # the join's skewed partition is AQE-splittable
+    # the join's skewed partition is AQE-splittable.
+    # r15: the df branch counts per-doc-DISTINCT tokens directly
+    # (array_distinct before the explode) instead of re-aggregating the
+    # tf table — same value (each doc contributes 1 per distinct term),
+    # but the branch's (doc, token) exchange disappears: one token-keyed
+    # aggregation instead of two chained ones. The branch still re-runs
+    # the tokenize scan (known, measured trade — persisting tf lost).
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    dfreq = (
+        df.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
     if vocab_broadcast:
         dfreq = F.broadcast(dfreq)
     scored = (

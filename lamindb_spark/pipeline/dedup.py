@@ -229,8 +229,21 @@ def lsh_admission_portable(
     order-insensitive multiplier sum ``Σ sig·37^(slot)`` — exact int64
     arithmetic (sig < 1e9+7, 37³·1e9 ≪ 2^63), reproducible in ANSI
     SQL. Output: one row per source with admitted/total counts and an
-    admitted-id checksum. One shuffle (per-bucket min) + one per-doc
-    agg + one per-source agg, all map-side-combinable.
+    admitted-id checksum.
+
+    r15 shape: "no band shares a bucket with a lower id" is exactly
+    "the doc is the MINIMUM of every one of its band buckets" (a
+    bucket's min is < id iff a lower id collides there). Every doc
+    owns exactly ``ceil(n_hashes / rows_per_band)`` buckets, so the
+    BUCKET-MIN table alone decides admission: count, per doc id, the
+    buckets it is the min of — admitted iff that count is the band
+    count. The r13-r14 form re-joined the corpus-sized ``keyed`` frame
+    against the bucket minima, which (a) shuffled the doc table a
+    second time and (b) re-ran the whole signature expression chain
+    for the second consumer. Now the signature chain feeds exactly one
+    consumer; the chain after it is bucket-bounded: per-bucket min →
+    per-min-id count → broadcast-sized join back to (id, source).
+    Identical admit set by the equivalence above (oracle-pinned).
     """
     sigs = minhash_signatures_portable(df, text_col, id_col, n_hashes)
     keyed = sigs.selectExpr(
@@ -238,26 +251,23 @@ def lsh_admission_portable(
         f"CAST(hash_idx DIV {rows_per_band} AS BIGINT) AS band",
         f"sig * CAST(pow(37, hash_idx % {rows_per_band}) AS BIGINT) AS term",
     ).groupBy(id_col, "band").agg(F.sum("term").alias("bucket"))
-    bucket_min = keyed.groupBy("band", "bucket").agg(
-        F.min(id_col).alias("bucket_min")
+    n_bands = -(-n_hashes // rows_per_band)
+    min_counts = (
+        keyed.groupBy("band", "bucket")
+        .agg(F.min(id_col).alias("bucket_min"))
+        .groupBy("bucket_min")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(F.col("bucket_min").alias(id_col), "__c")
     )
-    admitted = (
-        keyed.join(bucket_min, ["band", "bucket"])
-        .groupBy(id_col)
-        .agg(
-            (F.sum((F.col("bucket_min") < F.col(id_col)).cast("int")) == 0).alias(
-                "admit"
-            )
-        )
-    )
+    admit = F.coalesce(F.col("__c") == F.lit(n_bands), F.lit(False))
     return (
         df.select(id_col, "source")
-        .join(admitted, id_col)
+        .join(min_counts, id_col, "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("admit").cast("long")).alias("n_admitted"),
-            F.sum(F.when(F.col("admit"), F.col(id_col)).otherwise(F.lit(0)).cast("long")).alias(
+            F.sum(admit.cast("long")).alias("n_admitted"),
+            F.sum(F.when(admit, F.col(id_col)).otherwise(F.lit(0)).cast("long")).alias(
                 "admitted_id_sum"
             ),
         )
