@@ -1133,8 +1133,9 @@ def _q_quality_score(spark, sf):
     """Pipeline text analysis: composite quality heuristic (length,
     punctuation density, mean word length) — all JVM-side expressions."""
     from lamindb_spark.functions.text import quality_score
+    from lamindb_spark.operators.spread import spread_for_cpu
 
-    d = load_table(spark, sf, "documents")
+    d = spread_for_cpu(load_table(spark, sf, "documents"))
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 

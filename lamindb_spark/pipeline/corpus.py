@@ -112,7 +112,11 @@ def chunk_documents(
     # whitespace docs must emit ZERO chunks, not one phantom 1-token
     # chunk (review finding; the engine-wide tokenizer contract)
     from ..functions.text import ws_tokens
+    from ..operators.spread import spread_for_cpu
 
+    # scan-parallelism repair for the tokenize+explode fan-out on
+    # under-split inputs (r15 A/B: ~0.4 → ~0.3 s); no-op at real scale
+    df = spread_for_cpu(df)
     toks = ws_tokens(F.col(text_col))
     staged = df.select(
         F.col(id_col),
@@ -309,7 +313,9 @@ def bm25_rank(
     Scale shape: corpus stats (N, Σdl, per-term document frequencies)
     come from ONE map-side-combined scalar aggregate — k terms fold
     into k ``array_contains`` sums in the same pass, so there is no
-    per-term scan and no explode. The 1-row stats frame is broadcast
+    per-term scan and no explode. ``spread_for_cpu`` repairs scan
+    parallelism for both tokenizing passes on under-split inputs
+    (r15 A/B: ~0.7-1.0 → ~0.5-0.7 s at sf0.1); no-op at real scale. The 1-row stats frame is broadcast
     (literally: a broadcast nested-loop join of a single row) onto a
     second scan where tf, idf and the final score are pure codegen
     expressions; top-n goes through TakeOrdered (per-partition heads,
@@ -317,10 +323,13 @@ def bm25_rank(
     score time so both engines divide the same integers (float-sum
     drift cannot flip the round-6 comparison).
     """
+    from ..operators.spread import spread_for_cpu
+
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
         lambda x: x != "",
     )
+    df = spread_for_cpu(df)
     base = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl"))
     stats = base.agg(
         F.count(F.lit(1)).alias("__N"),

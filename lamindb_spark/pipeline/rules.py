@@ -66,8 +66,14 @@ def gopher_rules(
     Adds one integer flag column per rule plus the composite
     ``passes`` gate, and the underlying measurements (rounded so the
     result is engine-portable). Pure map-side expressions: the 100 TB
-    pass is a single scan with zero shuffles.
+    pass is a single scan with zero shuffles. ``spread_for_cpu``
+    repairs scan parallelism for the regex battery when a small input
+    under-splits the cluster (r15 A/B: ~0.7-1.1 → ~0.45-0.9 s at
+    sf0.1); a provable no-op at real scale (operators/spread.py).
     """
+    from ..operators.spread import spread_for_cpu
+
+    df = spread_for_cpu(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = _toks(F.col(text_col))
     low = F.transform(toks, F.lower)
@@ -127,8 +133,14 @@ def top_bigram_frac(
     — count each element with a nested ``filter`` — is O(L²) per row
     and stays rejected; sort + run-length is not that.) Documents with
     fewer than 2 tokens produce no bigrams and are absent from the
-    output (same in the SQL oracle).
+    output (same in the SQL oracle). ``spread_for_cpu`` repairs scan
+    parallelism for the per-row sort + run-length fold on
+    under-split inputs (r15 A/B: ~1.1-2.0 → ~0.7-0.8 s at sf0.1);
+    no-op at real scale.
     """
+    from ..operators.spread import spread_for_cpu
+
+    df = spread_for_cpu(df)
     toks = _toks(F.col(text_col))
     n = F.size(toks)
     bigrams = F.zip_with(

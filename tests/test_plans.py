@@ -89,8 +89,12 @@ _MAX_EXCHANGES = {
     # keyed subtree repeats textually under both join sides and AQE
     # reuses it at runtime — same pattern as tpch_q21
     "lsh_admission": 7,
-    "gopher_rules": 0,     # quality gate is a pure map pass
-    "top_bigram": 2,       # explode → (doc,bigram) partial agg → per-doc agg
+    "gopher_rules": 1,     # quality gate is a pure map pass + the r15
+                           # spread_for_cpu parallelism-repair exchange
+                           # (fires only on under-split fixtures; no-op
+                           # at real scale)
+    "top_bigram": 1,       # r14 shuffle-free run-length form; the one
+                           # exchange is the r15 spread_for_cpu repair
     # pack_sequences: range shuffle + pid-local window exchange on the
     # narrow (key, long) projection, plus the #partitions-row offsets
     # branch (tiny SinglePartition aggregates) and its broadcast.
@@ -107,8 +111,8 @@ _MAX_EXCHANGES = {
     "quantiles": 1,        # percentile agg
     "latest_event": 1,
     "token_stats": 0,      # pure scan + expressions
-    "quality_score": 0,
-    "chunk_docs": 0,       # explode is map-side
+    "quality_score": 1,    # + r15 spread_for_cpu repair exchange
+    "chunk_docs": 1,       # explode is map-side; + r15 spread repair
     "redact_pii": 0,       # regexp_replace chain, pure scan
     "token_freq": 1,       # partial agg + one shuffle; top-k is TakeOrdered
     "user_profiles": 1,    # one (user_id) shuffle shared by all three windows
@@ -118,8 +122,11 @@ _MAX_EXCHANGES = {
                            # back (heavy-hitter-safe; the seg subtree
                            # repeats textually and reuses at runtime)
                            # + doc reassembly
-    "bm25_rank": 2,        # 1-row stats agg (SinglePartition) + its broadcast;
-                           # scoring itself is a pure map pass
+    "bm25_rank": 4,        # 1-row stats agg (SinglePartition) + its broadcast;
+                           # scoring itself is a pure map pass; + the r15
+                           # spread repair exchange (textually under both
+                           # the stats and scoring branches, reused at
+                           # runtime)
     "semantic_dedup": 3,   # cell-blocked pair join shuffle + 2 broadcasts
                            # (stats/dropped-ids); kmeans passes are map-side
     "oov_rate": 0,         # scoring is a pure map pass (vocab is a literal
