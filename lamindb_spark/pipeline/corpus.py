@@ -454,6 +454,12 @@ def bigram_lm_scores(
         )
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
+    # r15: the exploded frame feeds BOTH the count aggregation and the
+    # scoring re-join — pin it under the same source-size gate as the
+    # span kernels so the tokenize+explode runs once per action on
+    # small inputs (A/B: 1.34-1.59 → 1.17-1.33 s on the scoring core);
+    # above the gate (always at real scale) the frame streams as before
+    expl = _pin_span_frame(expl, df)
     pairs = expl.filter(F.col("w2").isNotNull())
     # checkpoint the VOCAB-BOUNDED count table (the source_kl
     # pattern): the counts feed vocab_n AND the scoring join, and each
