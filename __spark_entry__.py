@@ -2644,10 +2644,11 @@ def _q_top_pc(spark, sf):
     (C·v exact, renormalize by truncating div against max|a|) — the
     oracle replays every iteration bit-for-bit as HUGEINT CTEs."""
     from lamindb_spark.pipeline.similarity import power_iteration_top_pc
+    from lamindb_spark.sources.literals import local_frame
 
     emb = load_table(spark, sf, "embeddings")
     pc = power_iteration_top_pc(emb, iters=3)
-    return spark.createDataFrame(pc, "dim int, loading_micro long").orderBy("dim")
+    return local_frame(spark, pc, "dim int, loading_micro long").orderBy("dim")
 
 
 def _q_word_rank(spark, sf):

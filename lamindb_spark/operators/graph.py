@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.literals import local_frame, local_frame_pdf
+
 
 def closure(
     edges: DataFrame,
@@ -75,7 +77,7 @@ def closure(
                     StructField("depth", IntegerType()),
                 ]
             )
-            res = spark.createDataFrame(rows, schema=schema)
+            res = local_frame(spark, rows, schema)
             return res if include_depth else res.select(id_col)
 
     # --- distributed BFS fallback
@@ -117,9 +119,10 @@ def _hop_scan(e: DataFrame, frontier: list) -> DataFrame:
     from pyspark.sql.types import StructField, StructType
 
     spark = e.sparkSession
-    fdf = spark.createDataFrame(
+    fdf = local_frame(
+        spark,
         [(i,) for i in frontier],
-        schema=StructType([StructField("__s", e.schema["__s"].dataType)]),
+        StructType([StructField("__s", e.schema["__s"].dataType)]),
     )
     return e.join(F.broadcast(fdf), "__s").select("__d")
 
@@ -343,7 +346,7 @@ def _components_local(spark, pairs_pdf, schema) -> DataFrame:
     out_schema = StructType(
         [StructField("id", id_type), StructField("component", id_type)]
     )
-    return spark.createDataFrame(rows, schema=out_schema)
+    return local_frame(spark, rows, out_schema)
 
 
 def creates_cycle(
@@ -433,8 +436,8 @@ def _pagerank_local(
     for _ in range(iters):
         inflow = np.bincount(dst_i, weights=ranks[src_i] * w, minlength=n)
         ranks = _round_half_up(base + damping * inflow, round_to)
-    return spark.createDataFrame(
-        pd.DataFrame({"node": nodes_list, "rank": ranks})
+    return local_frame_pdf(
+        spark, pd.DataFrame({"node": nodes_list, "rank": ranks})
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot
+from ..sources.literals import local_frame
 
 
 def brute_force_topk(
@@ -524,7 +525,8 @@ def _packed_centroids(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     array of (cid, cvec) structs. Plan size stays O(1) regardless of
     k — the k=1000+ representation shared by :func:`kmeans_assign`'s
     broadcast path, :func:`silhouette_scores` and :func:`pq_encode`."""
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cid int, cvec array<double>",
     )
@@ -760,7 +762,8 @@ def pq_encode(
             )
         return spread_for_cpu(embeddings).select(*cols)
     spark = embeddings.sparkSession
-    bdf = spark.createDataFrame(
+    bdf = local_frame(
+        spark,
         [
             (int(s), int(cid), [float(x) for x in cv])
             for s, book in enumerate(codebooks)
@@ -1132,7 +1135,8 @@ def kmeans_assign(
             F.col(id_col), _argmin_cell(vec_col, cents).alias("cell")
         )
     spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cid int, cvec array<double>",
     )
@@ -1272,14 +1276,40 @@ def semantic_dedup(
     )
 
 
+def _cov_pair_stats(embeddings: DataFrame, vec_col: str) -> DataFrame:
+    """(i, j, n, si, sj, sij) running sums for the covariance kernels:
+    explode each vector to (i, v_i), self-pair within the row via a
+    second posexplode, partial-aggregate map-side — the shuffle carries
+    at most dim² running sums per mapper regardless of corpus size.
+
+    r15 negative result, measured and kept out: a single-posexplode
+    per-dimension wide aggregation (4·dim sum expressions over N·dim
+    rows instead of hash-agg over N·dim² rows) was 4–5× SLOWER at
+    dim=64 / sf0.1 (alternating A/B, 3 trials: wide 3.9–11.3 s vs this
+    shape 0.87–1.44 s on the noop sink) — 256 aggregate expressions
+    fall out of whole-stage codegen and the interpreted agg loses far
+    more than the smaller hash table wins. The double posexplode stays."""
+    v = F.col(vec_col).cast("array<double>")
+    pairs = embeddings.select(
+        F.posexplode(v).alias("i", "vi"),
+        v.alias("__v"),
+    ).select("i", "vi", F.posexplode("__v").alias("j", "vj"))
+    return pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("si"),
+        F.sum("vj").alias("sj"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sij"),
+    )
+
+
 def embedding_covariance(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Covariance matrix of the embedding distribution, computed
-    distributed: explode each vector to (i, v_i), self-pair within the
-    row via a second posexplode — (i, j, v_i*v_j) partial-aggregated
-    map-side, so the shuffle carries at most dim² running sums per
-    mapper regardless of corpus size. Means come from the same pass.
+    distributed: double posexplode → (i, j) partial-aggregated running
+    sums (see :func:`_cov_pair_stats`), so the shuffle carries at most
+    dim² running sums per mapper regardless of corpus size. Means come
+    from the same pass.
     Output: (i, j, cov) with the unbiased (n-1) denominator, rounded
     for cross-engine comparison.
 
@@ -1288,16 +1318,7 @@ def embedding_covariance(
     "covariance is cheap, data is big" decomposition that makes
     driver-side eigendecomposition (see :func:`pca_fit`) exact and
     free."""
-    pairs = embeddings.select(
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select("i", "vi", F.posexplode("__v").alias("j", "vj"))
-    stats = pairs.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("vi").alias("si"),
-        F.sum("vj").alias("sj"),
-        F.sum(F.col("vi") * F.col("vj")).alias("sij"),
-    )
+    stats = _cov_pair_stats(embeddings, vec_col)
     cov = (F.col("sij") - F.col("si") * F.col("sj") / F.col("n")) / (
         F.col("n") - 1
     )
@@ -1386,18 +1407,9 @@ def embedding_covariance_micro(
     """:func:`embedding_covariance` quantized to integer micro units —
     the exact-integer covariance that makes downstream iterative linear
     algebra (:func:`power_iteration_top_pc`) bit-replayable in SQL.
-    Same distributed pass (dim² partial-agg state); output
-    (i, j, cov_micro bigint)."""
-    pairs = embeddings.select(
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "vi"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select("i", "vi", F.posexplode("__v").alias("j", "vj"))
-    stats = pairs.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("vi").alias("si"),
-        F.sum("vj").alias("sj"),
-        F.sum(F.col("vi") * F.col("vj")).alias("sij"),
-    )
+    Same distributed pass (dim² partial-agg state via
+    :func:`_cov_pair_stats`); output (i, j, cov_micro bigint)."""
+    stats = _cov_pair_stats(embeddings, vec_col)
     cov = (F.col("sij") - F.col("si") * F.col("sj") / F.col("n")) / (
         F.col("n") - 1
     )
@@ -1596,7 +1608,8 @@ def _with_residual(
     re-evaluation, no shuffle of the vectors). Output residual column:
     ``__res`` (array<double>)."""
     spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in centroid_rows],
         f"{cell_col} int, __cv array<double>",
     )
