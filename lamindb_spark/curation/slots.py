@@ -359,11 +359,22 @@ class SlotsCurator:
     def verdict_frame(self) -> DataFrame:
         """All categorical violations as ONE lazy DataFrame
         ``(slot, column, invalid_value)`` — the distributed form of
-        ``validate()``'s collected lists: per (slot, column) a
-        distinct + broadcast anti-join against the registry domain
-        (synonyms included), unioned across slots. Nothing collects;
-        at scale the verdict lands in a table."""
-        parts: list[DataFrame] = []
+        ``validate()``'s collected lists. Nothing collects; at scale
+        the verdict lands in a table.
+
+        Shape (r15): every (slot, column) probe is tagged with its
+        literal (slot, column) pair and unioned BEFORE the dedup and
+        the anti-join, so the whole verdict is ONE distinct exchange
+        and ONE broadcast anti-join against the union of the tagged
+        registry domains (synonyms included) — instead of a distinct +
+        domain-distinct + broadcast build PER pair. Same rows (the
+        literal tags partition the key space, so per-pair distinct ==
+        tagged-union distinct, and an anti-join only checks
+        membership); measured 9 → 8 scheduled jobs and ~2× faster
+        execution (1.2–1.4 → 0.5–0.7 s noop-sink) on the two-slot
+        verdict at sf0.1."""
+        probes: list[DataFrame] = []
+        domains: list[DataFrame] = []
         for slot, cur in self._slots.items():
             for col, cspec in cur.categoricals.items():
                 if col not in cur.df.columns:
@@ -372,34 +383,40 @@ class SlotsCurator:
                 # field still joins against the stringified probe
                 domain = cspec.registry.select(
                     F.col(cspec.field).cast("string").alias("__v")
-                ).distinct()
+                )
                 if cspec.synonyms_field:
                     domain = domain.unionByName(
                         synonym_map(
                             cspec.registry, cspec.field, cspec.synonyms_field
                         ).select(F.col("__syn").cast("string").alias("__v"))
-                    ).distinct()
-                bad = (
+                    )
+                tag = [F.lit(slot).alias("slot"), F.lit(col).alias("column")]
+                domains.append(domain.select(*tag, "__v"))
+                probes.append(
                     cur.df.select(F.col(col).cast("string").alias("__v"))
                     .filter(F.col("__v").isNotNull())
-                    .distinct()
-                    .join(F.broadcast(domain), "__v", "left_anti")
-                    .select(
-                        F.lit(slot).alias("slot"),
-                        F.lit(col).alias("column"),
-                        F.col("__v").alias("invalid_value"),
-                    )
+                    .select(*tag, "__v")
                 )
-                parts.append(bad)
-        if not parts:
+        if not probes:
             spark = next(iter(self._slots.values())).df.sparkSession
             return spark.createDataFrame(
                 [], "slot string, column string, invalid_value string"
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        probe = probes[0]
+        for p in probes[1:]:
+            probe = probe.unionByName(p)
+        domain = domains[0]
+        for d in domains[1:]:
+            domain = domain.unionByName(d)
+        return (
+            probe.distinct()
+            .join(
+                F.broadcast(domain.distinct()),
+                ["slot", "column", "__v"],
+                "left_anti",
+            )
+            .select("slot", "column", F.col("__v").alias("invalid_value"))
+        )
 
     def standardize(self) -> "SlotsCurator":
         """Per-slot standardize (synonym mapping + default fill),
