@@ -221,6 +221,15 @@ _MAX_EXCHANGES = {
                              # partial + key final) + 4 broadcasts
                              # (dim chain + agg results joined back);
                              # a broadcast→SMJ flip trips this (r9)
+    "slot_validate": 6,      # r15 S8 tagged-union verdict fold: ONE
+                             # post-union probe distinct + shared
+                             # domain broadcasts (anti-join pushed
+                             # through the union by Catalyst) + the
+                             # final orderBy range exchange. At this
+                             # sf the pre-fold shape also read 6, so
+                             # the fold's evidence is the sf0.1 plan
+                             # diff (plans/r15, 14->12) — the ceiling
+                             # pins today's shape against growth
 }
 
 
