@@ -82,14 +82,17 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    # The driver captures only the LAST ~2.9 KB of stdout (r5 lost the
-    # totals off the back with queries-last; r6 lost them off the FRONT
-    # with totals-first — both because the per-query map pushed the line
-    # past the capture window in one direction or the other). The only
-    # durable shape: stdout carries the ~150-byte headline object ALONE;
-    # the full per-query steady and cold maps go to stderr, where the
-    # humans and the judge read them from the repo logs, not the
-    # captured line.
+    # Driver stdout contract (r16 fix, VERDICT r15 item 2): the driver
+    # captures only the LAST ~2.9 KB of stdout, and its per-query
+    # round-over-round comparison reads the "queries" map from the
+    # headline line — which r5–r15 routed to stderr because the
+    # 3-decimal steady+cold maps pushed the line past the capture
+    # window. Measured fix: a steady-only map rounded to 2 decimals
+    # keeps the whole headline at ~2.5 KB (124 queries), inside the
+    # window, so the headline goes back to the contract shape
+    # {"metric",...,"queries":{name: sec},...} as the LAST stdout line.
+    # Full-precision steady+cold maps still go to stderr and
+    # BENCH_LOCAL.json for the books.
     print(
         json.dumps({"steady_queries": timings, "cold_queries": cold, "sf": sf}),
         file=sys.stderr,
@@ -123,6 +126,7 @@ def main() -> None:
                 "metric": "query_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "queries": {name: round(sec, 2) for name, sec in timings.items()},
                 "sf": sf,
                 "n_queries": len(timings),
             },
