@@ -7,6 +7,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lamindb_spark.session import get_spark
 
+_SLOWLIST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slowlist.txt")
+
+
+def _slow_ids() -> set[tuple[str, str]]:
+    """(file basename, test id incl. any param) pairs from
+    tests/slowlist.txt — the measured ≥11.5 s tests of the r16 full
+    run (852 tests, 56:29 wall). Matching on the basename keeps the
+    list invocation-dir-independent."""
+    out = set()
+    try:
+        with open(_SLOWLIST) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#") or "::" not in line:
+                    continue
+                path, name = line.split("::", 1)
+                out.add((os.path.basename(path), name))
+    except OSError:
+        pass
+    return out
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the measured multi-second integration tests ``slow`` so the
+    default run (``-m "not slow"`` via pytest.ini addopts) fits the
+    external verify window (~15 min; the full 852-test suite takes
+    ~56 min on this host and the external runner's capture window cut
+    it off every round — VERDICT r15 item 2). Run everything with
+    ``pytest -m "" tests/`` (the end-of-round gate) or only the slow
+    set with ``-m slow``."""
+    slow = _slow_ids()
+    for item in items:
+        key = (os.path.basename(str(item.fspath)), item.name)
+        if key in slow:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
