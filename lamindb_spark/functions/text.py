@@ -158,10 +158,16 @@ def with_lang_id(
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WORD_SPLIT)
     staged = df.withColumn("__toks", toks)
+    # number of DISTINCT markers present: array_intersect dedups and
+    # each LANG_MARKERS set is duplicate-free, so size(intersect)
+    # equals the old Σ array_contains exactly — one pass over the
+    # token array per language instead of five (r16 A/B: lang_id
+    # query 0.70 → 0.42 s min, every paired trial faster, rows equal)
     hit_exprs = {
-        lang: reduce(
-            add,
-            [F.array_contains(F.col("__toks"), w).cast("int") for w in LANG_MARKERS[lang]],
+        lang: F.size(
+            F.array_intersect(
+                F.col("__toks"), F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            )
         )
         for lang in LANG_MARKERS
     }

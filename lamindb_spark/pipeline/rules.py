@@ -27,7 +27,6 @@ global window (the scale-killer the naive ``Window.orderBy`` hides).
 from __future__ import annotations
 
 from functools import reduce
-from operator import add
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -86,9 +85,15 @@ def gopher_rules(
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
     symbol_ratio = (n_hash + n_ellipsis) / nw
     alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nw
-    stop_hits = reduce(
-        add,
-        [F.array_contains(low, w).cast("int") for w in REQUIRED_STOPWORDS],
+    # number of DISTINCT required stopwords present — array_intersect
+    # dedups, and REQUIRED_STOPWORDS carries no duplicates, so this
+    # equals the old Σ array_contains(low, w) exactly (r16 A/B: one
+    # hash-set pass over `low` instead of 8 linear scans, and the
+    # interpreted `transform(toks, lower)` subtree is evaluated once
+    # here instead of once per stopword — gate noop 0.45 → 0.36 s
+    # median at sf0.1, rows verified identical)
+    stop_hits = F.size(
+        F.array_intersect(low, F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS]))
     )
     dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(low)) / nw
 
