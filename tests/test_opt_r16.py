@@ -73,3 +73,33 @@ def test_empty_bucket_docs_still_count_in_n_docs(spark):
     local = train_logreg(feats, n_buckets=8, iters=4)
     dist = train_logreg(feats, n_buckets=8, iters=4, local_max_docs=None)
     assert local == dist
+
+
+def test_closure_unpinned_edges_match_pinned(spark, monkeypatch):
+    """r16 edge-pin size gate (VERDICT r15 watch item #4): with the
+    gate forced OFF (as at real scale, where the edge projection
+    exceeds the ceiling) both the driver-frontier scan mode and the
+    distributed BFS must return the same closure as the pinned forms."""
+    from lamindb_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(k, k // 2) for k in range(2, 200)], ["child_id", "parent_id"]
+    )
+    seeds = spark.createDataFrame([(150,), (151,)], ["id"])
+
+    def run():
+        return {
+            r["id"]: r["depth"]
+            for r in g.closure(
+                edges, seeds, src="child_id", dst="parent_id", include_depth=True
+            ).collect()
+        }
+
+    baseline = run()
+    monkeypatch.setattr(g, "_EDGE_PIN_MAX_BYTES", 0)
+    # broadcast scan mode, unpinned
+    monkeypatch.setattr(g, "_closure_edges_local", lambda *a, **k: None)
+    assert run() == baseline
+    # distributed BFS fallback, unpinned
+    monkeypatch.setattr(g, "_closure_broadcast", lambda *a, **k: None)
+    assert run() == baseline
